@@ -1,0 +1,57 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is run twice; the warm (second) time is reported — matching
+BASELINE.md methodology. `collect()` forces full execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import oddsetl_spark  # noqa: E402 — populates registry
+from oddsetl_spark import registry  # noqa: E402
+from oddsetl_spark.session import get_spark  # noqa: E402
+
+# Headline set: one representative per major category (kept in sync with
+# SURVEY.md §2 as categories land).
+HEADLINE = [
+    "agg_groupby_multi",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("oddsetl-bench")
+
+    available = registry.all_queries()
+    names = [n for n in HEADLINE if n in available]
+
+    times: dict[str, float] = {}
+    for name in names:
+        fn = available[name].fn
+        fn(spark, sf_dir).collect()  # warm-up: JIT, code cache, file listing
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline query wall time (warm), sum over queries",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""SparkSession construction and per-query session pinning.
+
+The driver (and any external caller) may hand us an existing SparkSession,
+so every registered query pins the runtime-settable confs it depends on
+(`pin_session`) instead of relying on builder-time configuration.
+
+Design notes for the 100 TB target:
+- AQE stays ON: runtime shuffle-partition coalescing, skew-join splitting,
+  and broadcast-join demotion/promotion are the scale safety net.
+- `spark.sql.shuffle.partitions` defaults to the session's default
+  parallelism locally; on a 1000-executor cluster the same code runs with
+  a cluster-appropriate value (AQE coalesces the excess).
+- Session timezone is pinned UTC so timestamp semantics are stable across
+  engines (fixtures are tz-naive microsecond timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session before a query runs.
+_RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs required for deterministic, oracle-comparable runs."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this build — keep going
+    # Shuffle width: ~cores locally; AQE coalesces small shuffles anyway.
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "oddsetl-spark") -> SparkSession:
+    """Build (or reuse) a local session sized from $SPARK_GRAFT_CPUS."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("ODDSETL_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return pin_session(spark)
