@@ -34,9 +34,21 @@ FIXED_DIMS = ("region", "nation")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; pins session confs first."""
+    """Load one fixture table; pins session confs first.
+
+    events.ts is parquet TIMESTAMP(NANOS): read as long nanoseconds
+    (nanosAsLong) and floor-truncate to a microsecond TimestampType —
+    exactly DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) semantics, so both
+    engines see identical values. Oracle SQL must CAST(ts AS TIMESTAMP)
+    wherever events.ts is compared or output.
+    """
     pin_session(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,473 @@
+"""SURVEY.md §2.C — join operators.
+
+Scale strategy per join (the part that matters at 100 TB):
+- dim joins broadcast explicitly (region/nation always; supplier/part/customer
+  at bench scale) — zero shuffle of the fact side;
+- fact-fact joins shuffle on the join key (sort-merge); AQE handles skew;
+- theta/band joins get a BINNED variant that turns O(n*m) nested-loop into
+  an equi-join on range buckets + refine — the only formulation that
+  survives a 100x scale-up;
+- as-of join is union-tag + last(ignoreNulls) window — one shuffle, no
+  per-row probe;
+- skew variant salts the hot key explicitly (alternative to AQE skew split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..io import table
+from ..registry import register
+from ._helpers import dsum, sql_dsum
+
+
+@register(
+    "join_inner_equi",
+    category="joins",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 250000
+""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_totalprice") > 250000)
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "join_left_outer",
+    category="joins",
+    oracle="""
+SELECT c.c_custkey, c.c_name, e.event_id, e.event_type
+FROM customer c LEFT JOIN events e
+  ON c.c_custkey = e.user_id AND e.event_type = 'purchase' AND e.event_id < 100
+WHERE c.c_custkey < 300
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with an ON-clause filter on the right side (classic
+    outer-join semantics trap: the filter must NOT become a WHERE)."""
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    cond = (
+        (c.c_custkey == e.user_id)
+        & (e.event_type == "purchase")
+        & (e.event_id < 100)
+    )
+    return (
+        c.filter(F.col("c_custkey") < 300)
+        .join(e, cond, "left")
+        .select("c_custkey", "c_name", "event_id", "event_type")
+    )
+
+
+@register(
+    "join_right_outer",
+    category="joins",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_name
+FROM events e RIGHT JOIN customer c ON e.user_id = c.c_custkey AND e.value > 480
+WHERE c.c_custkey < 200
+""",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    cond = (e.user_id == c.c_custkey) & (e.value > 480)
+    return (
+        e.join(c.filter(F.col("c_custkey") < 200), cond, "right")
+        .select("event_id", "user_id", "c_name")
+    )
+
+
+@register(
+    "join_full_outer",
+    category="joins",
+    oracle="""
+WITH a AS (SELECT user_id, COUNT(*) AS n_click FROM events WHERE event_type='click' GROUP BY user_id),
+     b AS (SELECT user_id, COUNT(*) AS n_purchase FROM events WHERE event_type='purchase' GROUP BY user_id)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id, a.n_click, b.n_purchase
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    a = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_click"))
+        .alias("a")
+    )
+    b = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchase"))
+        .alias("b")
+    )
+    return a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full").select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        "n_click",
+        "n_purchase",
+    )
+
+
+@register(
+    "join_left_semi",
+    category="joins",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey AND e.event_type = 'error')
+""",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS — semi join never duplicates the left side."""
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error")
+    return c.join(err, c.c_custkey == err.user_id, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    category="joins",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+""",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — customers with no events (events cover only low keys)."""
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast_star",
+    category="joins",
+    oracle=f"""
+SELECT n.n_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o    ON o.o_custkey = c.c_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star. Dims are broadcast explicitly so the
+    only shuffles are the two fact-fact exchanges (orders⋈lineitem) and
+    the final agg — the right plan at any scale where dims fit in memory.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    od = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    asia = F.broadcast(
+        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+               n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(c), od.o_custkey == c.c_custkey)
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(asia, s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "join_sort_merge",
+    category="joins",
+    oracle=f"""
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_lines,
+       {sql_dsum('l.l_quantity')} AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large join forced to sort-merge — the 100 TB fact-fact path."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_quantity")).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    category="joins",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_theta_band",
+    category="joins",
+    oracle="""
+SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+       a.s_acctbal AS a_bal, b.s_acctbal AS b_bal
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND b.s_acctbal BETWEEN a.s_acctbal - 10 AND a.s_acctbal + 10
+""",
+)
+def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band theta-join (±10 on acctbal) — BroadcastNestedLoop baseline.
+    Only viable when one side broadcasts; see join_range_binned for scale."""
+    s = table(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    cond = (
+        (F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        & (F.col("b.s_acctbal") >= F.col("a.s_acctbal") - 10)
+        & (F.col("b.s_acctbal") <= F.col("a.s_acctbal") + 10)
+    )
+    return a.join(b, cond).select(
+        F.col("a.s_suppkey").alias("a_key"),
+        F.col("b.s_suppkey").alias("b_key"),
+        F.col("a.s_acctbal").alias("a_bal"),
+        F.col("b.s_acctbal").alias("b_bal"),
+    )
+
+
+@register(
+    "join_range_binned",
+    category="joins",
+    oracle="""
+SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+       a.s_acctbal AS a_bal, b.s_acctbal AS b_bal
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND b.s_acctbal BETWEEN a.s_acctbal - 10 AND a.s_acctbal + 10
+""",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same band join, scale formulation: bin both sides on floor(bal/10),
+    equi-join on bin in {-1,0,+1} offsets, refine exact predicate.
+    Turns the nested loop into a shuffled equi-join — survives 100x scale
+    because work is proportional to matching bins, not |A|x|B|.
+    """
+    s = table(spark, sf_dir, "supplier")
+    width = 10
+    a = s.select(
+        F.col("s_suppkey").alias("a_key"),
+        F.col("s_acctbal").alias("a_bal"),
+        F.floor(F.col("s_acctbal") / width).alias("a_bin"),
+    )
+    # Replicate the probe side into the 3 adjacent bins (explode, not loop).
+    b = s.select(
+        F.col("s_suppkey").alias("b_key"),
+        F.col("s_acctbal").alias("b_bal"),
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / width) - 1,
+                F.floor(F.col("s_acctbal") / width),
+                F.floor(F.col("s_acctbal") / width) + 1,
+            )
+        ).alias("a_bin"),
+    )
+    return (
+        a.join(b, "a_bin")
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.col("b_bal") >= F.col("a_bal") - width)
+            & (F.col("b_bal") <= F.col("a_bal") + width)
+        )
+        .select("a_key", "b_key", "a_bal", "b_bal")
+    )
+
+
+@register(
+    "join_asof",
+    category="joins",
+    oracle="""
+SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, o.o_orderkey, o.o_orderdate
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+WHERE e.event_id < 2000
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event -> latest order of the same customer at ts.
+
+    Spark has no native ASOF; this is the union-tag formulation: union both
+    sides on a common (key, time) axis, one window sort per key, propagate
+    the last order seen with last(ignoreNulls). ONE shuffle on user_id —
+    no per-row probing, no crossJoin — the formulation that scales.
+
+    Tie semantics: DuckDB ASOF takes o_orderdate <= ts; orders sort before
+    the event at equal timestamps (is_order=1 first via secondary key).
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    o = table(spark, sf_dir, "orders")
+    ev = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    od = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    # Orders first at equal t (desc on is_order) so "<= ts" includes ties.
+    w = (
+        W.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_order").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    unioned = ev.unionByName(od)
+    matched = unioned.select(
+        "is_order",
+        "event_id",
+        F.col("k").alias("user_id"),
+        "ts",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("o_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("o_orderdate"),
+    )
+    return matched.filter(F.col("is_order") == 0).select(
+        "event_id", "user_id", "ts", "o_orderkey", "o_orderdate"
+    )
+
+
+@register(
+    "join_interval_overlap",
+    category="joins",
+    oracle="""
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP) <  CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup'
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 1h after a signup, same user. The equi
+    key (user_id) carries the shuffle; the range predicate is a post-join
+    filter — no nested loop, scales with per-user event counts."""
+    e = table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").alias("s")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    cond = (
+        (F.col("s.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") < F.col("s.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return s.join(p, cond).select(
+        F.col("s.event_id").alias("signup_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("s.user_id").alias("user_id"),
+    )
+
+
+@register(
+    "join_self",
+    category="joins",
+    oracle="""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.vec_id < 100 AND b.vec_id < 100
+""",
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join with aliases (same-label vector pairs)."""
+    em = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = em.alias("a")
+    b = em.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.col("a.label").alias("label"),
+        )
+    )
+
+
+@register(
+    "join_skew_salted",
+    category="joins",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o.o_totalprice')} AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join: salt the (potentially hot) fact key into 16
+    buckets and replicate the dim side across all salts, so one hot customer
+    spreads over 16 tasks instead of stalling one. Same answer as the plain
+    join — verified by the oracle. At 100 TB this is the manual fallback
+    when AQE skew-split isn't enough (single-key hotspots).
+    """
+    n_salt = 16
+    o = table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt)).cast("int")
+    )
+    c = table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )

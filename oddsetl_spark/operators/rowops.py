@@ -1,0 +1,217 @@
+"""SURVEY.md §2.B — projection / filter / row-level operators.
+
+All expressions use raw columns so Catalyst pushes predicates and pruning
+into the parquet scan (verified by plan-shape tests in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..io import table
+from ..registry import register
+from ._helpers import dsum, sql_dsum
+
+
+@register(
+    "project_compute",
+    category="rowops",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net_price,
+       CAST(l_quantity * 2 AS DOUBLE) AS double_qty,
+       l_extendedprice + l_tax AS price_plus_tax
+FROM lineitem
+WHERE l_orderkey < 1000
+""",
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed projection — scalar double math is IEEE-identical per row."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        (F.col("l_quantity") * 2).alias("double_qty"),
+        (F.col("l_extendedprice") + F.col("l_tax")).alias("price_plus_tax"),
+    )
+
+
+@register(
+    "filter_conjunctive",
+    category="rowops",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE (o_totalprice BETWEEN 50000 AND 200000)
+  AND (o_orderstatus IN ('F', 'O'))
+  AND NOT (o_orderpriority = '5-LOW' OR o_orderpriority = '4-NOT SPECIFIED')
+""",
+)
+def filter_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT + BETWEEN + IN, all pushable predicates."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderstatus").isin("F", "O")
+        & ~((F.col("o_orderpriority") == "5-LOW") | (F.col("o_orderpriority") == "4-NOT SPECIFIED"))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "filter_like_regex",
+    category="rowops",
+    oracle="""
+SELECT p_partkey, p_name, p_type, p_brand
+FROM part
+WHERE p_type LIKE '%ECONOMY%'
+   OR regexp_matches(p_brand, '^Brand#1[0-9]$')
+""",
+)
+def filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE and RLIKE predicates."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%ECONOMY%") | F.col("p_brand").rlike("^Brand#1[0-9]$")
+    ).select("p_partkey", "p_name", "p_type", "p_brand")
+
+
+@register(
+    "filter_null_semantics",
+    category="rowops",
+    oracle="""
+WITH e AS (
+  SELECT event_id,
+         NULLIF(event_type, 'error') AS et,
+         CASE WHEN value > 100 THEN value END AS big_value
+  FROM events
+)
+SELECT
+  COUNT(*) AS n_total,
+  COUNT(et) AS n_et_not_null,
+  SUM(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS n_et_null,
+  COUNT(big_value) AS n_big,
+  COALESCE(MIN(CASE WHEN et IS NULL THEN event_id END), -1) AS first_null_id
+FROM e
+""",
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL over manufactured NULLs (fixtures have none)."""
+    e = table(spark, sf_dir, "events")
+    withn = e.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("et"),
+        F.when(F.col("value") > 100, F.col("value")).alias("big_value"),
+    )
+    return withn.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("et").alias("n_et_not_null"),
+        F.sum(F.when(F.col("et").isNull(), 1).otherwise(0)).alias("n_et_null"),
+        F.count("big_value").alias("n_big"),
+        F.coalesce(
+            F.min(F.when(F.col("et").isNull(), F.col("event_id"))), F.lit(-1)
+        ).alias("first_null_id"),
+    )
+
+
+@register(
+    "cast_types",
+    category="rowops",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int
+FROM orders
+WHERE o_orderkey < 500
+""",
+)
+def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix: ts->date, double->decimal->string, int->string, double->bigint.
+
+    Spark CAST(double AS bigint) truncates toward zero while DuckDB rounds,
+    so both sides go through FLOOR to pin the semantics.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_dec_str"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("price_int"),
+    )
+
+
+@register(
+    "distinct_rows",
+    category="rowops",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1995-03-01 00:00:00'
+""",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — hash aggregate on all columns; partial dedup before shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1995-03-01 00:00:00").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus", "l_shipdate")
+        .distinct()
+    )
+
+
+@register(
+    "dedup_by_key",
+    category="rowops",
+    oracle="""
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-key, deterministic via row_number (oracle-matchable,
+    unlike dropDuplicates' arbitrary row). Scale: single shuffle on the key;
+    at 100 TB prefer this over dropDuplicates for reproducibility anyway.
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "explode_tokens",
+    category="rowops",
+    oracle="""
+SELECT d.doc_id, t.token
+FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+WHERE d.doc_id < 50 AND t.token <> ''
+""",
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral unnest of a split array (tokenization primitive)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+@register("sample_deterministic", category="rowops", oracle=None)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — engine-specific RNG, rows-only check."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")

@@ -26,6 +26,10 @@ _RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively;
+    # read as long nanos and convert in io.table (floor to micros, matching
+    # DuckDB's CAST(ts_ns AS TIMESTAMP) truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
