@@ -59,3 +59,332 @@ def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "agg_global",
+    category="agg",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-group aggregate — partial agg per partition, single final reduce."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    category="agg",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct — Spark expands to a two-phase agg (distinct then count),
+    shuffling (event_type, user_id) pairs; scales as long as per-key distinct
+    cardinality fits a partition (it does: user ids)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("agg_approx_distinct", category="agg", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB path (no distinct expansion,
+    mergeable sketches). Engine-specific values: rows-only check here;
+    tests/test_properties.py asserts ±5% of exact."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
+    "agg_filtered",
+    category="agg",
+    oracle=f"""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_value
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (manual pivot shape)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("purchase_value"),
+    )
+
+
+@register(
+    "agg_rollup",
+    category="agg",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id (Spark's bit order matches GROUPING(a)*2+GROUPING(b))."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@register(
+    "agg_cube",
+    category="agg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "lineitem")
+    return o.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    category="agg",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL entry point (DataFrame API has no direct form)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_stats",
+    category="agg",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+       ROUND(var_samp(l_quantity), 6) AS var_qty,
+       ROUND(stddev_pop(l_quantity), 6) AS sdp_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-family statistics. Both engines use numerically-stable
+    single-pass algorithms whose results differ only in trailing ulps;
+    rounding to 6 (values O(10)) / 4 (values O(1e4)) absorbs that.
+    Skew/kurtosis are separate (agg_skew_kurtosis) — definitions differ."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covs_qty_price"),
+    )
+
+
+@register(
+    "agg_skew_kurtosis",
+    category="agg",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,0))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(30,0))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(30,0))) AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+             / POW(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skew_qty,
+       ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+             / POW(s2/n - (s1/n)*(s1/n), 2) - 3, 6) AS kurt_qty
+FROM m
+""",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness / excess kurtosis (Spark's definitions). DuckDB's
+    built-ins apply sample-bias correction, so the oracle recomputes Spark's
+    population formulas from exact decimal raw moments (l_quantity is
+    integer-valued => moments are exact integers on both engines)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    category="agg",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(median(l_quantity), 6) AS median_qty,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+       ROUND(quantile_cont(l_quantity, 0.90), 6) AS p90_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + continuous percentiles (linear interpolation on both
+    engines). See agg_approx_percentile for the sketch-based scale path."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.90)), 6).alias("p90_qty"),
+    )
+
+
+@register("agg_approx_percentile", category="agg", oracle=None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-ish sketch) — mergeable, bounded-memory: the
+    percentile path at 100 TB. Rows-only; accuracy asserted in tests."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("approx_p")
+    )
+
+
+@register(
+    "agg_minby_maxby_firstlast",
+    category="agg",
+    oracle="""
+SELECT event_type,
+       arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 10000000 + event_id) AS max_value_event,
+       arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 10000000 + event_id) AS min_value_event,
+       arg_min(user_id, event_id) AS first_user,
+       arg_max(user_id, event_id) AS last_user
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_minby_maxby_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax + deterministic first/last. Ordering keys are made
+    unique (value has 2 decimals -> value*100 integer, composed with
+    event_id) because min_by/max_by tie-breaking is engine-arbitrary;
+    first/last are expressed as arg_min/arg_max over event_id, the
+    deterministic equivalent of first/last in arrival order."""
+    e = table(spark, sf_dir, "events")
+    vkey = (
+        F.round(F.col("value") * 100).cast("bigint") * F.lit(10000000)
+        + F.col("event_id")
+    )
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", vkey).alias("max_value_event"),
+        F.min_by("event_id", vkey).alias("min_value_event"),
+        F.min_by("user_id", F.col("event_id")).alias("first_user"),
+        F.max_by("user_id", F.col("event_id")).alias("last_user"),
+    )
+
+
+@register(
+    "agg_collect",
+    category="agg",
+    oracle="""
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events WHERE user_id < 20)
+SELECT user_id, list(event_type ORDER BY event_type) AS types
+FROM d GROUP BY user_id
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array agg — collect_set + sort_array for deterministic contents."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+    )
+
+
+@register(
+    "agg_pivot",
+    category="agg",
+    oracle=f"""
+SELECT n.n_name,
+       {sql_dsum("CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice ELSE 0 END")} AS F,
+       {sql_dsum("CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice ELSE 0 END")} AS O,
+       {sql_dsum("CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice ELSE 0 END")} AS P
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot wide by order status; explicit value list avoids the extra
+    distinct-values job (mandatory at scale)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum(F.col("o_totalprice")))
+        .na.fill(0.0)
+    )

@@ -1,0 +1,139 @@
+"""SURVEY.md §2.G — set operations.
+
+UNION ALL is a zero-shuffle concat; the DISTINCT/INTERSECT/EXCEPT family
+all hash-aggregate on the full row — Spark plans partial distinct before
+the exchange, so shuffled volume is bounded by distinct cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+
+def _clickers(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "click").select("user_id")
+
+
+def _viewers(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "view").select("user_id")
+
+
+@register(
+    "set_union_all",
+    category="setops",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+""",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clickers(spark, sf_dir).unionAll(_viewers(spark, sf_dir))
+
+
+@register(
+    "set_union_distinct",
+    category="setops",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'view'
+""",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clickers(spark, sf_dir).union(_viewers(spark, sf_dir)).distinct()
+
+
+@register(
+    "set_union_by_name",
+    category="setops",
+    oracle="""
+SELECT c_custkey AS entity_id, c_acctbal AS balance, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_suppkey AS entity_id, s_acctbal AS balance, 'supplier' AS kind FROM supplier
+""",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union (column order differs between inputs)."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit("customer").alias("kind"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_acctbal").alias("balance"),
+        F.col("s_suppkey").alias("entity_id"),
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "set_intersect",
+    category="setops",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return _clickers(spark, sf_dir).intersect(p)
+
+
+@register(
+    "set_intersect_all",
+    category="setops",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersect (multiplicity = min of the two sides)."""
+    o = table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(op)
+
+
+@register(
+    "set_except",
+    category="setops",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("user_id")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return v.subtract(p)
+
+
+@register(
+    "set_except_all",
+    category="setops",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (multiplicity = left count - right count, floor 0)."""
+    o = table(spark, sf_dir, "orders")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return op.exceptAll(f)

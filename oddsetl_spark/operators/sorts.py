@@ -1,0 +1,98 @@
+"""SURVEY.md §2.F — sorts / limits / top-k.
+
+Global sort = range-partition exchange + per-partition sort. Top-k compiles
+to TakeOrderedAndProject (per-partition heap + driver merge) — O(k) memory,
+no global sort: THE pattern for top-k at 100 TB. LIMIT/OFFSET on sorted
+output needs a unique tiebreaker or the result set isn't well-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+from ._helpers import dsum, sql_dsum
+
+
+@register(
+    "sort_multikey",
+    category="sorts",
+    oracle="""
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       NULLIF(s_name, 'Supplier#3') AS maybe_name
+FROM supplier
+ORDER BY s_nationkey ASC NULLS LAST, s_acctbal DESC, s_suppkey
+""",
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort, mixed directions, NULLS placement. The value
+    hash is order-insensitive, so correctness rides on the same row SET plus
+    the sort executing (exercised for plan shape in test_plans)."""
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.nullif(F.col("s_name"), F.lit("Supplier#3")).alias("maybe_name"),
+    ).orderBy(
+        F.asc_nulls_last("s_nationkey"), F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+
+
+@register(
+    "limit_offset",
+    category="sorts",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 10
+""",
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET over a totally-ordered (tie-broken) sort."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(20)
+    )
+
+
+@register(
+    "topk_global",
+    category="sorts",
+    oracle=f"""
+SELECT l_orderkey,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by revenue — agg then TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register("sort_within_partitions", category="sorts", oracle=None)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort (no exchange) — the write-optimization pattern:
+    repartition by a key then sortWithinPartitions for clustered output files
+    (parquet min/max stats become selective)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.repartition(8, "l_suppkey")
+        .sortWithinPartitions("l_suppkey", "l_shipdate")
+        .select("l_suppkey", "l_shipdate", "l_orderkey")
+    )
