@@ -13,7 +13,8 @@ from .session import get_spark, pin_session  # noqa: F401
 
 # Operator modules register queries on import — keep this list in sync with
 # SURVEY.md §2 categories.
-from .operators import aggregates, joins, rowops, setops, sorts  # noqa: F401,E402
+from .functions import scalar_functions  # noqa: F401,E402
+from .operators import aggregates, joins, rowops, setops, sorts, windows  # noqa: F401,E402
 
 __all__ = [
     "registry",

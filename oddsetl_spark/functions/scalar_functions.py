@@ -1,0 +1,353 @@
+"""SURVEY.md §2.H — scalar function layer, one query per family.
+
+Every function here is a built-in pyspark.sql.functions call (JVM-side,
+whole-stage-codegen'd — never a Python UDF). Oracle twins encode the
+dialect deltas discovered by probing DuckDB 1.0.0:
+
+- dayofweek: DuckDB Sunday=0, Spark Sunday=1 -> twin adds 1;
+- date_trunc on TIMESTAMP returns DATE in DuckDB -> cast both to DATE;
+- epoch() returns fractional seconds -> floor + cast vs unix_timestamp;
+- list_distinct is unordered -> always sort after distinct on both sides;
+- round(): both round half away from zero for positives, but ONLY apply
+  round to values without exact decimal ties at the cut position (divide
+  by 3, logs, etc.) — 2-decimal money rounded to 1 decimal would diverge
+  because Spark rounds the exact binary expansion while DuckDB scales by
+  a power of ten first;
+- transcendentals (exp/ln/pow): libm vs JVM may differ in the last ulp ->
+  round to 9 digits; sqrt is IEEE-correctly-rounded -> exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "fn_string",
+    category="functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS up_name,
+       lower(p_type) AS low_type,
+       trim(concat_ws('-', p_type, p_brand)) AS joined,
+       substr(p_name, 1, 5) AS name5,
+       lpad(p_brand, 12, '*') AS padded,
+       length(p_name) AS name_len,
+       replace(p_brand, 'Brand#', 'B') AS brand_short,
+       instr(p_name, 'a') AS first_a,
+       string_split(p_type, ' ') AS type_words,
+       regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       levenshtein(p_brand, 'Brand#10') AS lev_to_b10
+FROM part
+WHERE p_partkey < 300
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_type").alias("low_type"),
+        F.trim(F.concat_ws("-", "p_type", "p_brand")).alias("joined"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.split("p_type", " ").alias("type_words"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#10")).alias("lev_to_b10"),
+    )
+
+
+@register(
+    "fn_datetime",
+    category="functions",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       dayofweek(o_orderdate) + 1 AS dow,
+       hour(o_orderdate) AS hr,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(o_orderdate AS DATE) + 30 AS plus30,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+       CAST(date_diff('month', date_trunc('month', o_orderdate),
+                      DATE '1998-01-01') AS DOUBLE) AS months_to_98,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS unix_sec,
+       CAST('1998-06-15' AS DATE) AS fixed_date,
+       make_date(year(o_orderdate), month(o_orderdate), 1) AS first_of_month
+FROM orders
+WHERE o_orderkey < 1000
+""",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.hour("o_orderdate").alias("hr"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_98"
+        ),
+        F.months_between(
+            F.lit("1998-01-01").cast("date"),
+            F.date_trunc("month", F.col("o_orderdate")),
+        ).alias("months_to_98"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.unix_timestamp(F.col("o_orderdate")).alias("unix_sec"),
+        F.to_date(F.lit("1998-06-15")).alias("fixed_date"),
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)).alias(
+            "first_of_month"
+        ),
+    )
+
+
+@register(
+    "fn_math",
+    category="functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000) AS abs_dev,
+       round(l_extendedprice / 3.0, 2) AS third_rounded,
+       CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+       CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+       sqrt(l_extendedprice) AS price_sqrt,
+       round(exp(l_discount), 9) AS disc_exp,
+       round(ln(l_extendedprice), 9) AS price_ln,
+       round(log10(l_extendedprice), 9) AS price_log10,
+       round(pow(l_quantity, 2), 9) AS qty_sq,
+       CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS price_sign,
+       l_orderkey % 7 AS key_mod7,
+       greatest(l_quantity, l_discount * 100, 10.0) AS biggest,
+       least(l_quantity, l_tax * 100) AS smallest
+FROM lineitem
+WHERE l_orderkey < 800
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 800)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000).alias("abs_dev"),
+        F.round(F.col("l_extendedprice") / 3.0, 2).alias("third_rounded"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.exp("l_discount"), 9).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 9).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 9).alias("price_log10"),
+        F.round(F.pow("l_quantity", F.lit(2)), 9).alias("qty_sq"),
+        F.signum(F.col("l_extendedprice") - 30000).alias("price_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100, F.lit(10.0)).alias(
+            "biggest"
+        ),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 100).alias("smallest"),
+    )
+
+
+@register(
+    "fn_conditional",
+    category="functions",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'XL'
+            WHEN o_totalprice > 150000 THEN 'L'
+            WHEN o_totalprice > 50000  THEN 'M'
+            ELSE 'S' END AS size_class,
+       coalesce(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+       CASE WHEN NULLIF(o_orderpriority, '5-LOW') IS NOT NULL
+            THEN 'prioritized' ELSE 'low' END AS prio_class,
+       CASE WHEN o_orderstatus = 'F' AND o_totalprice > 200000 THEN o_totalprice END
+         AS big_finished_price
+FROM orders
+WHERE o_orderkey < 2000
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "XL")
+        .when(F.col("o_totalprice") > 150000, "L")
+        .when(F.col("o_totalprice") > 50000, "M")
+        .otherwise("S")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.nvl2(
+            F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")),
+            F.lit("prioritized"),
+            F.lit("low"),
+        ).alias("prio_class"),
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000),
+            F.col("o_totalprice"),
+        ).alias("big_finished_price"),
+    )
+
+
+@register(
+    "fn_array",
+    category="functions",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 80
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       list_contains(toks, 'join') AS has_join,
+       list_sort(list_distinct(toks)) AS uniq_sorted,
+       list_slice(toks, 1, 5) AS first5,
+       flatten([list_slice(toks, 1, 2), list_slice(toks, 3, 4)]) AS first4,
+       list_sort(list_distinct(list_concat(list_slice(toks, 1, 3), ['aaa','zzz'])))
+         AS with_extras,
+       list_transform(toks, x -> length(x)) AS tok_lens,
+       list_filter(toks, x -> length(x) > 6) AS long_toks,
+       len(list_filter(toks, x -> x = 'scan')) > 0 AS has_scan,
+       list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS total_chars,
+       list_transform(list_zip(list_slice(toks, 1, 3), list_slice(toks, 2, 4)),
+                      p -> concat(p[1], '_', p[2])) AS bigram3
+FROM t
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order functions over token arrays (all-integer/string
+    element types keep the oracle comparison exact)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    toks = F.split(F.col("text"), " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    tk = F.col("toks")
+    return t.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.array_contains(tk, "join").alias("has_join"),
+        F.sort_array(F.array_distinct(tk)).alias("uniq_sorted"),
+        F.slice(tk, 1, 5).alias("first5"),
+        F.flatten(F.array(F.slice(tk, 1, 2), F.slice(tk, 3, 2))).alias("first4"),
+        F.sort_array(F.array_distinct(F.array_union(F.slice(tk, 1, 3), F.array(F.lit("aaa"), F.lit("zzz"))))).alias(
+            "with_extras"
+        ),
+        F.transform(tk, lambda x: F.length(x)).alias("tok_lens"),
+        F.filter(tk, lambda x: F.length(x) > 6).alias("long_toks"),
+        F.exists(tk, lambda x: x == "scan").alias("has_scan"),
+        F.aggregate(
+            F.transform(tk, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+        ).alias("total_chars"),
+        F.zip_with(
+            F.slice(tk, 1, 3),
+            F.slice(tk, 2, 3),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ).alias("bigram3"),
+    )
+
+
+@register(
+    "fn_map",
+    category="functions",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+       1 AS n_keys,
+       ['k'] AS key_list,
+       CAST(json_extract_string(props, '$.k') AS INT) * 2 AS doubled_via_map
+FROM events
+WHERE event_id < 500
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions: from_json -> map, element_at, size, map_keys,
+    map_from_arrays. Map-typed columns stay internal (outputs are scalars/
+    arrays) because engines don't agree on map value rendering."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.from_json(F.col("props"), "map<string,int>")
+    m2 = F.map_from_arrays(
+        F.array(F.lit("orig"), F.lit("double")),
+        F.array(F.element_at(m, "k"), F.element_at(m, "k") * 2),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.size(m).alias("n_keys"),
+        F.map_keys(m).alias("key_list"),
+        F.element_at(m2, "double").alias("doubled_via_map"),
+    )
+
+
+@register(
+    "fn_json",
+    category="functions",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       to_json({'k': CAST(json_extract_string(props, '$.k') AS INT),
+                'et': event_type})::VARCHAR AS rebuilt,
+       CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_field
+FROM events
+WHERE event_id < 500
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over the props JSON-string column."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parsed = F.from_json(F.col("props"), "struct<k:int>")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.to_json(
+            F.struct(parsed.getField("k").alias("k"), F.col("event_type").alias("et"))
+        ).alias("rebuilt"),
+        F.get_json_object(F.col("props"), "$.missing").alias("missing_field"),
+    )
+
+
+@register(
+    "fn_hash",
+    category="functions",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha256,
+       length(md5(c_name)) AS md5_len
+FROM customer
+WHERE c_custkey < 400
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hashes (dedup keys) — hex-string output on both engines."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        F.length(F.md5("c_name")).alias("md5_len"),
+    )
+
+
+@register("fn_hash_engine", category="functions", oracle=None)
+def fn_hash_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-specific hashes (xxhash64/crc32/murmur) used for salting and
+    MinHash seeding — values differ across engines by design: rows-only."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("name_xxh64"),
+        F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
+        F.hash("c_name").alias("name_murmur"),
+    )

@@ -1,0 +1,277 @@
+"""SURVEY.md §2.E — window functions.
+
+Each window spec = one shuffle on the partition key + per-partition sort.
+Ordering keys always include a unique tiebreaker (orderkey/event_id) so
+results are deterministic and oracle-matchable. Window sums of doubles use
+the decimal discipline (see operators/_helpers.py).
+
+Scale note: a window partitioned by a high-cardinality key (customer,
+user) distributes evenly; the anti-pattern is an un-partitioned global
+window (single task) — none here except where the data is one group by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "win_ranking",
+    category="windows",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       ROW_NUMBER()   OVER w AS rn,
+       RANK()         OVER w AS rnk,
+       DENSE_RANK()   OVER w AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 9) AS prnk,
+       NTILE(4)       OVER w AS quartile
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    category="windows",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. At scale this is the right top-k-per-group:
+    rank is computed per partition after one shuffle; no global sort."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_lag_lead",
+    category="windows",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       LAG(CAST(ts AS TIMESTAMP), 1) OVER w AS prev_ts,
+       LEAD(CAST(ts AS TIMESTAMP), 1) OVER w AS next_ts,
+       LAG(value, 1, -1.0) OVER w AS prev_value
+FROM events
+WHERE user_id < 30
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with defaults — NULLs manufactured at partition edges."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("ts", 1).over(w).alias("prev_ts"),
+        F.lead("ts", 1).over(w).alias("next_ts"),
+        F.lag("value", 1, -1.0).over(w).alias("prev_value"),
+    )
+
+
+@register(
+    "win_running_sum",
+    category="windows",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+            OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_qty
+FROM lineitem
+WHERE l_orderkey < 5000
+""",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+@register(
+    "win_sliding_avg",
+    category="windows",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS sliding_avg
+FROM events
+WHERE user_id < 30
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+""",
+)
+def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average ±3 rows (avg = exact decimal sum / count, so both
+    engines do the identical double division)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 3)
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("sliding_avg"),
+    )
+
+
+@register(
+    "win_range_frame",
+    category="windows",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_within_5,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+            OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_within_5
+FROM lineitem
+WHERE l_orderkey < 2000
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric ordering column (peers included by value)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity").rangeBetween(-5, 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.count(F.lit(1)).over(w).alias("n_within_5"),
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).over(w)
+        .cast("double")
+        .alias("qty_within_5"),
+    )
+
+
+@register(
+    "win_first_last_nth",
+    category="windows",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS biggest_order,
+       LAST_VALUE(o_orderkey)  OVER w AS smallest_order,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_biggest
+FROM orders
+WHERE o_custkey < 40
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth over the FULL frame (the default running frame makes
+    last_value useless — classic trap, pinned explicitly on both engines)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("biggest_order"),
+        F.last("o_orderkey").over(w).alias("smallest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_biggest"),
+    )
+
+
+@register(
+    "win_sessionize",
+    category="windows",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM s
+GROUP BY user_id, session_id
+""",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min): lag -> new-session flag ->
+    running sum = session id -> per-session rollup. Two shuffles total
+    (window + final agg share the user_id key, so AQE can reuse the
+    exchange). This is the batch twin of stream_session_window."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
