@@ -14,7 +14,17 @@ from .session import get_spark, pin_session  # noqa: F401
 # Operator modules register queries on import — keep this list in sync with
 # SURVEY.md §2 categories.
 from .functions import scalar_functions  # noqa: F401,E402
-from .operators import aggregates, joins, rowops, setops, sorts, windows  # noqa: F401,E402
+from .operators import (  # noqa: F401,E402
+    aggregates,
+    joins,
+    llm_dedup,
+    llm_similarity,
+    llm_text,
+    rowops,
+    setops,
+    sorts,
+    windows,
+)
 
 __all__ = [
     "registry",

@@ -1,0 +1,394 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2.K).
+
+The fixture corpus has no exact duplicates (FIXTURES.md), so the near-dup
+operators run over an AUGMENTED corpus: each document unioned with two
+perturbed twins (first 2 / first 4 tokens dropped, doc_id + 100000/200000).
+That manufactures a known near-dup structure — (d, t1, t2) cliques — making
+every stage verifiable: exact Jaccard pairs are SQL-checkable, MinHash/LSH
+recall is measurable against them, and connected components have a known
+answer (500 3-cliques).
+
+Scale design:
+- exact dedup: one hash shuffle, keep-first by row_number;
+- n-gram Jaccard: inverted-index self-join on shingle (work ~ sum of
+  per-shingle doc-list squares — bounded for natural text, no n^2 scan);
+- MinHash: 64 seeded hash mins computed as 64 agg columns in ONE pass over
+  (doc, shingle) — no 64x row blowup; LSH banding turns candidate gen into
+  an equi-join; exact Jaccard refine only on candidates;
+- SimHash: 16-bit signature from per-token hash bits, banded for
+  hamming<=3 candidate gen (pigeonhole over 4 bands);
+- components: iterative min-label propagation with localCheckpoint per
+  round (lineage cut), O(log n) rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..io import table
+from ..registry import register
+
+_JACCARD_TAU = 0.8
+
+# DuckDB twin of the augmented corpus (lowercased; twins drop 2/4 tokens).
+_SQL_CORPUS = """
+corpus AS (
+  SELECT doc_id, lower(text) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_slice(string_split(lower(text), ' '), 3,
+                         len(string_split(lower(text), ' '))), ' ')
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(list_slice(string_split(lower(text), ' '), 5,
+                         len(string_split(lower(text), ' '))), ' ')
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> concat(string_split(text, ' ')[i], ' ',
+                       string_split(text, ' ')[i+1], ' ',
+                       string_split(text, ' ')[i+2])))) AS shingle
+  FROM corpus
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingled a JOIN shingled b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + 2 perturbed twins per doc (known near-dup cliques)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    toks = F.split(F.col("text"), " ")
+
+    def twin(offset: int, drop: int) -> DataFrame:
+        return d.select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.array_join(F.slice(toks, drop + 1, F.size(toks)), " ").alias("text"),
+        )
+
+    return d.unionByName(twin(100000, 2)).unionByName(twin(200000, 4))
+
+
+def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) with DISTINCT k-word shingles per doc."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+    return df.filter(F.size(toks) >= k).select(
+        "doc_id", F.explode(sh).alias("shingle")
+    )
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs via shingle inverted-index join."""
+    sh = _shingles(_corpus(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_hash",
+    category="llm_dedup",
+    oracle="""
+SELECT keep_id, norm_hash, n_dups
+FROM (
+  SELECT min(doc_id) AS keep_id, sha256(lower(trim(text))) AS norm_hash,
+         COUNT(*) AS n_dups
+  FROM (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100)
+  GROUP BY sha256(lower(trim(text)))
+)
+""",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text hash. The corpus has no natural exact
+    dups, so 100 literal copies are unioned in; keep-one = min doc_id per
+    hash. One shuffle on the 256-bit key — uniform by construction, no skew."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return (
+        d.unionByName(dup)
+        .select("doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "norm_hash", "n_dups")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    category="llm_dedup",
+    oracle=f"""
+WITH {_SQL_CORPUS}
+SELECT doc_a, doc_b, round(jaccard, 9) AS jaccard
+FROM jac WHERE jaccard >= {_JACCARD_TAU}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard near-dup pairs >= tau, via the
+    shingle inverted index — the exact-but-scalable formulation (no O(n^2)
+    pair scan; cost follows shingle collision lists)."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    return pairs.filter(F.col("jaccard") >= _JACCARD_TAU).select(
+        "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+@register("dedup_minhash_lsh", category="llm_dedup", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (64 seeded xxhash64 mins) + LSH banding (16 bands x 4 rows)
+    -> candidate pairs -> exact Jaccard refine >= tau.
+
+    The signature matrix is computed as 64 agg columns in one groupBy over
+    (doc, shingle) — no row replication. Banding joins on (band_id, band
+    hash): only same-bucket docs ever meet, so candidate count tracks true
+    near-dup density instead of n^2. xxhash64 is engine-specific => rows-only
+    check; recall vs dedup_ngram_jaccard is asserted in tests.
+    """
+    sh = _shingles(_corpus(spark, sf_dir))
+    n_sig, n_bands, rows_per_band = 64, 16, 4
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"h{s}")
+            for s in range(n_sig)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = _jaccard_pairs(spark, sf_dir)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
+    )
+
+
+@register("dedup_simhash", category="llm_dedup", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) near-dup candidates with hamming distance <= 3.
+
+    Signature: per token, xxhash64 contributes +/-1 to each of 16 bit
+    positions; signature bit = sign of the sum. Candidate generation bands
+    the 16 bits into 4 nibbles — any pair at hamming <= 3 shares a nibble
+    (pigeonhole), so the join is equi, never all-pairs. Engine-specific
+    hash => rows-only."""
+    c = _corpus(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    exploded = c.select("doc_id", F.explode(toks).alias("tok"))
+    h = F.xxhash64("tok")
+    bitsums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(16)
+        ]
+    )
+    simhash = bitsums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(16)
+            ],
+            F.lit(0),
+        ).alias("simhash"),
+    )
+    nibbles = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nb).alias("nib_id"),
+                        F.shiftright(F.col("simhash"), nb * 4)
+                        .bitwiseAND(F.lit(15))
+                        .alias("nib_val"),
+                    )
+                    for nb in range(4)
+                ]
+            )
+        ).alias("nib"),
+    ).select("doc_id", "simhash", "nib.nib_id", "nib.nib_val")
+    a = nibbles.alias("a")
+    b = nibbles.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.nib_id") == F.col("b.nib_id"))
+            & (F.col("a.nib_val") == F.col("b.nib_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    )
+
+
+@register(
+    "dedup_components",
+    category="llm_dedup",
+    oracle=f"""
+WITH RECURSIVE {_SQL_CORPUS},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= {_JACCARD_TAU}
+  UNION ALL
+  SELECT doc_b, doc_a FROM jac WHERE jaccard >= {_JACCARD_TAU}
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT component, COUNT(*) AS n_members, MIN(node) AS rep
+FROM (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+GROUP BY component
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters = connected components over the near-dup pair
+    list, via iterative min-label propagation (converges in <= diameter
+    rounds, O(log n) with path doubling not needed at these diameters).
+    Each round: join labels across edges, take min, localCheckpoint to cut
+    lineage. Oracle: DuckDB recursive CTE reachability."""
+    edges_half = _jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= _JACCARD_TAU
+    )
+    edges = (
+        edges_half.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            edges_half.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members"), F.min("node").alias("rep")
+    )

@@ -1,0 +1,317 @@
+"""Similarity search + multimodal-column operators (SURVEY.md §2.K).
+
+Embeddings are FLOAT[64], L2-normalized (FIXTURES.md) => cosine == dot.
+
+Oracle-exactness: dot products / squared distances are computed as
+LEFT-TO-RIGHT FOLDS on both engines (Spark aggregate() over zip_with,
+DuckDB list_reduce over list_zip) after exact float->double widening, so
+the doubles are bit-identical — no rounding, no tolerance.
+
+Scale design:
+- brute-force top-k broadcasts the (small) query set and never shuffles
+  the corpus: per-partition partial top-k via window over a repartitioned
+  key would be the 1000-executor layout; at 100 TB switch to the bucketed
+  sim_lsh_bucketed path (candidates only within a hyperplane bucket);
+- centroid ops are (label,pos)-keyed aggregations — one shuffle of
+  64 rows per vector, mergeable partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..io import table
+from ..registry import register
+
+# DuckDB twin of the fold-based dot product (bit-identical to Spark's
+# aggregate over zip_with).
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+    "(acc, x) -> acc + x)"
+)
+_SQL_SQDIST = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with exact float->double widening."""
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    category="llm_sim",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_SQL_DOT.format(a='q.q_emb', b='e.emb')} AS cosine
+  FROM q JOIN e ON e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cosine, rn
+FROM (SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 10
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a query set: broadcast queries, one
+    scan of the corpus, per-query window rank. The baseline ANN oracle."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _dot(F.col("q_emb"), F.col("emb")).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )
+
+
+@register(
+    "sim_knn_join",
+    category="llm_sim",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+a AS (SELECT vec_id AS a_id, emb AS a_emb FROM e WHERE vec_id < 50),
+scored AS (
+  SELECT a.a_id, e.vec_id AS b_id,
+         {_SQL_DOT.format(a='a.a_emb', b='e.emb')} AS cosine
+  FROM a JOIN e ON e.vec_id <> a.a_id
+)
+SELECT a_id, b_id, cosine, rn
+FROM (SELECT a_id, b_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY a_id
+                                ORDER BY cosine DESC, b_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join (k=5) A->corpus. Same broadcast + window shape; at 100 TB
+    the A side partitions and each partition scans its broadcast block."""
+    e = _emb(spark, sf_dir)
+    a = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb")
+    )
+    scored = e.join(F.broadcast(a), F.col("vec_id") != F.col("a_id")).select(
+        "a_id",
+        F.col("vec_id").alias("b_id"),
+        _dot(F.col("a_emb"), F.col("emb")).alias("cosine"),
+    )
+    w = W.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("a_id", "b_id", "cosine", "rn")
+    )
+
+
+@register("sim_lsh_bucketed", category="llm_sim", oracle=None)
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate similarity join at scale: random-hyperplane (SimHash)
+    bucketing — 8 deterministic pseudo-hyperplanes => 256 buckets; pairs
+    are generated only WITHIN a bucket, then refined by exact cosine.
+
+    Hyperplane h_j dimension d weight = sin(j*131 + d*17) — deterministic,
+    engine-independent, no RNG dependency. Work is sum of per-bucket
+    squares instead of n^2: the path that survives 100x corpus growth.
+    Rows-only check; recall vs sim_cosine_topk asserted in tests.
+    """
+    e = _emb(spark, sf_dir)
+    n_planes = 8
+    planes = [
+        F.array(*[F.sin(F.lit(float(j * 131 + d * 17))) for d in range(64)])
+        for j in range(n_planes)
+    ]
+    bucket = sum(
+        [
+            F.when(_dot(F.col("emb"), planes[j]) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(n_planes)
+        ],
+        F.lit(0),
+    )
+    b = e.select("vec_id", "emb", bucket.alias("bucket"))
+    x = b.alias("x")
+    y = b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("a_id"),
+            F.col("y.vec_id").alias("b_id"),
+            _dot(F.col("x.emb"), F.col("y.emb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+@register(
+    "mm_centroids",
+    category="llm_sim",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+ex AS (
+  SELECT label, unnest(emb) AS val, unnest(range(len(emb))) AS pos FROM e
+)
+SELECT label, pos,
+       round(CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+         AS centroid_val
+FROM ex GROUP BY label, pos
+""",
+)
+def mm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids of the embedding column as (label, pos, value)
+    rows — posexplode -> keyed avg (decimal sums, final round to 6: float
+    inputs are dyadic so a raw decimal cast can hit exact rounding ties
+    where the engines' tie rules differ). The canonical
+    'aggregate a vector column' shape: partial sums merge associatively,
+    so 1000 executors each reduce their shard before one 640-row shuffle."""
+    e = _emb(spark, sf_dir)
+    ex = e.select("label", F.posexplode("emb").alias("pos", "val"))
+    return ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid_val")
+    )
+
+
+@register(
+    "mm_nearest_centroid",
+    category="llm_sim",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+ex AS (
+  SELECT label, unnest(emb) AS val, unnest(range(len(emb))) AS pos FROM e
+),
+cent AS (
+  SELECT label AS c_label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+  FROM ex GROUP BY label, pos
+),
+vex AS (
+  SELECT vec_id, label, unnest(emb) AS val, unnest(range(len(emb))) AS pos FROM e
+),
+dists AS (
+  SELECT v.vec_id, v.label AS true_label, c.c_label,
+         CAST(SUM(CAST((v.val - c.cval) * (v.val - c.cval)
+                       AS DECIMAL(30,18))) AS DOUBLE) AS sqdist
+  FROM vex v JOIN cent c ON v.pos = c.pos
+  GROUP BY v.vec_id, v.label, c.c_label
+),
+assigned AS (
+  SELECT vec_id, true_label, c_label AS assigned_label
+  FROM (SELECT vec_id, true_label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sqdist, c_label) AS rn
+        FROM dists)
+  WHERE rn = 1
+)
+SELECT true_label, assigned_label, COUNT(*) AS n
+FROM assigned GROUP BY true_label, assigned_label
+""",
+)
+def mm_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each vector to its nearest label centroid; output the
+    confusion matrix vs true labels. Distances accumulate through exact
+    decimal sums keyed on dimension position, so assignment is
+    deterministic and engine-identical."""
+    e = _emb(spark, sf_dir)
+    ex = e.select("label", F.posexplode("emb").alias("pos", "val"))
+    cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    vex = e.select("vec_id", "label", F.posexplode("emb").alias("pos", "val"))
+    dists = (
+        vex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(
+            F.sum(
+                ((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).cast(
+                    "decimal(30,18)"
+                )
+            )
+            .cast("double")
+            .alias("sqdist")
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("sqdist"), F.asc("c_label"))
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("c_label").alias("assigned_label"))
+    )
+    return assigned.groupBy("true_label", "assigned_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "mm_pairwise_dist",
+    category="llm_sim",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       sqrt({_SQL_SQDIST.format(a='a.emb', b='b.emb')}) AS l2_dist,
+       {_SQL_DOT.format(a='a.emb', b='b.emb')} AS cosine
+FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id < 200
+""",
+)
+def mm_pairwise_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 + cosine between consecutive vector pairs — array-column math via
+    zip_with/aggregate folds (exact twin of DuckDB list_reduce)."""
+    e = _emb(spark, sf_dir)
+    a = e.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb")
+    )
+    b = e.select((F.col("vec_id") - 1).alias("a_id"), F.col("emb").alias("b_emb"),
+                 F.col("vec_id").alias("b_id"))
+    return a.join(b, "a_id").select(
+        "a_id",
+        "b_id",
+        F.sqrt(_sqdist(F.col("a_emb"), F.col("b_emb"))).alias("l2_dist"),
+        _dot(F.col("a_emb"), F.col("b_emb")).alias("cosine"),
+    )

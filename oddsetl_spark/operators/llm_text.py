@@ -1,0 +1,323 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.K +
+BASELINE.json north-star: language-ID, quality scoring, token counting,
+fingerprinting, TF-IDF, n-grams).
+
+All pure built-in DataFrame expressions (no UDFs): tokenization via split,
+n-grams via transform(sequence), folds via aggregate — each is a narrow
+per-row transform that scales embarrassingly (no shuffle until the final
+rollup), which is exactly what a 100 TB document pipeline needs.
+
+Oracle-exactness notes:
+- doc-level ratios are plain double arithmetic (IEEE-identical per row);
+- TF-IDF rounds idf to 9 decimals FIRST, making tf*idf products exact
+  decimals -> decimal sums are exact on both engines;
+- the fingerprint fold uses modular arithmetic inside aggregate/list_reduce
+  (both fold left-to-right sequentially -> identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..io import table
+from ..registry import register
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+_LANG_MARKERS = {
+    "en": ("join", "filter", "scan", "sort"),
+    "es": ("hash", "merge", "index", "query"),
+    "de": ("window", "group", "order", "limit"),
+}
+
+
+def _toks(col):
+    return F.split(F.lower(col), " ")
+
+
+@register(
+    "text_stats",
+    category="llm_text",
+    oracle="""
+WITH d AS (
+  SELECT lang,
+         length(text) AS n_char,
+         len(string_split(lower(text), ' ')) AS n_tok,
+         len(list_distinct(string_split(lower(text), ' '))) AS n_uniq
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_char AS DECIMAL(30,0))) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(CAST(n_tok  AS DECIMAL(30,0))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(CAST(CAST(n_uniq AS DOUBLE) / n_tok AS DECIMAL(30,12))) AS DOUBLE)
+         / COUNT(*) AS avg_uniq_ratio,
+       MIN(n_tok) AS min_tokens,
+       MAX(n_tok) AS max_tokens
+FROM d GROUP BY lang
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (char/token counts, uniqueness)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    per_doc = d.select(
+        "lang",
+        F.length("text").alias("n_char"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    ratio = F.col("n_uniq").cast("double") / F.col("n_tok")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("n_char").cast("decimal(30,0)")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(F.col("n_tok").cast("decimal(30,0)")).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        (F.sum(ratio.cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias("avg_uniq_ratio"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+@register(
+    "text_token_count",
+    category="llm_text",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+       length(text) AS n_bytes
+FROM documents
+WHERE doc_id < 200
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + a BPE-ish regex segmentation
+    (letters / digits / single punctuation)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+@register(
+    "text_quality_score",
+    category="llm_text",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text,
+         length(text) AS n_char,
+         string_split(lower(text), ' ') AS toks
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id, n_char,
+       len(toks) AS n_tok,
+       CAST(n_char AS DOUBLE) / len(toks) AS avg_tok_len,
+       CAST(len(list_intersect(list_distinct(toks),
+            {list(_STOPWORDS)})) AS DOUBLE) / len(list_distinct(toks)) AS stop_ratio,
+       CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE)
+         / length(text) AS punct_ratio
+FROM d
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, average token length, stopword ratio,
+    punctuation density — the standard pre-training corpus filters."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = _toks(F.col("text"))
+    uniq = F.array_distinct(toks)
+    stop_lits = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_char"),
+        F.size(toks).alias("n_tok"),
+        (F.length("text").cast("double") / F.size(toks)).alias("avg_tok_len"),
+        (
+            F.size(F.array_intersect(uniq, stop_lits)).cast("double") / F.size(uniq)
+        ).alias("stop_ratio"),
+        (
+            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[^a-z0-9 ]"), 0)).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+    )
+
+
+@register(
+    "text_lang_id",
+    category="llm_text",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS true_lang,
+         len(list_intersect(list_distinct(string_split(lower(text),' ')),
+             {list(_LANG_MARKERS['en'])})) AS s_en,
+         len(list_intersect(list_distinct(string_split(lower(text),' ')),
+             {list(_LANG_MARKERS['es'])})) AS s_es,
+         len(list_intersect(list_distinct(string_split(lower(text),' ')),
+             {list(_LANG_MARKERS['de'])})) AS s_de
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id, true_lang, s_en, s_es, s_de,
+       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_de THEN 'es'
+            ELSE 'de' END AS pred_lang
+FROM scored
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (n-gram-style scoring with a
+    deterministic argmax tie-break order en > es > de)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    uniq = F.array_distinct(_toks(F.col("text")))
+    scores = {
+        lang: F.size(
+            F.array_intersect(uniq, F.array(*[F.lit(m) for m in marks]))
+        ).alias(f"s_{lang}")
+        for lang, marks in _LANG_MARKERS.items()
+    }
+    scored = d.select("doc_id", F.col("lang").alias("true_lang"), *scores.values())
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")), "en"
+        )
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+@register(
+    "text_fingerprint",
+    category="llm_text",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(lower(text), ' '),
+                          t -> CAST(length(t) + 7 * ascii(t) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+FROM documents
+WHERE doc_id < 300
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint (Rabin-Karp style) over token features.
+    aggregate() and list_reduce() both fold left-to-right; modulus keeps the
+    accumulator in bigint range under ANSI overflow checking."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = _toks(F.col("text"))
+    feats = F.transform(
+        toks, lambda t: (F.length(t) + 7 * F.ascii(t)).cast("bigint")
+    )
+    fp = F.aggregate(
+        feats,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "text_ngrams",
+    category="llm_text",
+    oracle="""
+WITH t AS (
+  SELECT string_split(lower(text), ' ') AS toks FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> concat(toks[i], ' ', toks[i+1]))) AS bigram
+  FROM t
+)
+SELECT bigram, COUNT(*) AS n
+FROM big
+GROUP BY bigram
+HAVING COUNT(*) >= 3
+""",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigrams with counts (>=3). transform(sequence) builds the n-gram
+    windows inline — one narrow pass, then a single count shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    category="llm_text",
+    oracle="""
+WITH tf AS (
+  SELECT d.lang, d.doc_id, t.term, COUNT(*) AS tf
+  FROM (SELECT lang, doc_id, string_split(lower(text),' ') AS toks FROM documents) d,
+       UNNEST(d.toks) AS t(term)
+  GROUP BY d.lang, d.doc_id, t.term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (
+  SELECT term, round(ln((n.n_docs + 1.0) / (df.df + 1.0)), 9) AS idf
+  FROM df, n
+),
+scores AS (
+  SELECT tf.lang, tf.term,
+         CAST(SUM(CAST(tf.tf * idf.idf AS DECIMAL(30,9))) AS DOUBLE) AS score
+  FROM tf JOIN idf USING (term)
+  GROUP BY tf.lang, tf.term
+)
+SELECT lang, term, score, rn
+FROM (
+  SELECT lang, term, score,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rn
+  FROM scores
+)
+WHERE rn <= 5
+""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (lang, term), top-5 terms per language — pure DataFrame
+    (explode -> two aggregations -> broadcast idf join -> window). idf is
+    rounded to 9 decimals before multiplying so tf*idf is an exact decimal:
+    the score sums are then bit-identical across engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("lang", "doc_id", F.explode(_toks(F.col("text"))).alias("term"))
+    tf = toks.groupBy("lang", "doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    idf = df.select(
+        "term",
+        F.round(F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 9).alias("idf"),
+    )
+    scores = (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("lang", "term")
+        .agg(
+            F.sum((F.col("tf") * F.col("idf")).cast("decimal(30,9)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "term", "score", "rn")
+    )
