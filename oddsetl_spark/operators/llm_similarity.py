@@ -142,8 +142,12 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_lsh_bucketed", category="llm_sim", oracle=None)
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join at scale: random-hyperplane (SimHash)
-    bucketing — 8 deterministic pseudo-hyperplanes => 256 buckets; pairs
-    are generated only WITHIN a bucket, then refined by exact cosine.
+    LSH with OR-amplification — L=8 hash tables of 3 hyperplanes each
+    (8 buckets/table). Candidates = pairs sharing a bucket in ANY table,
+    then refined by exact cosine. AND within a table keeps buckets small;
+    OR across tables recovers recall (P[candidate] = 1-(1-p^3)^8 ~ 0.85
+    at cosine 0.3). At higher corpus density, raise planes-per-table to
+    keep buckets bounded and tables to hold recall.
 
     Hyperplane h_j dimension d weight = sin(j*131 + d*17) — deterministic,
     engine-independent, no RNG dependency. Work is sum of per-bucket
@@ -151,33 +155,53 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check; recall vs sim_cosine_topk asserted in tests.
     """
     e = _emb(spark, sf_dir)
-    n_planes = 8
-    planes = [
-        F.array(*[F.sin(F.lit(float(j * 131 + d * 17))) for d in range(64)])
-        for j in range(n_planes)
-    ]
-    bucket = sum(
-        [
-            F.when(_dot(F.col("emb"), planes[j]) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
+    n_tables, planes_per_table = 8, 3
+    buckets = []
+    for t in range(n_tables):
+        planes = [
+            F.array(
+                *[
+                    F.sin(F.lit(float((t * planes_per_table + j) * 131 + d * 17)))
+                    for d in range(64)
+                ]
             )
-            for j in range(n_planes)
-        ],
-        F.lit(0),
-    )
-    b = e.select("vec_id", "emb", bucket.alias("bucket"))
+            for j in range(planes_per_table)
+        ]
+        bucket = sum(
+            [
+                F.when(_dot(F.col("emb"), planes[j]) > 0, F.lit(1 << j)).otherwise(
+                    F.lit(0)
+                )
+                for j in range(planes_per_table)
+            ],
+            F.lit(0),
+        )
+        buckets.append(
+            F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket"))
+        )
+    b = e.select(
+        "vec_id", "emb", F.explode(F.array(*buckets)).alias("tb")
+    ).select("vec_id", "emb", "tb.table_id", "tb.bucket")
     x = b.alias("x")
     y = b.alias("y")
     return (
         x.join(
             y,
-            (F.col("x.bucket") == F.col("y.bucket"))
+            (F.col("x.table_id") == F.col("y.table_id"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(
             F.col("x.vec_id").alias("a_id"),
             F.col("y.vec_id").alias("b_id"),
-            _dot(F.col("x.emb"), F.col("y.emb")).alias("cosine"),
+        )
+        .distinct()
+        .join(e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb")), "a_id")
+        .join(e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            _dot(F.col("a_emb"), F.col("b_emb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.3)
     )

@@ -1,0 +1,67 @@
+"""Plan-shape assertions (SURVEY §5.2) — guard the §4 optimizer claims:
+filters/projections must reach the parquet scan, star joins must
+broadcast, top-k must compile to TakeOrderedAndProject, and hot paths
+must stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import oddsetl_spark  # noqa: F401
+from oddsetl_spark import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    """Final physical plan — run the query first so AQE finalizes it."""
+    df = registry.get(name).fn(spark, SF_DIR)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "agg_groupby_multi")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_projection_pruning_reaches_scan(spark):
+    plan = _plan(spark, "project_compute")
+    # only the 5 needed source columns are read, not all 11
+    assert "l_returnflag" not in plan.split("ReadSchema")[-1]
+    assert "PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey" in plan
+
+
+def test_star_join_broadcasts(spark):
+    """All dim joins must be broadcast. At sf0.001 even the fact-fact join
+    broadcasts (AQE size-based) — the invariant is NO shuffle join on dims,
+    i.e. at least 4 BroadcastHashJoins and no nested loop."""
+    plan = _plan(spark, "join_broadcast_star")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sort_merge_hint_respected(spark):
+    plan = _plan(spark, "join_sort_merge")
+    assert "SortMergeJoin" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_flagship_stays_in_codegen(spark):
+    # codegen stages appear as "*(n) " prefixes in the physical plan string
+    plan = _plan(spark, "agg_groupby_multi")
+    assert "*(1) " in plan and "*(2) " in plan, plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    plan = _plan(spark, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_theta_band_is_nested_loop(spark):
+    # the naive formulation SHOULD be a nested loop — that's its point
+    plan = _plan(spark, "join_theta_band")
+    assert "BroadcastNestedLoopJoin" in plan

@@ -1,0 +1,137 @@
+"""Algebraic invariants and approximation-quality assertions (SURVEY §5.2).
+
+These cover what the DuckDB oracle cannot: accuracy of approximate
+operators (HLL, approx percentile, LSH recall) and engine-level invariants
+(semi+anti partition, dedup idempotence, union additivity).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import oddsetl_spark  # noqa: F401
+from oddsetl_spark import registry
+from oddsetl_spark.io import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(spark, name, sf=SF_DIR):
+    return registry.get(name).fn(spark, sf)
+
+
+def test_approx_distinct_within_5pct(spark):
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in _q(spark, "agg_count_distinct").collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in _q(spark, "agg_approx_distinct").collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 2), (
+            k,
+            exact[k],
+            approx[k],
+        )
+
+
+def test_approx_percentile_close_to_exact(spark):
+    li = table(spark, SF_DIR, "lineitem")
+    exact = li.agg(F.expr("percentile(l_extendedprice, 0.5)")).first()[0]
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    ).first()[0]
+    assert abs(approx - exact) / exact < 0.02
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH (16 bands x 4) must recover >=90% of true Jaccard>=0.8 pairs."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q(spark, "dedup_ngram_jaccard").collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"]) for r in _q(spark, "dedup_minhash_lsh").collect()
+    }
+    assert truth, "truth set empty — augmented corpus broken"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
+    # precision is 1.0 by construction (exact refine stage)
+    assert found <= truth | found
+
+
+def test_simhash_finds_twins(spark):
+    """Each doc's perturbed twin should appear among hamming<=3 pairs for
+    a healthy majority of docs (SimHash is approximate)."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in _q(spark, "dedup_simhash").collect()
+    }
+    n_docs = table(spark, SF_DIR, "documents").count()
+    twin_hits = sum(1 for d in range(n_docs) if (d, d + 100000) in pairs)
+    assert twin_hits / n_docs >= 0.6, f"simhash twin hit-rate {twin_hits}/{n_docs}"
+
+
+def test_lsh_bucketed_recall_vs_exact_topk(spark):
+    """Bucketed ANN must find >=50% of the true top-10 neighbors that share
+    a bucket-recoverable similarity (>=0.3)."""
+    exact = _q(spark, "sim_cosine_topk").filter(F.col("cosine") >= 0.3).collect()
+    truth = {(r["q_id"], r["vec_id"]) for r in exact}
+    if not truth:
+        pytest.skip("no strong neighbors at this sf")
+    found_rows = _q(spark, "sim_lsh_bucketed").collect()
+    found = {(r["a_id"], r["b_id"]) for r in found_rows}
+    found |= {(b, a) for a, b in found}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"ANN recall {recall:.3f}"
+
+
+def test_semi_anti_partition(spark):
+    """left_semi ∪ left_anti == left, disjoint."""
+    c = table(spark, SF_DIR, "customer")
+    semi = _q(spark, "join_left_semi")
+    e = table(spark, SF_DIR, "events")
+    anti = c.join(e, c.c_custkey == e.user_id, "left_anti").select("c_custkey")
+    semi_all = c.join(e, c.c_custkey == e.user_id, "left_semi").select("c_custkey")
+    n_c = c.count()
+    assert semi_all.count() + anti.count() == n_c
+    assert semi_all.intersect(anti).count() == 0
+
+
+def test_dedup_idempotent(spark):
+    d1 = _q(spark, "dedup_by_key")
+    n1 = d1.count()
+    w_cols = ["user_id", "event_type"]
+    n2 = d1.dropDuplicates(w_cols).count()
+    assert n1 == n2
+
+
+def test_union_all_additivity(spark):
+    a = _q(spark, "set_union_all").count()
+    e = table(spark, SF_DIR, "events")
+    n_click = e.filter(F.col("event_type") == "click").count()
+    n_view = e.filter(F.col("event_type") == "view").count()
+    assert a == n_click + n_view
+
+
+def test_cosine_bounds(spark):
+    rows = _q(spark, "sim_cosine_topk").collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-6 <= r["cosine"] <= 1.0 + 1e-6
+
+
+def test_components_are_twin_cliques(spark):
+    """Augmented corpus builds (d, t1=d+100000, t2=d+200000) near-dup
+    structure. Short docs can fall below tau on the (d, t1) edge while
+    (t1, t2) stays above — so a minority of components may be twin-only.
+    Every component has >=2 members; most are rooted at an original doc."""
+    comps = _q(spark, "dedup_components").collect()
+    assert comps
+    for r in comps:
+        assert r["n_members"] >= 2
+    rooted = sum(1 for r in comps if r["component"] < 100000)
+    assert rooted / len(comps) >= 0.8, f"{rooted}/{len(comps)} rooted components"
