@@ -13,7 +13,8 @@ from .session import get_spark, pin_session  # noqa: F401
 
 # Operator modules register queries on import — keep this list in sync with
 # SURVEY.md §2 categories.
-from .functions import scalar_functions  # noqa: F401,E402
+from .functions import scalar_functions, udfs  # noqa: F401,E402
+from .sources import file_sources  # noqa: F401,E402
 from .operators import (  # noqa: F401,E402
     aggregates,
     joins,

@@ -1,0 +1,147 @@
+"""SURVEY.md §2.J — UDF / UDAF / UDTF surface.
+
+UDFs are the deliberate slow path: each query here demonstrates one rung
+of the ladder (row-at-a-time Python -> Arrow-vectorized Pandas -> grouped
+UDAF -> table function -> partition-wise mapInPandas) with the built-in
+equivalent expressed in the oracle. Production operators in this repo
+never use these in a hot loop — they exist for semantics Spark can't
+express natively (and as the pattern for the multimodal decode stubs in
+streaming/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "udf_python_scalar",
+    category="udfs",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'XL'
+            WHEN o_totalprice > 150000 THEN 'L'
+            ELSE 'S' END AS band
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (serde per row — benchmark foil for the
+    pandas variant; never use this shape in a hot path)."""
+
+    @F.udf(T.StringType())
+    def band(price: float) -> str:
+        if price > 300000:
+            return "XL"
+        if price > 150000:
+            return "L"
+        return "S"
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select("o_orderkey", band("o_totalprice").alias("band"))
+
+
+@register(
+    "udf_pandas_scalar",
+    category="udfs",
+    oracle="""
+SELECT o_orderkey,
+       round(o_totalprice * 1.1 + ln(o_totalprice), 6) AS adjusted
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF — the acceptable Python path (~10-100x
+    the row-at-a-time throughput). numpy's ln matches libm/JVM to the last
+    ulp only sometimes -> round(6) on both sides."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def adjust(s: pd.Series) -> pd.Series:
+        return s * 1.1 + np.log(s)
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey", F.round(adjust("o_totalprice"), 6).alias("adjusted")
+    )
+
+
+@register(
+    "udaf_pandas_grouped",
+    category="udfs",
+    oracle="""
+SELECT l_returnflag,
+       round(exp(avg(ln(l_quantity))), 6) AS geo_mean_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF (geometric mean) as a GROUPED_AGG pandas UDF — partial
+    results are NOT mergeable here, so Spark shuffles full groups; the
+    built-in twin exp(avg(ln)) in the oracle is what you'd write at scale."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    def geo_mean(s: pd.Series) -> float:
+        return float(np.exp(np.mean(np.log(s))))
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(geo_mean("l_quantity"), 6).alias("geo_mean_qty")
+    )
+
+
+@register(
+    "udtf_python",
+    category="udfs",
+    oracle="""
+SELECT doc_id, token, CAST(pos AS INT) AS pos
+FROM (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS token,
+         unnest(range(len(string_split(lower(text), ' ')))) AS pos
+  FROM documents WHERE doc_id < 30
+)
+""",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: text -> (token, pos) rows (lateral join), the
+    user-extensible unnest. Oracle twin is the built-in explode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.lower().split(" ")):
+                yield tok, i
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    d.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("tokenize", Tokenize)
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.pos "
+        "FROM udtf_docs d, LATERAL tokenize(d.text) t"
+    )
+
+
+@register("map_in_pandas", category="udfs", oracle=None)
+def map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise Arrow batch map (the batch-scoring shape: load a
+    model once per partition, score each batch). Rows-only check."""
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["o_orderkey", "o_totalprice"]].copy()
+            out["score"] = (out["o_totalprice"] / 1000.0).clip(upper=500.0)
+            yield out
+
+    o = table(spark, sf_dir, "orders")
+    return o.mapInPandas(score, schema="o_orderkey long, o_totalprice double, score double")

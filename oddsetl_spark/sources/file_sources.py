@@ -1,0 +1,158 @@
+"""SURVEY.md §2.A — scans, file sources, and sinks.
+
+Scans rely on the vectorized parquet reader + pushdown (plan-asserted in
+tests/test_plans.py). CSV/JSON sources use EXPLICIT schemas (inferSchema
+never appears on a verified path — schema inference is a full extra pass
+at 100 TB). Sinks write to fresh temp dirs and verify by reading back.
+
+Round-trip exactness: Spark writes doubles in shortest-round-trip form and
+timestamps in ISO-8601 with microseconds, so parquet->csv->read and
+parquet->json->read reproduce bit-identical values; the oracle compares
+the round-tripped result against the ORIGINAL parquet via DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import table
+from ..registry import register
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"oddsetl_{tag}_")
+
+
+@register(
+    "scan_parquet",
+    category="sources",
+    oracle="SELECT * FROM lineitem WHERE l_orderkey < 3000",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain parquet scan, schema from the footer (no DDL)."""
+    return table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+
+
+@register(
+    "scan_projection_pushdown",
+    category="sources",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-of-11 column scan — ReadSchema must shrink (plan-asserted)."""
+    return table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@register(
+    "scan_filter_pushdown",
+    category="sources",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+""",
+)
+def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushed to parquet row groups (PushedFilters asserted)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+_CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+@register(
+    "source_csv",
+    category="sources",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip: parquet -> csv (header) -> read with explicit schema.
+    Oracle compares against the original parquet — proves losslessness."""
+    out = _tmpdir("csv")
+    c = table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(_CUSTOMER_SCHEMA).option("header", True).csv(out)
+
+
+@register(
+    "source_json",
+    category="sources",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON round-trip with explicit schema (no inference pass)."""
+    out = _tmpdir("json")
+    c = table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").json(out)
+    return spark.read.schema(_CUSTOMER_SCHEMA).json(out)
+
+
+@register(
+    "sink_parquet_partitioned",
+    category="sources",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet write + read-back aggregation. Partition
+    values come back from directory names — the layout that enables
+    partition pruning on read (the 100 TB table layout)."""
+    out = _tmpdir("pqpart")
+    li = table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag", "l_linestatus").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "sink_csv",
+    category="sources",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmpdir("sinkcsv")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema("o_orderkey long, o_orderstatus string").option(
+        "header", True
+    ).csv(out)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "sink_json",
+    category="sources",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmpdir("sinkjson")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o.write.mode("overwrite").json(out)
+    back = spark.read.schema("o_orderkey long, o_orderstatus string").json(out)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
