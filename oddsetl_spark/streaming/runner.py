@@ -1,0 +1,107 @@
+"""Structured Streaming verification substrate (SURVEY.md §2.I).
+
+Every streaming query runs FINITE and DETERMINISTIC:
+
+- input is a staging directory of parquet files copied from the fixture
+  (file order forced via mtime when multi-batch replay matters);
+- `trigger(availableNow=True)` drains all staged input then stops;
+- the sink is `foreachBatch` appending (append/update mode) or
+  overwriting (complete mode) a parquet staging dir — the same pattern a
+  100 TB deployment uses to land micro-batches on a table, and unlike the
+  memory sink it never collects results onto the driver;
+- the materialized table is read back as a batch DataFrame and compared
+  to a DuckDB batch twin (where semantics are deterministic) or to an
+  engine-side assertion (late-data semantics).
+
+Spark runs no-data micro-batches after the last file (default
+`spark.sql.streaming.noDataMicroBatches.enabled=true`), so append-mode
+aggregations DO flush windows closed by the final watermark.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Streaming file sources require an explicit schema (no inference pass at
+# plan time). events.ts is parquet TIMESTAMP(NANOS): with
+# spark.sql.legacy.parquet.nanosAsLong pinned (session.py) it arrives as
+# long nanoseconds; to_event_time() floors it to the microsecond
+# TimestampType exactly like io.table() does for batch.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stage_events(sf_dir: str, copies: int = 1, tag: str = "stream") -> str:
+    """Copy events.parquet into a fresh dir `copies` times (dedup inputs
+    stage it twice). Returns the staging dir path."""
+    d = tempfile.mkdtemp(prefix=f"oddsetl_{tag}_in_")
+    src = os.path.join(sf_dir, "events.parquet")
+    for i in range(copies):
+        shutil.copy(src, os.path.join(d, f"part-{i:04d}.parquet"))
+    return d
+
+
+def read_events_stream(
+    spark: SparkSession, staged_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan over a staged events dir, ts normalized to µs."""
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(staged_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(
+    stream_df: DataFrame,
+    mode: str = "append",
+    tag: str = "out",
+    out: str | None = None,
+    ckpt: str | None = None,
+) -> DataFrame:
+    """Drain a finite stream through foreachBatch into parquet; return the
+    materialized table as a batch DataFrame.
+
+    append/update -> batches land with mode=append (update streams here
+    are restricted to queries whose update output is append-equivalent);
+    complete -> each batch overwrites, so the last batch is the answer.
+
+    Pass the same `ckpt` (and `out`) across calls to model a restart:
+    offsets AND the event-time watermark are restored from the commit log,
+    so a second run drops data that arrived late relative to run 1.
+    """
+    spark = stream_df.sparkSession
+    out = out or tempfile.mkdtemp(prefix=f"oddsetl_{tag}_")
+    ckpt = ckpt or tempfile.mkdtemp(prefix=f"oddsetl_{tag}_ckpt_")
+    write_mode = "overwrite" if mode == "complete" else "append"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(out)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(out)
+    except Exception:
+        # No batch produced rows — return an empty frame with the stream's schema.
+        return spark.createDataFrame([], stream_df.schema)

@@ -1,0 +1,426 @@
+"""SURVEY.md §2.I — Structured Streaming over the events table.
+
+Every query drains a finite staged replay (`availableNow`) through the
+foreachBatch parquet harness in runner.py and returns the materialized
+table, so the driver's batch oracle applies. Windowed aggregations that
+must hash-match use COMPLETE output mode (emission independent of the
+final watermark position); append-mode watermark semantics are exercised
+by `stream_watermark_late`, which is an engine-asserted rows check by
+design (SURVEY §2.I).
+
+At 100 TB the same plans run unbounded: swap the staged dir for the live
+landing path, drop availableNow, and keep the watermark/output-mode
+choices — state sizing is bounded by watermark eviction (append queries)
+or by key cardinality (user_id / event_id), never by stream length.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import table
+from ..operators._helpers import dsum, sql_dsum
+from ..registry import register
+from ..session import pin_session
+from .runner import read_events_stream, run_to_table, stage_events
+
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+_EVENTS_SQL = (
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
+    "value, props FROM events"
+)
+
+
+@register(
+    "source_stream_file",
+    category="sources",
+    oracle=_EVENTS_SQL,
+)
+def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source: explicit schema, pass-through, append mode.
+    The floor of every streaming pipeline — proves the staged replay is
+    lossless before any stateful operator builds on it."""
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="srcfile")
+    s = read_events_stream(spark, staged).select(*_EVENT_COLS)
+    return run_to_table(s, mode="append", tag="srcfile")
+
+
+@register(
+    "stream_tumbling_counts",
+    category="streaming",
+    oracle=f"""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum("value")} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window count/sum per event_type. COMPLETE mode so
+    every window is emitted regardless of the final watermark (the
+    watermark still bounds state for late data)."""
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="tumble")
+    s = (
+        read_events_stream(spark, staged)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_table(s, mode="complete", tag="tumble")
+
+
+@register(
+    "stream_sliding_agg",
+    category="streaming",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+         - off * INTERVAL 15 MINUTE AS window_start,
+       time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+         - off * INTERVAL 15 MINUTE + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum("value")} AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS off) offs
+GROUP BY 1, 2, 3
+""",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes (each event lands in exactly
+    4 windows; the oracle materializes that expansion with unnest)."""
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="slide")
+    s = (
+        read_events_stream(spark, staged)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_table(s, mode="complete", tag="slide")
+
+
+@register(
+    "stream_session_window",
+    category="streaming",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven session windows (30-min gap) per user via the native
+    session_window operator. COMPLETE mode (no watermark requirement);
+    the oracle is the gap-and-cumsum batch twin of win_sessionize with
+    Spark's end = last_event + gap convention."""
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="sess")
+    s = (
+        read_events_stream(spark, staged)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_table(s, mode="complete", tag="sess")
+
+
+@register("stream_watermark_late", category="streaming", oracle=None)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop semantics across a restart: run 1 drains the SECOND
+    half of the timeline (watermark advances to max(ts)-1h and is
+    persisted in the commit log); run 2 restarts from the same checkpoint
+    with the first half staged — every one of those rows is now late and
+    must be dropped by the append-mode aggregation. Engine-asserted
+    (rows check): no emitted window may predate the split point, and the
+    emitted total is bounded by the on-time row count."""
+    pin_session(spark)
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    split = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+
+    staged = tempfile.mkdtemp(prefix="oddsetl_late_in_")
+    out_dir = tempfile.mkdtemp(prefix="oddsetl_late_out_")
+    ckpt = tempfile.mkdtemp(prefix="oddsetl_late_ckpt_")
+
+    def _stage_half(df: DataFrame, fname: str) -> None:
+        tmp = tempfile.mkdtemp(prefix="oddsetl_late_half_")
+        # Write ts back as long nanos so the staged file matches the
+        # streaming schema (EVENTS_RAW_SCHEMA reads ts as long).
+        df.select(
+            "event_id",
+            (F.unix_micros(F.col("ts")) * 1_000).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(tmp, part), os.path.join(staged, fname))
+
+    def _windowed() -> DataFrame:
+        return (
+            read_events_stream(spark, staged)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "n",
+            )
+        )
+
+    # Run 1: only the second half of the timeline exists.
+    _stage_half(e.filter(F.col("ts") >= F.lit(split)), "a-ontime.parquet")
+    run_to_table(_windowed(), mode="append", tag="late", out=out_dir, ckpt=ckpt)
+    # Run 2: restart from the same checkpoint; the early half arrives late.
+    _stage_half(e.filter(F.col("ts") < F.lit(split)), "b-late.parquet")
+    out = run_to_table(_windowed(), mode="append", tag="late", out=out_dir, ckpt=ckpt)
+
+    n_ontime = e.filter(F.col("ts") >= F.lit(split)).count()
+    stats = out.agg(
+        F.min("window_start").alias("lo"), F.sum("n").alias("total")
+    ).collect()[0]
+    assert stats["total"] is not None and stats["total"] <= n_ontime, (
+        f"late rows leaked past the watermark: emitted {stats['total']} > "
+        f"{n_ontime} on-time rows"
+    )
+    assert stats["lo"] >= split.replace(minute=0, second=0, microsecond=0), (
+        f"window {stats['lo']} predates the split {split} — late data was accepted"
+    )
+    return out
+
+
+@register(
+    "stream_dedup_stateful",
+    category="streaming",
+    oracle=_EVENTS_SQL,
+)
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup on event_id: the input stages the events file TWICE
+    (every row duplicated); dropDuplicatesWithinWatermark emits each
+    event exactly once, so the result equals the original table."""
+    pin_session(spark)
+    staged = stage_events(sf_dir, copies=2, tag="dedup")
+    s = (
+        read_events_stream(spark, staged)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(*_EVENT_COLS)
+    )
+    return run_to_table(s, mode="append", tag="dedup")
+
+
+@register(
+    "stream_static_join",
+    category="streaming",
+    oracle="""
+SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id, e.event_type,
+       e.value, c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension: stateless per micro-batch, the dim is
+    (re)broadcast per batch — the enrichment join every landing pipeline
+    runs. No watermark needed for an inner stream-static join."""
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="sjoin")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    s = (
+        read_events_stream(spark, staged)
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"), "inner")
+        .select(
+            "event_id", "ts", "user_id", "event_type", "value",
+            "c_name", "c_mktsegment",
+        )
+    )
+    return run_to_table(s, mode="append", tag="sjoin")
+
+
+@register(
+    "stream_stream_join",
+    category="streaming",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id,
+       CAST(c.ts AS TIMESTAMP) AS click_ts,
+       p.event_id AS purchase_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides and a time
+    band (purchase within 1h after a click by the same user). The band is
+    what lets Spark evict join state at scale; with the finite replay the
+    emitted matches equal the batch interval join."""
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="ssjoin")
+    clicks = (
+        read_events_stream(spark, staged)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
+    return run_to_table(joined, mode="append", tag="ssjoin")
+
+
+@register(
+    "stream_stateful_custom",
+    category="streaming",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful per-user running count, update-mode emission per
+    micro-batch. Prefers the Spark 4.x transformWithStateInPandas state
+    API (ValueState per key); that API's state protocol needs
+    google.protobuf, which this container lacks, so it is gated behind an
+    import-try with applyInPandasWithState (Spark 3.4+ GroupState) as the
+    equivalent fallback. The single-file replay is one micro-batch, so
+    the emitted running totals equal the batch group-by twin."""
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="stateful")
+    grouped = read_events_stream(spark, staged).groupBy("user_id")
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401 — TWS state protocol dep
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if has_protobuf:
+        # transformWithState requires the RocksDB state store provider.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+        class RunningCount(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._n = handle.getValueState(
+                    "n", T.StructType([T.StructField("n", T.LongType())])
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                n = sum(len(pdf) for pdf in rows)
+                prev = self._n.get()
+                total = (prev[0] if prev else 0) + n
+                self._n.update((total,))
+                yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+            def close(self) -> None:
+                pass
+
+        s = grouped.transformWithStateInPandas(
+            statefulProcessor=RunningCount(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def running_count(key, pdfs, state: GroupState):
+            n = sum(len(pdf) for pdf in pdfs)
+            prev = state.get[0] if state.exists else 0
+            total = prev + n
+            state.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        s = grouped.applyInPandasWithState(
+            running_count,
+            outputStructType=out_schema,
+            stateStructType=T.StructType([T.StructField("n", T.LongType())]),
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return run_to_table(s, mode="update", tag="stateful")
