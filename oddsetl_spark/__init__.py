@@ -22,6 +22,7 @@ from .operators import (  # noqa: F401,E402
     llm_dedup,
     llm_similarity,
     llm_text,
+    multimodal,
     rowops,
     setops,
     sorts,

@@ -392,3 +392,59 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).alias("n_members"), F.min("node").alias("rep")
     )
+
+
+# DuckDB twin of the fold-based dot product used by llm_similarity (exact
+# left-to-right fold => bit-identical doubles on both engines).
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+    "(acc, x) -> acc + x)"
+)
+
+_COSINE_TAU = 0.35
+
+
+@register(
+    "dedup_embedding_cosine",
+    category="llm_dedup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       a.label AS label_a, b.label AS label_b,
+       {_SQL_DOT.format(a='a.emb', b='b.emb')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_SQL_DOT.format(a='a.emb', b='b.emb')} >= {_COSINE_TAU}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: vectors are L2-normalized
+    (FIXTURES.md) so cosine == dot; emit ordered pairs with cosine >= tau.
+
+    This is the EXACT variant (all-pairs self-join): correct at any tau,
+    quadratic in corpus size. At 100 TB the candidate generation swaps to
+    the hyperplane-bucketed prefilter of sim_lsh_bucketed (same refine
+    predicate, candidates only within a bucket), exactly like
+    dedup_minhash_lsh's band join replaces the all-pairs shingle scan.
+    tau=0.35 sits at the ~99.9th percentile of the fixture's pair-cosine
+    distribution (the synthetic corpus has no true near-dups)."""
+    from .llm_similarity import _dot, _emb
+
+    e = _emb(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("label").alias("label_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("label").alias("label_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _COSINE_TAU)
+        .select("vec_a", "vec_b", "label_a", "label_b", "cosine")
+    )

@@ -1,0 +1,223 @@
+"""Multimodal-column plumbing (SURVEY.md §2.K, BASELINE.json north star).
+
+Image/audio/video payloads are OPAQUE BINARY columns with a typed metadata
+struct — the layout a 100 TB multimodal corpus uses (payload bytes in
+parquet, metadata queryable without touching payloads, so column pruning
+keeps metadata-only scans cheap). The fixture set has no real media, so a
+deterministic payload is fabricated from documents.text (utf-8 bytes) and
+every byte-level transform is exact and replayable.
+
+The decode / feature-extract / resize / frame-sample ladder runs as
+Arrow-batched mapInPandas — the real plumbing (schema, partitioning, UDF
+signature, batch shape) with the codec call stubbed: decoders try the real
+library (PIL etc., absent in this container) and otherwise run a
+clearly-marked deterministic fake over the same byte payloads. Swapping in
+a real codec changes ONE function body, no plan shape.
+
+Scale notes: mapInPandas streams Arrow batches — payload bytes never
+gather on the driver; per-type rollups aggregate metadata columns only
+(payload pruned from the scan); frame sampling emits rows proportional to
+sampled frames, not payload size.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+_MEDIA_TYPES = ("image", "audio", "video")
+_FRAME_BYTES = 64
+_FRAME_STRIDE = 4
+
+_SQL_MEDIA_TYPE = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, media_type, meta struct, payload binary).
+
+    The payload is the utf-8 encoding of the text; metadata is derived
+    deterministically (fake dims keyed off doc_id) — stands in for the
+    (payload, exif/probe metadata) pair a real ingest job lands."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.struct(
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+            F.octet_length(payload).alias("n_bytes"),
+        ).alias("meta"),
+        payload.alias("payload"),
+    )
+
+
+@register(
+    "mm_binary_metadata",
+    category="multimodal",
+    oracle=f"""
+SELECT {_SQL_MEDIA_TYPE} AS media_type,
+       COUNT(*) AS n,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       MAX(doc_id % 640 + 16) AS max_width
+FROM documents
+GROUP BY 1
+""",
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollup over the multimodal table: per media type,
+    count / total payload bytes / max width. The payload column is pruned
+    from the scan (metadata lives in its own parquet columns at scale)."""
+    m = media_table(spark, sf_dir)
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.width").alias("max_width"),
+    )
+
+
+def _decode_payload(payload: bytes) -> list[int]:
+    """STUB decoder. A real deployment decodes payload -> pixel/sample
+    array here (PIL / libsndfile / pyav — not in this container). The
+    deterministic fake treats the raw bytes as the decoded samples, which
+    keeps every downstream feature exact and testable."""
+    return list(payload)
+
+
+@register("mm_decode_features", category="multimodal", oracle=None)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract as Arrow-batched mapInPandas: per doc,
+    emit (n_samples, mean_sample, max_sample, checksum). Rows-only check;
+    the pytest suite asserts feature bounds and count invariants."""
+    m = media_table(spark, sf_dir).select("doc_id", "media_type", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            samples = pdf["payload"].map(_decode_payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_samples": samples.map(len),
+                    "mean_sample": samples.map(
+                        lambda s: float(sum(s)) / len(s) if s else 0.0
+                    ),
+                    "max_sample": samples.map(lambda s: max(s) if s else 0),
+                    "checksum": pdf["payload"].map(
+                        lambda b: zlib.crc32(b) & 0xFFFFFFFF
+                    ),
+                }
+            )
+
+    return m.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, media_type string, n_samples long, "
+            "mean_sample double, max_sample long, checksum long"
+        ),
+    )
+
+
+@register("mm_resize_stub", category="multimodal", oracle=None)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-thumbnail over image payloads. Tries the real codec
+    (PIL); absent, a deterministic fake byte-decimates the payload to the
+    target 'pixel' budget. Either way the Spark-side contract is fixed:
+    mapInPandas in, (doc_id, out_w, out_h, out_payload, out_bytes) out."""
+    target_w, target_h = 64, 64
+    m = (
+        media_table(spark, sf_dir)
+        .filter(F.col("media_type") == "image")
+        .select("doc_id", "meta", "payload")
+    )
+
+    try:
+        from PIL import Image  # noqa: F401 — real codec path
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if has_pil:
+                raise NotImplementedError(
+                    "real PIL resize path not exercised in this container"
+                )
+            # Deterministic fake: keep every k-th byte so the output has
+            # at most target_w*target_h 'pixels'.
+            budget = target_w * target_h
+
+            def shrink(b: bytes) -> bytes:
+                k = max(1, -(-len(b) // budget))
+                return b[::k]
+
+            out = pdf["payload"].map(shrink)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": target_w,
+                    "out_h": target_h,
+                    "out_payload": out,
+                    "out_bytes": out.map(len),
+                }
+            )
+
+    return m.mapInPandas(
+        resize,
+        schema=(
+            "doc_id long, out_w int, out_h int, out_payload binary, "
+            "out_bytes long"
+        ),
+    )
+
+
+@register("mm_frame_sample", category="multimodal", oracle=None)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads: split the byte stream into
+    fixed 64-byte 'frames', keep every 4th, EXPLODE to one row per kept
+    frame (the fan-out shape of real video sampling — output rows scale
+    with sampled frames, and each Arrow batch yields its frames without
+    driver involvement)."""
+    m = (
+        media_table(spark, sf_dir)
+        .filter(F.col("media_type") == "video")
+        .select("doc_id", "payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, frames, crcs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = -(-len(payload) // _FRAME_BYTES)
+                for i in range(0, n_frames, _FRAME_STRIDE):
+                    frame = payload[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(frame)
+                    crcs.append(zlib.crc32(frame) & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "frame_crc": crcs,
+                }
+            )
+
+    return m.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, frame binary, frame_crc long"
+    )

@@ -33,8 +33,42 @@ _RUNTIME_CONF: dict[str, str] = {
 }
 
 
+# SparkContexts that already received the package zip (addPyFile is
+# idempotent per context but re-adding logs noisy warnings).
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make oddsetl_spark importable on executors via addPyFile.
+
+    Worker-side closures (mapInPandas / pandas UDFs) that reference
+    module-level helpers are pickled BY REFERENCE to this package, so
+    executors must import it. The driver's sys.path shim does not reach
+    worker processes — shipping a package zip does, on local mode and on
+    a real cluster alike."""
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="oddsetl_pkg_"), "oddsetl_spark.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(sc.applicationId)
+
+
 def pin_session(spark: SparkSession) -> SparkSession:
     """Pin runtime confs required for deterministic, oracle-comparable runs."""
+    _ship_package(spark)
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)

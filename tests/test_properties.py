@@ -135,3 +135,55 @@ def test_components_are_twin_cliques(spark):
         assert r["n_members"] >= 2
     rooted = sum(1 for r in comps if r["component"] < 100000)
     assert rooted / len(comps) >= 0.8, f"{rooted}/{len(comps)} rooted components"
+
+
+# --- multimodal plumbing invariants (rows-only queries, SURVEY §2.K) ---
+
+
+def test_mm_decode_features_exact(spark):
+    """The fake decode is deterministic byte math — features must equal a
+    driver-side recomputation from the source text."""
+    import zlib
+
+    feats = {r["doc_id"]: r for r in _q(spark, "mm_decode_features").collect()}
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(feats) == len(docs)
+    for r in docs[:50]:
+        b = r["text"].encode("utf-8")
+        f = feats[r["doc_id"]]
+        assert f["n_samples"] == len(b)
+        assert f["max_sample"] == max(b)
+        assert f["checksum"] == (zlib.crc32(b) & 0xFFFFFFFF)
+        assert abs(f["mean_sample"] - sum(b) / len(b)) < 1e-12
+        assert 0.0 <= f["mean_sample"] <= 255.0
+
+
+def test_mm_resize_budget_and_determinism(spark):
+    rows = _q(spark, "mm_resize_stub").collect()
+    assert rows, "no image-typed docs"
+    for r in rows:
+        assert r["out_w"] == 64 and r["out_h"] == 64
+        assert 0 < r["out_bytes"] <= 64 * 64
+        assert r["out_bytes"] == len(r["out_payload"])
+    again = {r["doc_id"]: bytes(r["out_payload"])
+             for r in _q(spark, "mm_resize_stub").collect()}
+    for r in rows:
+        assert bytes(r["out_payload"]) == again[r["doc_id"]]
+
+
+def test_mm_frame_sample_count_and_bytes(spark):
+    rows = _q(spark, "mm_frame_sample").collect()
+    docs = {
+        r["doc_id"]: r["text"].encode("utf-8")
+        for r in table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id", "text")
+        .collect()
+    }
+    # one row per sampled frame: ceil(ceil(bytes/64)/4) per doc
+    expected = sum(-(-(-(-len(b) // 64)) // 4) for b in docs.values())
+    assert len(rows) == expected
+    for r in rows[:100]:
+        b = docs[r["doc_id"]]
+        frame = b[r["frame_idx"] * 64 : (r["frame_idx"] + 1) * 64]
+        assert bytes(r["frame"]) == frame
