@@ -20,10 +20,22 @@ import oddsetl_spark  # noqa: E402 — populates registry
 from oddsetl_spark import registry  # noqa: E402
 from oddsetl_spark.session import get_spark  # noqa: E402
 
-# Headline set: one representative per major category (kept in sync with
-# SURVEY.md §2 as categories land).
+# Headline set, one per BASELINE.md row (same shapes, same sf0.1 data):
+#   q1 pricing summary        -> agg_groupby_multi   (baseline 0.78 s Spark)
+#   q3 3-way join + top-10    -> join3_topk_revenue  (baseline 1.46 s Spark)
+#   q5 6-way star join        -> join_broadcast_star (baseline 0.081 s DuckDB)
+#   window rank per customer  -> win_topk_per_group  (baseline 0.42 s Spark)
+#   sessionize events         -> win_sessionize      (baseline 0.124 s DuckDB)
+#   cosine top-k              -> sim_cosine_topk     (baseline 2.14 s Spark)
+#   token explode + counts    -> text_token_count    (baseline 0.032 s DuckDB)
 HEADLINE = [
     "agg_groupby_multi",
+    "join3_topk_revenue",
+    "join_broadcast_star",
+    "win_topk_per_group",
+    "win_sessionize",
+    "sim_cosine_topk",
+    "text_token_count",
 ]
 
 
