@@ -51,9 +51,12 @@ def main() -> None:
     for name in names:
         fn = available[name].fn
         fn(spark, sf_dir).collect()  # warm-up: JIT, code cache, file listing
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()  # fresh plan: no shuffle/result reuse
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(sorted(runs)[1], 4)  # median-of-3 warm
 
     out = {
         "metric": "headline query wall time (warm), sum over queries",
