@@ -18,6 +18,7 @@ from .sources import file_sources  # noqa: F401,E402
 from .streaming import stream_queries  # noqa: F401,E402
 from .operators import (  # noqa: F401,E402
     aggregates,
+    etl,
     joins,
     llm_dedup,
     llm_similarity,

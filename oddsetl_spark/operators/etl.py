@@ -1,0 +1,211 @@
+"""ETL-floor composite operators (SURVEY §0: read → clean/transform →
+join/aggregate → write). These are the pipeline verbs an "Open Disaster
+Data Store ETL" runs on every load that the relational inventory doesn't
+name directly: merge/upsert of a change batch, unpivot back to long form,
+gap-filling resample of a time series, and data-quality profiling.
+
+All pure DataFrame compositions — each one states its 100 TB shape in the
+docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+from ._helpers import dsum, sql_dsum
+
+
+@register(
+    "etl_merge_upsert",
+    category="etl",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey < 10000
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey < 12000
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       (o_orderkey % 7 = 0 AND o_orderkey < 12000) AS was_upserted
+FROM (
+  SELECT * FROM changes
+  UNION ALL
+  SELECT b.* FROM base b ANTI JOIN changes c USING (o_orderkey)
+)
+""",
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert of a change batch into a base snapshot: changed keys
+    replace base rows, new keys append, untouched base rows pass through
+    (what MERGE INTO does on a lakehouse table, expressed as
+    anti-join + union so it runs on plain parquet).
+
+    Scale: the anti join shuffles on the merge key — same partitioning a
+    bucketed base table would give for free; the change batch is usually
+    small enough to broadcast, making the merge a single map-side pass
+    over the base."""
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") < 10000).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = (
+        o.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") < 12000))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        )
+    )
+    merged = changes.unionAll(
+        base.join(F.broadcast(changes.select("o_orderkey")), "o_orderkey", "left_anti")
+    )
+    return merged.withColumn(
+        "was_upserted",
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") < 12000),
+    )
+
+
+@register(
+    "etl_unpivot",
+    category="etl",
+    oracle="""
+WITH wide AS (
+  SELECT o_custkey,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, status, n FROM wide
+UNPIVOT (n FOR status IN (n_f AS 'F', n_o AS 'O', n_p AS 'P'))
+""",
+)
+def etl_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) a wide conditional-count table back to long form via
+    the native unpivot — the inverse of agg_pivot, a per-row expand with
+    no shuffle of its own (only the upstream agg exchanges)."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_custkey").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+    )
+    return wide.unpivot(
+        ids=["o_custkey"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status",
+        valueColumnName="n",
+    ).withColumn(
+        "status",
+        F.upper(F.substring(F.col("status"), 3, 1)),
+    )
+
+
+@register(
+    "etl_gapfill_resample",
+    category="etl",
+    oracle=f"""
+WITH days AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                INTERVAL 1 DAY))::DATE AS day
+),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (SELECT day, event_type FROM days CROSS JOIN types),
+actual AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         event_type, COUNT(*) AS n, {sql_dsum("value")} AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT s.day, s.event_type,
+       COALESCE(a.n, 0) AS n,
+       COALESCE(a.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN actual a USING (day, event_type)
+""",
+)
+def etl_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling daily resample: build a complete (day × event_type)
+    spine with sequence()+explode, left-join the actual daily rollup,
+    zero-fill the holes — the densification every downstream time-series
+    consumer assumes.
+
+    Scale: the spine is days × types (tiny, broadcast); the rollup is the
+    only real shuffle and it partially aggregates before exchanging."""
+    e = table(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    actual = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+    return (
+        spine.join(F.broadcast(actual), ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "etl_dq_profile",
+    category="etl",
+    oracle="""
+SELECT 'o_orderkey' AS col,
+       COUNT(*) AS n_rows,
+       COUNT(o_orderkey) AS n_nonnull,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+""",
+)
+def etl_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (the post-load validation step of every ETL
+    run): per column — row count, non-null count, distinct count,
+    min/max as strings. One wide aggregate per column family, unioned;
+    Spark computes all three profiles in one scan each with partial
+    aggregation (COUNT DISTINCT rewrites to expand+two-phase agg)."""
+    o = table(spark, sf_dir, "orders")
+
+    def profile(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.col(col)).alias("n_nonnull"),
+            F.countDistinct(F.col(col)).alias("n_distinct"),
+            F.min(F.col(col)).cast("string").alias("min_val"),
+            F.max(F.col(col)).cast("string").alias("max_val"),
+        )
+
+    return (
+        profile("o_orderkey")
+        .unionAll(profile("o_orderstatus"))
+        .unionAll(profile("o_totalprice"))
+    )
