@@ -424,3 +424,79 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     return run_to_table(s, mode="update", tag="stateful")
+
+
+@register(
+    "stream_upsert_foreachbatch",
+    category="streaming",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       event_type AS last_event_type, value AS last_value
+FROM latest WHERE rn = 1
+""",
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC landing pattern: each micro-batch MERGEs into a keyed state
+    table ('current row per user', last event wins) via foreachBatch —
+    reduce the batch to one row per key, anti-join the existing table,
+    overwrite. This is how a stream maintains an upsert table on plain
+    parquet (a lakehouse MERGE INTO per batch, minus the format).
+
+    The ts-desc/event_id-desc tiebreak makes the winner deterministic, so
+    the final table equals the batch row_number()=1 twin regardless of
+    how the replay is batched."""
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="upsert")
+    state_dir = tempfile.mkdtemp(prefix="oddsetl_upsert_state_")
+    ckpt = tempfile.mkdtemp(prefix="oddsetl_upsert_ckpt_")
+
+    from pyspark.sql import Window as W
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        w = W.partitionBy("user_id").orderBy(
+            F.desc("last_ts"), F.desc("last_event_id")
+        )
+        incoming = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        try:
+            current = sp.read.parquet(state_dir)
+            merged = incoming.unionByName(
+                current.join(
+                    incoming.select("user_id"), "user_id", "left_anti"
+                )
+            )
+        except Exception:  # first batch: no state yet
+            merged = incoming
+        # Rewrite via a staging dir: the plan reads state_dir, so an
+        # in-place overwrite would race its own scan.
+        tmp = tempfile.mkdtemp(prefix="oddsetl_upsert_tmp_")
+        merged.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+
+    s = read_events_stream(spark, staged).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+    q = (
+        s.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir)
