@@ -351,3 +351,35 @@ def fn_hash_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
         F.hash("c_name").alias("name_murmur"),
     )
+
+
+@register(
+    "fn_bitwise",
+    category="functions",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 4096 AS bor,
+       xor(o_orderkey, 1535) AS bxor,
+       ~o_orderkey AS bnot,
+       o_orderkey << 3 AS shl,
+       o_orderkey >> 2 AS shr,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount
+FROM orders WHERE o_orderkey < 3000
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND/OR/XOR/NOT, shifts, popcount — the bit-twiddling
+    layer under hash partitioning, bloom filters, and bitmap flags."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1535)).alias("bxor"),
+        F.bitwise_not(k).alias("bnot"),
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )

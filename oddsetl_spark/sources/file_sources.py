@@ -156,3 +156,44 @@ def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.mode("overwrite").json(out)
     back = spark.read.schema("o_orderkey long, o_orderstatus string").json(out)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "sink_bucketed_join",
+    category="sources",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, COUNT(*) AS n_items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey < 20000
+GROUP BY o.o_orderkey, o.o_totalprice
+""",
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table layout: write orders and lineitem bucketed+sorted on
+    the join key (external tables, explicit path), then join the two
+    bucketed tables. Spark reads the bucket spec from the catalog and
+    plans a SortMergeJoin with NO Exchange on either side — the
+    co-located-join layout that makes repeated 100 TB fact-fact joins
+    shuffle-free (asserted in tests/test_plans.py).
+    """
+    n_buckets = 8
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tbl = f"bkt_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        df = table(spark, sf_dir, name).filter(F.col(key) < 20000)
+        (
+            df.write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", _tmpdir(f"bkt_{name}"))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    # merge hint = the honest 100 TB shape (neither fact side broadcasts);
+    # with both tables bucketed on the key the SMJ needs NO shuffle.
+    o = spark.table("bkt_orders").hint("merge")
+    li = spark.table("bkt_lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )

@@ -104,3 +104,13 @@ def test_stream_static_join_broadcasts_dim(spark):
     # streaming plans can't be batch-executed; inspect the logical plan
     plan = s._jdf.queryExecution().logical().toString()
     assert "broadcast" in plan.lower(), plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed+sorted on the join key must SortMergeJoin with
+    zero Exchange operators — the co-located 100 TB fact-fact layout."""
+    plan = _plan(spark, "sink_bucketed_join")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final, final
+    assert "Bucketed: true" in final, final
+    assert "Exchange" not in final, final
