@@ -14,9 +14,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def _plan(spark, name: str) -> str:
     """Final physical plan — run the query first so AQE finalizes it."""
-    df = registry.get(name).fn(spark, SF_DIR)
-    df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+    from oddsetl_spark.plans.report import executed_plan
+
+    return executed_plan(registry.get(name).fn(spark, SF_DIR))
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -101,8 +101,10 @@ def test_stream_static_join_broadcasts_dim(spark):
     s = read_events_stream(spark, staged).join(
         F.broadcast(cust), F.col("user_id") == F.col("c_custkey"), "inner"
     )
+    from oddsetl_spark.plans.report import logical_plan
+
     # streaming plans can't be batch-executed; inspect the logical plan
-    plan = s._jdf.queryExecution().logical().toString()
+    plan = logical_plan(s)
     assert "broadcast" in plan.lower(), plan
 
 
