@@ -255,13 +255,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash", category="llm_dedup", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (16-bit) near-dup candidates with hamming distance <= 3.
+    """SimHash (64-bit) near-dup candidates with hamming distance <= 3.
 
-    Signature: per token, xxhash64 contributes +/-1 to each of 16 bit
-    positions; signature bit = sign of the sum. Candidate generation bands
-    the 16 bits into 4 nibbles — any pair at hamming <= 3 shares a nibble
-    (pigeonhole), so the join is equi, never all-pairs. Engine-specific
-    hash => rows-only."""
+    Signature: per token, xxhash64 contributes +/-1 to each of 64 bit
+    positions; signature bit = sign of the sum. The signature is kept as
+    FOUR 16-bit band columns (sh0..sh3) — any pair at hamming <= 3 agrees
+    exactly on >=1 band (pigeonhole over 4 bands), so candidate
+    generation is an equi-join on (band_id, band_value) over a 65,536-key
+    space, never all-pairs. (A 16-bit signature with 4-bit bands looks
+    identical at toy scale but its 16-value band space degenerates to a
+    quadratic self-join — at sf0.1 it produced 31M candidate pairs.)
+    hamming = sum of per-band popcounts of XOR. Engine-specific hash =>
+    rows-only; recall vs the manufactured twins is pytest-asserted."""
     c = _corpus(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     exploded = c.select("doc_id", F.explode(toks).alias("tok"))
@@ -271,54 +276,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(16)
+            for i in range(64)
         ]
     )
-    simhash = bitsums.select(
+    bands = bitsums.select(
         "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-                for i in range(16)
-            ],
-            F.lit(0),
-        ).alias("simhash"),
+        *[
+            sum(
+                [
+                    F.when(
+                        F.col(f"b{16 * band + j}") > 0, F.lit(1 << j)
+                    ).otherwise(F.lit(0))
+                    for j in range(16)
+                ],
+                F.lit(0),
+            ).alias(f"sh{band}")
+            for band in range(4)
+        ],
     )
-    nibbles = simhash.select(
+    keyed = bands.select(
         "doc_id",
-        "simhash",
+        "sh0",
+        "sh1",
+        "sh2",
+        "sh3",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(nb).alias("nib_id"),
-                        F.shiftright(F.col("simhash"), nb * 4)
-                        .bitwiseAND(F.lit(15))
-                        .alias("nib_val"),
+                        F.lit(band).alias("band_id"),
+                        F.col(f"sh{band}").alias("band_val"),
                     )
-                    for nb in range(4)
+                    for band in range(4)
                 ]
             )
-        ).alias("nib"),
-    ).select("doc_id", "simhash", "nib.nib_id", "nib.nib_val")
-    a = nibbles.alias("a")
-    b = nibbles.alias("b")
+        ).alias("band"),
+    ).select("doc_id", "sh0", "sh1", "sh2", "sh3", "band.band_id", "band.band_val")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.nib_id") == F.col("b.nib_id"))
-            & (F.col("a.nib_val") == F.col("b.nib_val"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            *[F.col(f"a.sh{band}").alias(f"a_sh{band}") for band in range(4)],
+            *[F.col(f"b.sh{band}").alias(f"b_sh{band}") for band in range(4)],
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = sum(
+        [
+            F.bit_count(F.col(f"a_sh{band}").bitwiseXOR(F.col(f"b_sh{band}")))
+            for band in range(4)
+        ],
+        F.lit(0),
+    )
     return cand.filter(hamming <= 3).select(
         "doc_a", "doc_b", hamming.alias("hamming")
     )
