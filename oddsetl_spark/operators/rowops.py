@@ -12,7 +12,7 @@ from pyspark.sql import Window as W
 
 from ..io import table
 from ..registry import register
-from ._helpers import dsum, sql_dsum
+from ._helpers import dsum, sql_davg, sql_dsum
 
 
 @register(
@@ -215,3 +215,40 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample — engine-specific RNG, rows-only check."""
     li = table(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+_SQL_CTE_SUBQUERY = """
+WITH big_spenders AS (
+  SELECT o_custkey, {dsum} AS spent
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, b.spent
+FROM customer c
+JOIN big_spenders b ON b.o_custkey = c.c_custkey
+WHERE EXISTS (SELECT 1 FROM events e
+              WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
+  AND b.spent > (SELECT {davg} FROM orders)
+"""
+
+
+@register(
+    "sql_cte_subqueries",
+    category="rowops",
+    oracle=_SQL_CTE_SUBQUERY.format(
+        dsum=sql_dsum("o_totalprice"), davg=sql_davg("o_totalprice")
+    ),
+)
+def sql_cte_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry path (SURVEY §3, ANTLR parser -> same Catalyst
+    stages): CTE + correlated EXISTS + uncorrelated scalar subquery in one
+    statement. Catalyst decorrelates the EXISTS to a left-semi join and
+    turns the scalar subquery into a one-row broadcast — identical
+    physical machinery to the DataFrame formulations, proving the two
+    front-ends converge."""
+    for t in ("customer", "orders", "events"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        _SQL_CTE_SUBQUERY.format(
+            dsum=sql_dsum("o_totalprice"), davg=sql_davg("o_totalprice")
+        )
+    )
