@@ -524,3 +524,42 @@ def join3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "join_runtime_bloomfilter",
+    category="joins",
+    oracle=f"""
+SELECT o.o_orderkey, {sql_dsum('l.l_quantity')} AS total_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderkey
+""",
+)
+def join_runtime_bloomfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning: the selective build side
+    (URGENT orders) injects a bloom_filter_agg subquery whose
+    might_contain() predicate prunes the probe scan BEFORE the shuffle —
+    at 100 TB this cuts the shuffled fact volume by the build side's
+    selectivity without any manual semi-join. Broadcast is disabled for
+    the demo so the SMJ path (the at-scale shape) is what gets pruned;
+    pin_session restores both confs before the next query."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    # Overrides AFTER table() (pin_session restores the defaults there).
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+    )

@@ -30,6 +30,11 @@ _RUNTIME_CONF: dict[str, str] = {
     # read as long nanos and convert in io.table (floor to micros, matching
     # DuckDB's CAST(ts_ns AS TIMESTAMP) truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Defaults restored on every pin so per-query overrides (e.g. the
+    # runtime-bloom-filter demo disabling auto-broadcast) cannot leak into
+    # the next query in a shared session.
+    "spark.sql.autoBroadcastJoinThreshold": "10MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
 }
 
 

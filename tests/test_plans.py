@@ -116,3 +116,11 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in final, final
     assert "Bucketed: true" in final, final
     assert "Exchange" not in final, final
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """The selective build side must inject might_contain() into the probe
+    scan's filter (runtime row-level semi-join pruning)."""
+    plan = _plan(spark, "join_runtime_bloomfilter")
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
