@@ -197,3 +197,125 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_totalprice")
         .agg(F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register(
+    "scan_partition_pruning",
+    category="sources",
+    oracle="""
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS event_day,
+       event_type, COUNT(*) AS n
+FROM events
+WHERE CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+      BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+GROUP BY 1, 2
+""",
+)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning: land events Hive-partitioned by day, read
+    back with a day predicate — the filter resolves against directory
+    names only (PartitionFilters, plan-asserted), so 3 of 30 day
+    partitions are listed and the other 27 are never opened. This is THE
+    100 TB access pattern: partition by the dominant filter column."""
+    from ..io import table as _t
+
+    out = _tmpdir("pqdays")
+    e = _t(spark, sf_dir, "events").withColumn(
+        "event_day", F.col("ts").cast("date")
+    )
+    e.write.mode("overwrite").partitionBy("event_day").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("event_day").between("2024-01-10", "2024-01-12")
+        )
+        .groupBy("event_day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    category="sources",
+    oracle="""
+WITH dim AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1 HAVING COUNT(*) >= 100
+)
+SELECT f.order_year, COUNT(*) AS n, dim.n_orders
+FROM (SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderkey
+      FROM orders) f
+JOIN dim ON f.order_year = dim.order_year
+GROUP BY f.order_year, dim.n_orders
+""",
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partitioned on
+    order_year; the dim side is filtered on an ATTRIBUTE (yearly order
+    count), so the surviving years are only known at runtime — Spark
+    broadcasts the dim result into a dynamicpruning#N subquery that
+    prunes fact partitions before the scan (plan-asserted). At 100 TB
+    this is what keeps a date-partitioned fact from being fully scanned
+    when joined to a filtered calendar/dim table."""
+    from ..io import table as _t
+
+    out = _tmpdir("dppfact")
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    o.select("o_orderkey", "order_year").write.mode("overwrite").partitionBy(
+        "order_year"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        o.groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 100)
+        .select(F.col("order_year").alias("dim_year"), "n_orders")
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.order_year == dim.dim_year)
+        .groupBy("order_year", "n_orders")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("order_year", "n", "n_orders")
+    )
+
+
+@register(
+    "cache_hot_dim",
+    category="sources",
+    oracle="""
+WITH geo AS (
+  SELECT n_nationkey, n_name, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+)
+SELECT g.r_name, COUNT(*) AS n_customers, COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM customer c JOIN geo g ON c.c_nationkey = g.n_nationkey
+GROUP BY g.r_name
+""",
+)
+def cache_hot_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit caching of a hot joined dimension: nation⋈region is built
+    once, .cache()d, and materialized; downstream queries read the
+    InMemoryTableScan (plan-asserted) instead of re-joining — the
+    hot-dimension pattern for dashboards that hit the same dim tree
+    thousands of times. (Storage level MEMORY_AND_DISK default; at
+    cluster scale the cache shards across executors.)"""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    geo = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+        .cache()
+    )
+    geo.count()  # materialize the cache before the consumer query
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(geo), c.c_nationkey == geo.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )

@@ -124,3 +124,19 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     plan = _plan(spark, "join_runtime_bloomfilter")
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
+
+
+def test_partition_pruning_lists_only_matching_days(spark):
+    plan = _plan(spark, "scan_partition_pruning")
+    assert "PartitionFilters: [" in plan, plan
+    assert "event_day" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_dynamic_partition_pruning_subquery_injected(spark):
+    plan = _plan(spark, "join_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_cached_dim_reads_in_memory(spark):
+    plan = _plan(spark, "cache_hot_dim")
+    assert "InMemoryTableScan" in plan, plan
