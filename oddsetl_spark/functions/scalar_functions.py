@@ -383,3 +383,40 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("shr"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@register(
+    "fn_try",
+    category="functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / nullif(l_discount, 0.0) AS safe_div,
+       TRY_CAST(l_comment_digits AS BIGINT) AS parsed,
+       TRY_CAST('not a number' AS BIGINT) AS unparsable
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+         CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_orderkey AS VARCHAR)
+              ELSE 'n/a' END AS l_comment_digits
+  FROM lineitem WHERE l_orderkey < 2000
+)
+""",
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe expression family (SURVEY §7 hard part 5): Spark 4 runs
+    ANSI mode by default, so raw division/casts THROW on bad input at
+    100 TB instead of silently nulling. try_divide / try_cast / nullif
+    give DuckDB-identical NULL-on-failure semantics — the discipline every
+    oracle-matched expression in this repo follows."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    digits = F.when(
+        F.col("l_linenumber") % 2 == 0, F.col("l_orderkey").cast("string")
+    ).otherwise(F.lit("n/a"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0))
+        ).alias("safe_div"),
+        F.try_to_number(digits, F.lit("999999999")).cast("bigint").alias("parsed"),
+        F.lit("not a number").try_cast("bigint").alias("unparsable"),
+    )
