@@ -252,3 +252,28 @@ def sql_cte_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum=sql_dsum("o_totalprice"), davg=sql_davg("o_totalprice")
         )
     )
+
+
+_SQL_RECURSIVE = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1995-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < CAST('1995-12-01' AS DATE)
+)
+SELECT m AS month_start, COUNT(o_orderkey) AS n_orders
+FROM months
+LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+GROUP BY m
+"""
+
+
+@register("sql_recursive_cte", category="rowops", oracle=_SQL_RECURSIVE)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x WITH RECURSIVE): generate a 12-month
+    calendar spine by recursion, left-join monthly order counts — the
+    same statement runs verbatim on DuckDB. Complements the iterative
+    driver-loop pattern of dedup_components with engine-native recursion
+    (UnionLoop in the physical plan)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_RECURSIVE)
