@@ -19,6 +19,7 @@ from .streaming import stream_queries  # noqa: F401,E402
 from .operators import (  # noqa: F401,E402
     aggregates,
     etl,
+    geo,
     joins,
     llm_dedup,
     llm_similarity,

@@ -1,0 +1,187 @@
+"""Geospatial operators (ETL floor: a DISASTER data store filters and
+joins on location). The fixtures carry no coordinates, so deterministic
+synthetic lat/lon are derived from keys (same device as multimodal.py's
+payload fabrication): customers and suppliers get stable positions, and
+every operator is exact, replayable, and SQL-twinnable.
+
+Exactness note: sin/cos/atan2 can differ by 1 ulp between the JVM and
+libm, so every distance output is rounded to 3 decimals (meters at km
+scale) on BOTH engines — the same discipline as the pandas-UDF queries.
+
+Scale design: bounding-box prefilters are plain comparisons (pushable,
+prunable); the grid join buckets points into fixed cells so proximity
+joins are equi-joins on cell ids (the geohash pattern) instead of
+all-pairs distance scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..io import table
+from ..registry import register
+
+# Deterministic synthetic coordinates in a continental box:
+# lat in [25, 48], lon in [-122, -71] — derived from the entity key.
+_SQL_LAT = "(25.0 + (({k} * 73) % 2300) / 100.0)"
+_SQL_LON = "(-122.0 + (({k} * 37) % 5100) / 100.0)"
+
+_EARTH_KM = 6371.0
+
+_SQL_HAVERSINE = f"""
+round(2 * {_EARTH_KM} * asin(sqrt(
+    pow(sin(radians(({{lat2}}) - ({{lat1}})) / 2), 2)
+  + cos(radians({{lat1}})) * cos(radians({{lat2}}))
+    * pow(sin(radians(({{lon2}}) - ({{lon1}})) / 2), 2)
+)), 3)"""
+
+
+def _lat(k):
+    return 25.0 + (k * 73 % 2300) / 100.0
+
+
+def _lon(k):
+    return -122.0 + (k * 37 % 5100) / 100.0
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.round(2 * _EARTH_KM * F.asin(F.sqrt(a)), 3)
+
+
+def _sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers as incident sites with synthetic coordinates."""
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        _lat(k).alias("lat"),
+        _lon(k).alias("lon"),
+    )
+
+
+def _depots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers as response depots with synthetic coordinates."""
+    s = table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_name",
+        _lat(k).alias("d_lat"),
+        _lon(k).alias("d_lon"),
+    )
+
+
+@register(
+    "geo_bbox_filter",
+    category="geo",
+    oracle=f"""
+SELECT c_custkey, c_mktsegment,
+       {_SQL_LAT.format(k='c_custkey')} AS lat,
+       {_SQL_LON.format(k='c_custkey')} AS lon
+FROM customer
+WHERE {_SQL_LAT.format(k='c_custkey')} BETWEEN 30.0 AND 40.0
+  AND {_SQL_LON.format(k='c_custkey')} BETWEEN -110.0 AND -90.0
+""",
+)
+def geo_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box filter — the first stage of every spatial query: plain
+    range predicates on lat/lon columns (pushable to the scan when the
+    coordinates are stored; here they are derived, so the filter runs in
+    the projection stage)."""
+    s = _sites(spark, sf_dir)
+    return s.filter(
+        F.col("lat").between(30.0, 40.0) & F.col("lon").between(-110.0, -90.0)
+    )
+
+
+@register(
+    "geo_nearest_depot",
+    category="geo",
+    oracle=f"""
+WITH sites AS (
+  SELECT c_custkey, {_SQL_LAT.format(k='c_custkey')} AS lat,
+         {_SQL_LON.format(k='c_custkey')} AS lon
+  FROM customer WHERE c_custkey < 300
+),
+depots AS (
+  SELECT s_suppkey, {_SQL_LAT.format(k='s_suppkey')} AS d_lat,
+         {_SQL_LON.format(k='s_suppkey')} AS d_lon
+  FROM supplier
+),
+scored AS (
+  SELECT c_custkey, s_suppkey,
+         {_SQL_HAVERSINE.format(lat1='lat', lon1='lon', lat2='d_lat', lon2='d_lon')} AS dist_km
+  FROM sites CROSS JOIN depots
+)
+SELECT c_custkey, s_suppkey, dist_km
+FROM (SELECT c_custkey, s_suppkey, dist_km,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist_km, s_suppkey) AS rn
+      FROM scored)
+WHERE rn = 1
+""",
+)
+def geo_nearest_depot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest response depot per incident site: broadcast the (small)
+    depot table, haversine-score, keep rank 1 per site. The depot side of
+    a disaster pipeline is dimension-sized — broadcast + per-row argmin
+    scales linearly in sites; at huge depot counts switch to the grid
+    join below."""
+    sites = _sites(spark, sf_dir).filter(F.col("c_custkey") < 300).select(
+        "c_custkey", "lat", "lon"
+    )
+    depots = _depots(spark, sf_dir).select("s_suppkey", "d_lat", "d_lon")
+    scored = sites.crossJoin(F.broadcast(depots)).select(
+        "c_custkey",
+        "s_suppkey",
+        _haversine_km(
+            F.col("lat"), F.col("lon"), F.col("d_lat"), F.col("d_lon")
+        ).alias("dist_km"),
+    )
+    w = W.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey", "dist_km")
+    )
+
+
+@register(
+    "geo_grid_cluster",
+    category="geo",
+    oracle=f"""
+SELECT CAST(floor({_SQL_LAT.format(k='c_custkey')}) AS INT) AS cell_lat,
+       CAST(floor({_SQL_LON.format(k='c_custkey')}) AS INT) AS cell_lon,
+       COUNT(*) AS n_sites,
+       MIN(c_custkey) AS first_site
+FROM customer
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+""",
+)
+def geo_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid (geohash-style) clustering: bucket sites into 1-degree cells
+    and keep dense cells — the binning that turns spatial proximity joins
+    into equi-joins on cell ids at 100 TB (join on cell +/- 1 ring, then
+    refine by exact distance, exactly like join_range_binned)."""
+    s = _sites(spark, sf_dir)
+    return (
+        s.groupBy(
+            F.floor("lat").cast("int").alias("cell_lat"),
+            F.floor("lon").cast("int").alias("cell_lon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            F.min("c_custkey").alias("first_site"),
+        )
+        .filter(F.col("n_sites") >= 3)
+    )
