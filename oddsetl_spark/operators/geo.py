@@ -185,3 +185,75 @@ def geo_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_sites") >= 3)
     )
+
+
+@register(
+    "geo_grid_join",
+    category="geo",
+    oracle=f"""
+WITH sites AS (
+  SELECT c_custkey, {_SQL_LAT.format(k='c_custkey')} AS lat,
+         {_SQL_LON.format(k='c_custkey')} AS lon
+  FROM customer WHERE c_custkey < 500
+),
+depots AS (
+  SELECT s_suppkey, {_SQL_LAT.format(k='s_suppkey')} AS d_lat,
+         {_SQL_LON.format(k='s_suppkey')} AS d_lon
+  FROM supplier
+)
+SELECT c_custkey, s_suppkey,
+       {_SQL_HAVERSINE.format(lat1='lat', lon1='lon', lat2='d_lat', lon2='d_lon')} AS dist_km
+FROM sites JOIN depots
+  ON floor(d_lat) BETWEEN floor(lat) - 1 AND floor(lat) + 1
+ AND floor(d_lon) BETWEEN floor(lon) - 2 AND floor(lon) + 2
+WHERE {_SQL_HAVERSINE.format(lat1='lat', lon1='lon', lat2='d_lat', lon2='d_lon')} <= 100.0
+""",
+)
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable proximity join: sites x depots within 100 km, via the grid
+    pattern — explode each depot into its ring of 1-degree cells,
+    equi-join sites on their cell id, refine by exact haversine. Work is
+    proportional to points per cell, never |sites| x |depots| — the
+    join_range_binned rewrite in two dimensions.
+
+    Ring sizing, lossless over the coordinate box lat in [25,48]:
+    latitude ±1 cell (1 deg = 111 km >= 100 km); longitude ±2 cells,
+    because 1 deg of longitude shrinks to 111*cos(48 deg) ~ 74 km at the
+    top of the box — ±1 would silently miss true neighbors between 74 and
+    100 km east/west; 2 deg ~ 148 km covers the radius everywhere.
+
+    (The oracle states the ring as BETWEEN predicates; DuckDB plans an
+    IEJoin over them — both engines compute the identical candidate set.)"""
+    sites = (
+        _sites(spark, sf_dir)
+        .filter(F.col("c_custkey") < 500)
+        .select(
+            "c_custkey",
+            "lat",
+            "lon",
+            F.floor("lat").alias("cell_lat"),
+            F.floor("lon").alias("cell_lon"),
+        )
+    )
+    depots = (
+        _depots(spark, sf_dir)
+        .withColumn("dlat_off", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+        .withColumn(
+            "dlon_off",
+            F.explode(F.array(*[F.lit(d) for d in (-2, -1, 0, 1, 2)])),
+        )
+        .select(
+            "s_suppkey",
+            "d_lat",
+            "d_lon",
+            (F.floor("d_lat") + F.col("dlat_off")).alias("cell_lat"),
+            (F.floor("d_lon") + F.col("dlon_off")).alias("cell_lon"),
+        )
+    )
+    dist = _haversine_km(F.col("lat"), F.col("lon"), F.col("d_lat"), F.col("d_lon"))
+    return (
+        sites.join(F.broadcast(depots), ["cell_lat", "cell_lon"])
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= 100.0)
+        .select("c_custkey", "s_suppkey", "dist_km")
+    )

@@ -187,3 +187,26 @@ def test_mm_frame_sample_count_and_bytes(spark):
         b = docs[r["doc_id"]]
         frame = b[r["frame_idx"] * 64 : (r["frame_idx"] + 1) * 64]
         assert bytes(r["frame"]) == frame
+
+
+def test_geo_grid_join_is_lossless(spark):
+    """The cell-ring candidate set must not miss any true <=100km pair:
+    grid join == brute-force haversine filter."""
+    from oddsetl_spark.operators.geo import _depots, _haversine_km, _sites
+
+    grid = {
+        (r["c_custkey"], r["s_suppkey"])
+        for r in _q(spark, "geo_grid_join").collect()
+    }
+    sites = _sites(spark, SF_DIR).filter(F.col("c_custkey") < 500)
+    brute = (
+        sites.crossJoin(_depots(spark, SF_DIR))
+        .withColumn(
+            "dist_km",
+            _haversine_km(F.col("lat"), F.col("lon"), F.col("d_lat"), F.col("d_lon")),
+        )
+        .filter(F.col("dist_km") <= 100.0)
+        .select("c_custkey", "s_suppkey")
+        .collect()
+    )
+    assert grid == {(r["c_custkey"], r["s_suppkey"]) for r in brute}
