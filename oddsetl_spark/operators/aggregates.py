@@ -388,3 +388,38 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("o_totalprice")))
         .na.fill(0.0)
     )
+
+
+@register(
+    "agg_histogram",
+    category="agg",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 400000.0 THEN 21
+            ELSE CAST(FLOOR(o_totalprice * 20 / 400000.0) AS BIGINT) + 1 END
+         AS bucket,
+       COUNT(*) AS n,
+       round(MIN(o_totalprice), 2) AS lo,
+       round(MAX(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket — the single-pass
+    distribution profile (20 equal buckets over the price range, overflow
+    bucket 21). One partial-aggregated shuffle of at most 22 groups
+    regardless of input size."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(400000.0), F.lit(20)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
