@@ -1,0 +1,107 @@
+"""Property-based tests (SURVEY §5.2) — algebraic invariants over
+GENERATED data, complementing the fixture-based invariants in
+test_properties.py. Each property runs few examples (a Spark job per
+example) but explores the input space the fixtures can't.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+import oddsetl_spark  # noqa: F401
+from oddsetl_spark.operators._helpers import dsum
+
+_FAST = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# money-like doubles: two decimals, magnitudes up to 1e6
+_money = st.integers(min_value=-10**8, max_value=10**8).map(lambda c: c / 100.0)
+
+
+@given(vals=st.lists(_money, min_size=1, max_size=200))
+@_FAST
+def test_dsum_is_order_and_partitioning_insensitive(spark, vals):
+    """The core oracle discipline: dsum (decimal-cast exact sum) must give
+    bit-identical doubles for ANY row order and ANY partitioning — this
+    is what makes Spark-vs-DuckDB hash comparison possible, and what
+    makes results stable under cluster reordering at 100 TB."""
+    rows = [(v,) for v in vals]
+
+    def total(data, parts):
+        df = spark.createDataFrame(data, "x double").repartition(parts)
+        return df.agg(dsum(F.col("x")).alias("s")).collect()[0]["s"]
+
+    fwd = total(rows, 1)
+    rev = total(list(reversed(rows)), 7)
+    assert fwd == rev  # exact equality, not approx
+    # and both equal the exact decimal reference computed driver-side
+    ref = float(sum(Decimal(str(v)).quantize(Decimal("0.000001")) for v in vals))
+    assert fwd == ref
+
+
+@given(
+    left=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    right=st.lists(st.integers(0, 30), max_size=60),
+)
+@_FAST
+def test_semi_anti_partition_generated(spark, left, right):
+    """left_semi(L,R) and left_anti(L,R) partition L exactly, for any
+    multisets of keys (null-free)."""
+    ldf = spark.createDataFrame([(k, i) for i, k in enumerate(left)], "k int, i int")
+    rdf = spark.createDataFrame([(k,) for k in right] or [(None,)], "k int").filter(
+        F.col("k").isNotNull()
+    )
+    semi = ldf.join(rdf, "k", "left_semi")
+    anti = ldf.join(rdf, "k", "left_anti")
+    assert semi.count() + anti.count() == ldf.count()
+    both = semi.select("i").intersect(anti.select("i"))
+    assert both.count() == 0
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=7200), min_size=1, max_size=80)
+)
+@_FAST
+def test_sessionize_gap_invariant_generated(spark, gaps):
+    """Gap-based sessionization over one user's cumulative event times:
+    the number of sessions must equal 1 + count(gaps > 30min), and
+    session event counts must sum to the event count."""
+    ts, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts.append(acc)
+    e = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(ts)], "user_id int, event_id int, sec long"
+    ).select("user_id", "event_id", F.timestamp_seconds("sec").alias("ts"))
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    sess = (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+        )
+        .select(
+            "user_id",
+            F.sum("is_new")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .count()
+    )
+    n_sessions = sess.count()
+    expected = 1 + sum(1 for g in gaps[1:] if g > 1800)
+    assert n_sessions == expected
+    assert sess.agg(F.sum("count")).collect()[0][0] == len(ts)
