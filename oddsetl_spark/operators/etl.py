@@ -209,3 +209,63 @@ def etl_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(profile("o_orderstatus"))
         .unionAll(profile("o_totalprice"))
     )
+
+
+@register(
+    "etl_locf_fill",
+    category="etl",
+    oracle=f"""
+WITH days AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                INTERVAL 1 DAY))::DATE AS day
+),
+users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+spine AS (SELECT day, user_id FROM days CROSS JOIN users),
+daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         user_id, {sql_dsum("value")} AS day_value
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+)
+SELECT s.day, s.user_id,
+       last_value(d.day_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.day
+               ROWS UNBOUNDED PRECEDING) AS filled_value
+FROM spine s LEFT JOIN daily d USING (day, user_id)
+""",
+)
+def etl_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last observation carried forward) densification: complete
+    (day x user) spine, left-join the daily rollup, then carry the last
+    non-null value forward with last_value(ignoreNulls) over an ordered
+    window — the standard sensor/metrics forward-fill. Complements the
+    zero-fill of etl_gapfill_resample.
+
+    Scale: one window pass partitioned by user — the spine join reuses
+    the rollup's user partitioning; state per user is a single value."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    users = e.select("user_id").distinct()
+    spine = days.crossJoin(users)
+    daily = e.groupBy(F.col("ts").cast("date").alias("day"), "user_id").agg(
+        dsum(F.col("value")).alias("day_value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return spine.join(F.broadcast(daily), ["day", "user_id"], "left").select(
+        "day",
+        "user_id",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

