@@ -321,3 +321,90 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "term", "score", "rn")
     )
+
+
+# RE2-safe patterns (no lookaround/backrefs) so Spark's Java regex and
+# DuckDB's RE2 compile them identically.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "(\\+?[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    category="llm_text",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' contact user' || doc_id || '@example.com or 555-867-5309'
+                      ELSE '' END AS text
+  FROM documents WHERE doc_id < 200
+),
+scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_PII_SSN}', '[SSN]', 'g'),
+             '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_PHONE}', '[PHONE]', 'g') AS clean_text
+  FROM seeded
+)
+SELECT doc_id,
+       length(clean_text) AS n_chars,
+       length(clean_text) - length(replace(clean_text, '[EMAIL]', ''))
+         >= 7 AS had_email,
+       length(clean_text) - length(replace(clean_text, '[PHONE]', ''))
+         >= 7 AS had_phone
+FROM scrubbed
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the pre-training cleaning step): redact emails,
+    phone numbers, and SSN-shaped strings with chained regexp_replace.
+    The corpus has no natural PII, so docs with doc_id%5==0 are seeded
+    with a synthetic email + phone — making redaction VERIFIABLE (flag
+    columns prove seeded docs were scrubbed and others untouched).
+    Patterns are RE2-safe so Spark (Java regex) and DuckDB (RE2) agree.
+
+    Scale: stateless per-row projection — fully parallel, codegen'd,
+    no shuffle."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-867-5309"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_SSN, "[SSN]"),
+            _PII_EMAIL,
+            "[EMAIL]",
+        ),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    scrubbed = seeded.select("doc_id", clean.alias("clean_text"))
+    return scrubbed.select(
+        "doc_id",
+        F.length("clean_text").alias("n_chars"),
+        (
+            F.length("clean_text")
+            - F.length(F.replace(F.col("clean_text"), F.lit("[EMAIL]"), F.lit("")))
+            >= 7
+        ).alias("had_email"),
+        (
+            F.length("clean_text")
+            - F.length(F.replace(F.col("clean_text"), F.lit("[PHONE]"), F.lit("")))
+            >= 7
+        ).alias("had_phone"),
+    )

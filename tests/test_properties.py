@@ -246,3 +246,12 @@ def test_engine_hashes_are_stable_golden(spark):
     )
     assert tuple(row) == tuple(again)
     assert row["c"] == 663021707  # zlib.crc32(b"oddsetl") — standard CRC-32 polynomial
+
+
+def test_pii_scrub_redacts_seeded_and_preserves_others(spark):
+    rows = {r["doc_id"]: r for r in _q(spark, "text_pii_scrub").collect()}
+    for doc_id, r in rows.items():
+        if doc_id % 5 == 0:
+            assert r["had_email"] and r["had_phone"], doc_id
+        else:
+            assert not r["had_email"] and not r["had_phone"], doc_id
