@@ -438,30 +438,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: vectors are L2-normalized
     (FIXTURES.md) so cosine == dot; emit ordered pairs with cosine >= tau.
 
-    This is the EXACT variant (all-pairs self-join): correct at any tau,
-    quadratic in corpus size. At 100 TB the candidate generation swaps to
-    the hyperplane-bucketed prefilter of sim_lsh_bucketed (same refine
-    predicate, candidates only within a bucket), exactly like
-    dedup_minhash_lsh's band join replaces the all-pairs shingle scan.
-    tau=0.35 sits at the ~99.9th percentile of the fixture's pair-cosine
-    distribution (the synthetic corpus has no true near-dups)."""
-    from .llm_similarity import _dot, _emb
+    EXACT all-pairs, executed as a distributed BLOCKED MATMUL: the build
+    side (id, matrix, label arrays) ships to executors as a broadcast
+    variable; the stream side repartitions and each Arrow batch computes
+    its (m x n) dot block in numpy. This replaced a one-task
+    BroadcastNestedLoopJoin evaluating a per-row fold expression (25 s at
+    sf0.1 -> ~1 s): same join, dense-linear-algebra execution. At 100 TB
+    the stream side stays partitioned exactly like this and the build side
+    blocks too (grid of (A_i, B_j) block pairs); the hyperplane-bucketed
+    prefilter of sim_lsh_bucketed is the approximate alternative.
+
+    Bit-exactness vs the DuckDB list_reduce twin: the dot accumulates
+    SEQUENTIALLY over the 64 dims (acc = acc + a_d*b_d, vectorized across
+    pairs, one IEEE float64 add/mul per dim in fold order) — NOT np.dot,
+    whose pairwise summation reorders the adds. tau=0.35 sits at the
+    ~99.9th percentile of the fixture's pair-cosine distribution (the
+    synthetic corpus has no true near-dups)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .llm_similarity import _emb
 
     e = _emb(spark, sf_dir)
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("label").alias("label_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("label").alias("label_b"),
-    )
-    cos = _dot(F.col("emb_a"), F.col("emb_b"))
-    return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= _COSINE_TAU)
-        .select("vec_a", "vec_b", "label_a", "label_b", "cosine")
+    build = e.toPandas()  # build side: same driver collect a broadcast join does
+    b_ids = build["vec_id"].to_numpy(np.int64)
+    b_mat = np.stack(build["emb"].to_numpy())  # (n, 64) float64
+    b_lab = build["label"].to_numpy(np.int32)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_lab))
+    tau = _COSINE_TAU
+
+    def block_dots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, lab_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_mat = np.stack(pdf["emb"].to_numpy())
+            a_ids = pdf["vec_id"].to_numpy(np.int64)
+            a_lab = pdf["label"].to_numpy(np.int32)
+            # sequential fold over dims == Spark/DuckDB fold order
+            acc = np.zeros((len(a_ids), len(ids_b)))
+            for d in range(a_mat.shape[1]):
+                acc = acc + a_mat[:, d : d + 1] * mat_b[:, d]
+            keep = (a_ids[:, None] < ids_b[None, :]) & (acc >= tau)
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": ids_b[bi],
+                    "label_a": a_lab[ai],
+                    "label_b": lab_b[bi],
+                    "cosine": acc[ai, bi],
+                }
+            )
+
+    return e.repartition(32).mapInPandas(
+        block_dots,
+        schema="vec_a long, vec_b long, label_a int, label_b int, cosine double",
     )
