@@ -14,7 +14,9 @@ Scale design:
   per-shingle doc-list squares — bounded for natural text, no n^2 scan);
 - MinHash: 64 seeded hash mins computed as 64 agg columns in ONE pass over
   (doc, shingle) — no 64x row blowup; LSH banding turns candidate gen into
-  an equi-join; exact Jaccard refine only on candidates;
+  an equi-join; exact Jaccard refine touches ONLY candidate pairs
+  (array_intersect over per-doc shingle sets), never the full
+  inverted-index pair space;
 - SimHash: 16-bit signature from per-token hash bits, banded for
   hamming<=3 candidate gen (pigeonhole over 4 bands);
 - components: iterative min-label propagation with localCheckpoint per
@@ -88,7 +90,12 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(toks, drop + 1, F.size(toks)), " ").alias("text"),
         )
 
-    return d.unionByName(twin(100000, 2)).unionByName(twin(200000, 4))
+    # one cheap shuffle of the (small) doc rows so the expensive downstream
+    # shingle explode + 64-agg signature stages run wide, not at the
+    # source-file's 3-split parallelism
+    return (
+        d.unionByName(twin(100000, 2)).unionByName(twin(200000, 4)).repartition(32)
+    )
 
 
 def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
@@ -201,16 +208,64 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature matrix is computed as 64 agg columns in one groupBy over
     (doc, shingle) — no row replication. Banding joins on (band_id, band
     hash): only same-bucket docs ever meet, so candidate count tracks true
-    near-dup density instead of n^2. xxhash64 is engine-specific => rows-only
-    check; recall vs dedup_ngram_jaccard is asserted in tests.
+    near-dup density instead of n^2. The exact-Jaccard refine then touches
+    ONLY the candidate pairs — two hash joins onto per-doc shingle sets +
+    array_intersect — instead of re-running the full inverted-index
+    pair join (that full join is dedup_ngram_jaccard's job; at 100 TB it
+    is exactly the stage LSH exists to avoid). xxhash64 is
+    engine-specific => rows-only check; recall vs dedup_ngram_jaccard is
+    asserted in tests.
     """
-    sh = _shingles(_corpus(spark, sf_dir))
     n_sig, n_bands, rows_per_band = 64, 16, 4
-    sig = sh.groupBy("doc_id").agg(
+    # Universal-hash permutation family: hash the shingle STRING once
+    # (xxhash64), then derive the 64 signature hashes arithmetically as
+    # g_i = (a_i*h31 + b_i) mod p  (p = 2^31-1, seeded constants). String
+    # hashing 64x per row was the map-side bottleneck; post-hash integer
+    # arithmetic is ~free. h31 < 2^31 and a_i < 2^31 keep every product
+    # < 2^62: no bigint overflow under ANSI mode.
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    p = (1 << 31) - 1
+    ab = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(n_sig)]
+    # The per-doc shingle SET is computed as an array expression straight
+    # off the corpus row — NO explode, NO shuffle, NO collect_list. (The
+    # exploded inverted index is dedup_ngram_jaccard's tool; MinHash only
+    # ever needs the per-row array.) This one-row-per-doc table is
+    # materialized (localCheckpoint) and reused by banding AND the
+    # candidate refine.
+    toks = F.split(F.col("text"), " ")
+    k = 3
+    sh_set = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+    per_doc = (
+        _corpus(spark, sf_dir)
+        .filter(F.size(toks) >= k)
+        .select("doc_id", sh_set.alias("sh_set"))
+        .withColumn(
+            "h31",
+            F.transform(
+                "sh_set", lambda s: F.shiftrightunsigned(F.xxhash64(s), 33)
+            ),
+        )
+        .withColumn("n_sh", F.size("sh_set"))
+        .localCheckpoint()
+    )
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(p)
+
+    sig = per_doc.select(
+        "doc_id",
         *[
-            F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"h{s}")
-            for s in range(n_sig)
-        ]
+            F.array_min(F.transform("h31", perm(a, b))).alias(f"h{s}")
+            for s, (a, b) in enumerate(ab)
+        ],
     )
     bands = sig.select(
         "doc_id",
@@ -245,9 +300,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    exact = _jaccard_pairs(spark, sf_dir)
+    sets = per_doc
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
         .filter(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
     )

@@ -208,6 +208,129 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_ivf",
+    category="llm_sim",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+ex AS (
+  SELECT label, unnest(emb) AS val, unnest(range(len(emb))) AS pos FROM e
+),
+cent AS (
+  SELECT label AS c_label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+  FROM ex GROUP BY label, pos
+),
+vex AS (
+  SELECT vec_id, unnest(emb) AS val, unnest(range(len(emb))) AS pos FROM e
+),
+vdists AS (
+  SELECT v.vec_id, c.c_label,
+         CAST(SUM(CAST((v.val - c.cval) * (v.val - c.cval)
+                       AS DECIMAL(30,18))) AS DOUBLE) AS sqdist
+  FROM vex v JOIN cent c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.c_label
+),
+assign AS (
+  SELECT vec_id, c_label AS list_id
+  FROM (SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sqdist, c_label) AS rn
+        FROM vdists)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c_label AS list_id
+  FROM (SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sqdist, c_label) AS rn
+        FROM vdists WHERE vec_id < 5)
+  WHERE rn <= 2
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT p.q_id, a.vec_id,
+         {_SQL_DOT.format(a='q.q_emb', b='e.emb')} AS cosine
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.q_id
+  JOIN q ON q.q_id = p.q_id
+  JOIN e ON e.vec_id = a.vec_id
+)
+SELECT q_id, vec_id, cosine, rn
+FROM (SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 10
+""",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbor, top-10 per query.
+
+    Build: coarse quantizer = per-label centroids (exact decimal sums =>
+    deterministic, engine-identical — in production this is k-means, which
+    would make the op rows-only-checkable; label centroids keep a full SQL
+    oracle). Every vector is assigned to its nearest centroid's inverted
+    list. Query: probe the nprobe=2 nearest lists and score exact cosine
+    ONLY against their members — the corpus scan that brute-force
+    sim_cosine_topk does is replaced by a scan of ~nprobe/nlist of the
+    data. At 100 TB the corpus is PARTITIONED BY list_id at build time, so
+    a probe is partition pruning, queries broadcast to the probed lists,
+    and each list scans locally — no full-corpus shuffle ever. Recall vs
+    the exact oracle is asserted in tests."""
+    e = _emb(spark, sf_dir)
+    ex = e.select("label", F.posexplode("emb").alias("pos", "val"))
+    cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    vex = e.select("vec_id", F.posexplode("emb").alias("pos", "val"))
+    vdists = (
+        vex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.sum(
+                ((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).cast(
+                    "decimal(30,18)"
+                )
+            )
+            .cast("double")
+            .alias("sqdist")
+        )
+        .localCheckpoint()  # reused by assignment AND query probing
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("sqdist"), F.asc("c_label"))
+    assign = (
+        vdists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("list_id"))
+    )
+    probes = (
+        vdists.filter(F.col("vec_id") < 5)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("q_id"), F.col("c_label").alias("list_id"))
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q), "q_id")
+        .join(e.select("vec_id", "emb"), "vec_id")
+        .select("q_id", "vec_id", _dot(F.col("q_emb"), F.col("emb")).alias("cosine"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )
+
+
+@register(
     "mm_centroids",
     category="llm_sim",
     oracle="""
