@@ -423,3 +423,37 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register("agg_sketch_rollup", category="agg", oracle=None)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL + Theta, built into
+    Spark 4): build ONE sketch per (event_type, day) partial, then roll the
+    partials up to per-event_type distinct-user estimates with
+    hll_union_agg / theta_union_agg — never touching the raw rows again.
+
+    This is THE 100 TB distinct-count architecture: daily partials are
+    computed incrementally as data lands (one pass each), and any rollup
+    window (7d, 30d, all-time) is a cheap merge of kilobyte sketches
+    instead of a full re-scan. Sketch binaries are engine-specific =>
+    rows-only check; tests assert (a) sketch-then-merge == direct-sketch
+    EXACTLY (merge associativity) and (b) estimates within HLL error of
+    exact distincts."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("hll"),
+        F.theta_sketch_agg("user_id").alias("theta"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("hll"))).alias(
+                "hll_users"
+            ),
+            F.theta_sketch_estimate(F.theta_union_agg(F.col("theta"))).alias(
+                "theta_users"
+            ),
+            F.count(F.lit(1)).alias("n_partials"),
+        )
+        .select("event_type", "hll_users", "theta_users", "n_partials")
+    )

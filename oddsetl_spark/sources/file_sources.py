@@ -319,3 +319,60 @@ def cache_hot_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_mktsegment").alias("n_segments"),
         )
     )
+
+
+@register(
+    "opt_cbo_join_reorder",
+    category="sources",
+    oracle="""
+SELECT n.n_name, COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_totalprice > 100000 AND n.n_regionkey = 1
+GROUP BY n.n_name
+""",
+)
+def opt_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based optimization with ANALYZE statistics: land the three
+    join inputs as catalog tables, COMPUTE STATISTICS FOR ALL COLUMNS,
+    enable CBO + star-schema join reordering, and run the join written in
+    a deliberately bad textual order (fact x fact-sized first, the
+    selective nation dim last). With rowCount + NDV stats the optimizer
+    reorders so the selective dim applies early and picks broadcast sides
+    from TRUE sizes, not file-size guesses — on a 100 TB warehouse, stats
+    maintained by ANALYZE (or a table format's metadata) are what keep
+    multi-join plans from exploding. The result is materialized
+    (localCheckpoint) while CBO is on, then the session confs are
+    restored so sibling queries keep their default plans."""
+    for name in ("orders", "customer", "nation"):
+        tbl = f"cbo_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        table(spark, sf_dir, name).write.option("path", _tmpdir(tbl)).mode(
+            "overwrite"
+        ).saveAsTable(tbl)
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        out = spark.sql(
+            """
+            SELECT n.n_name, COUNT(*) AS n_orders
+            FROM cbo_orders o
+            JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+            JOIN cbo_nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_totalprice > 100000 AND n.n_regionkey = 1
+            GROUP BY n.n_name
+            """
+        ).localCheckpoint()  # materialize under CBO before confs revert
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

@@ -140,3 +140,37 @@ def test_dynamic_partition_pruning_subquery_injected(spark):
 def test_cached_dim_reads_in_memory(spark):
     plan = _plan(spark, "cache_hot_dim")
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_cbo_stats_reach_optimizer_and_dims_broadcast(spark):
+    """After ANALYZE, the optimizer must see exact rowCounts on the
+    catalog tables (CBO planning from stats, not file-size guesses), and
+    the stats-planned join must broadcast both dimension sides."""
+    from oddsetl_spark.plans.report import executed_plan
+
+    df = registry.get("opt_cbo_join_reorder").fn(spark, SF_DIR)
+    assert len(df.collect()) > 0
+    # localCheckpoint hides the join plan on df; re-derive the stats view
+    stats = spark.sql("DESCRIBE EXTENDED cbo_nation").collect()
+    stat_rows = {r["col_name"]: r["data_type"] for r in stats}
+    assert "Statistics" in stat_rows and "rows" in stat_rows["Statistics"], stat_rows
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        plan = executed_plan(
+            spark.sql(
+                """
+                SELECT n.n_name, COUNT(*) AS n_orders
+                FROM cbo_orders o
+                JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+                JOIN cbo_nation n ON c.c_nationkey = n.n_nationkey
+                WHERE o.o_totalprice > 100000 AND n.n_regionkey = 1
+                GROUP BY n.n_name
+                """
+            )
+        )
+    finally:
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan

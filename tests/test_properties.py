@@ -131,6 +131,41 @@ def test_ivf_ann_conditional_recall_is_exact(spark):
     assert recall >= 0.05, f"IVF recall {recall:.3f} implausibly low"
 
 
+def test_sketch_merge_associativity_and_accuracy(spark):
+    """Mergeable-sketch law: building per-day HLL/Theta partials and
+    merging them must give EXACTLY the same estimate as one direct sketch
+    over the raw rows (what makes incremental 100 TB rollups sound), and
+    both must track exact distinct counts within sketch error."""
+    e = table(spark, SF_DIR, "events")
+    rolled = {
+        r["event_type"]: (r["hll_users"], r["theta_users"])
+        for r in _q(spark, "agg_sketch_rollup").collect()
+    }
+    direct = {
+        r["event_type"]: (r["hll_users"], r["theta_users"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+                "hll_users"
+            ),
+            F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias(
+                "theta_users"
+            ),
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rolled == direct, "merge of partials != direct sketch"
+    for k, n in exact.items():
+        assert abs(rolled[k][0] - n) <= max(0.05 * n, 2), ("hll", k, rolled[k], n)
+        assert abs(rolled[k][1] - n) <= max(0.05 * n, 2), ("theta", k, rolled[k], n)
+
+
 def test_semi_anti_partition(spark):
     """left_semi ∪ left_anti == left, disjoint."""
     c = table(spark, SF_DIR, "customer")
