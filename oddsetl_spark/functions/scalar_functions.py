@@ -39,7 +39,7 @@ SELECT p_partkey,
        length(p_name) AS name_len,
        replace(p_brand, 'Brand#', 'B') AS brand_short,
        instr(p_name, 'a') AS first_a,
-       string_split(p_type, ' ') AS type_words,
+       array_to_string(string_split(p_type, ' '), '|') AS type_words,
        regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
        levenshtein(p_brand, 'Brand#10') AS lev_to_b10
@@ -59,7 +59,10 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
         F.instr(F.col("p_name"), "a").alias("first_a"),
-        F.split("p_type", " ").alias("type_words"),
+        # Array outputs are serialized to '|'-joined strings: the external
+        # driver canonicalizes results with pandas sort_values, which cannot
+        # sort list-typed cells (round-1 gate failure).
+        F.array_join(F.split("p_type", " "), "|").alias("type_words"),
         F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
         F.levenshtein(F.col("p_brand"), F.lit("Brand#10")).alias("lev_to_b10"),
@@ -211,48 +214,69 @@ WITH t AS (
 SELECT doc_id,
        len(toks) AS n_tokens,
        list_contains(toks, 'join') AS has_join,
-       list_sort(list_distinct(toks)) AS uniq_sorted,
-       list_slice(toks, 1, 5) AS first5,
-       flatten([list_slice(toks, 1, 2), list_slice(toks, 3, 4)]) AS first4,
-       list_sort(list_distinct(list_concat(list_slice(toks, 1, 3), ['aaa','zzz'])))
-         AS with_extras,
-       list_transform(toks, x -> length(x)) AS tok_lens,
-       list_filter(toks, x -> length(x) > 6) AS long_toks,
+       array_to_string(list_sort(list_distinct(toks)), '|') AS uniq_sorted,
+       array_to_string(list_slice(toks, 1, 5), '|') AS first5,
+       array_to_string(flatten([list_slice(toks, 1, 2), list_slice(toks, 3, 4)]), '|')
+         AS first4,
+       array_to_string(
+         list_sort(list_distinct(list_concat(list_slice(toks, 1, 3), ['aaa','zzz']))),
+         '|') AS with_extras,
+       array_to_string(list_transform(toks, x -> CAST(length(x) AS VARCHAR)), '|')
+         AS tok_lens,
+       coalesce(array_to_string(list_filter(toks, x -> length(x) > 6), '|'), '')
+         AS long_toks,
        len(list_filter(toks, x -> x = 'scan')) > 0 AS has_scan,
        list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS total_chars,
-       list_transform(list_zip(list_slice(toks, 1, 3), list_slice(toks, 2, 4)),
-                      p -> concat(p[1], '_', p[2])) AS bigram3
+       array_to_string(
+         list_transform(list_zip(list_slice(toks, 1, 3), list_slice(toks, 2, 4)),
+                        p -> concat(p[1], '_', p[2])), '|') AS bigram3
 FROM t
 """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array + higher-order functions over token arrays (all-integer/string
-    element types keep the oracle comparison exact)."""
+    element types keep the oracle comparison exact).
+
+    Every array-typed result is serialized via array_join('|') — the
+    external driver canonicalizes with pandas sort_values, which cannot
+    sort list cells (round-1 gate failure); '|' never occurs in tokens."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
     toks = F.split(F.col("text"), " ")
     t = d.select("doc_id", toks.alias("toks"))
     tk = F.col("toks")
+
+    def joined(col, name):
+        return F.array_join(col, "|").alias(name)
+
     return t.select(
         "doc_id",
         F.size(tk).alias("n_tokens"),
         F.array_contains(tk, "join").alias("has_join"),
-        F.sort_array(F.array_distinct(tk)).alias("uniq_sorted"),
-        F.slice(tk, 1, 5).alias("first5"),
-        F.flatten(F.array(F.slice(tk, 1, 2), F.slice(tk, 3, 2))).alias("first4"),
-        F.sort_array(F.array_distinct(F.array_union(F.slice(tk, 1, 3), F.array(F.lit("aaa"), F.lit("zzz"))))).alias(
-            "with_extras"
+        joined(F.sort_array(F.array_distinct(tk)), "uniq_sorted"),
+        joined(F.slice(tk, 1, 5), "first5"),
+        joined(F.flatten(F.array(F.slice(tk, 1, 2), F.slice(tk, 3, 2))), "first4"),
+        joined(
+            F.sort_array(
+                F.array_distinct(
+                    F.array_union(F.slice(tk, 1, 3), F.array(F.lit("aaa"), F.lit("zzz")))
+                )
+            ),
+            "with_extras",
         ),
-        F.transform(tk, lambda x: F.length(x)).alias("tok_lens"),
-        F.filter(tk, lambda x: F.length(x) > 6).alias("long_toks"),
+        joined(F.transform(tk, lambda x: F.length(x).cast("string")), "tok_lens"),
+        joined(F.filter(tk, lambda x: F.length(x) > 6), "long_toks"),
         F.exists(tk, lambda x: x == "scan").alias("has_scan"),
         F.aggregate(
             F.transform(tk, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
         ).alias("total_chars"),
-        F.zip_with(
-            F.slice(tk, 1, 3),
-            F.slice(tk, 2, 3),
-            lambda a, b: F.concat(a, F.lit("_"), b),
-        ).alias("bigram3"),
+        joined(
+            F.zip_with(
+                F.slice(tk, 1, 3),
+                F.slice(tk, 2, 3),
+                lambda a, b: F.concat(a, F.lit("_"), b),
+            ),
+            "bigram3",
+        ),
     )
 
 
@@ -263,7 +287,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
        1 AS n_keys,
-       ['k'] AS key_list,
+       'k' AS key_list,
        CAST(json_extract_string(props, '$.k') AS INT) * 2 AS doubled_via_map
 FROM events
 WHERE event_id < 500
@@ -271,8 +295,9 @@ WHERE event_id < 500
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map functions: from_json -> map, element_at, size, map_keys,
-    map_from_arrays. Map-typed columns stay internal (outputs are scalars/
-    arrays) because engines don't agree on map value rendering."""
+    map_from_arrays. Map- and array-typed columns stay internal (outputs
+    are scalars; key_list is array_join'd) because engines don't agree on
+    map rendering and the driver canonicalizer cannot sort list cells."""
     e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     m = F.from_json(F.col("props"), "map<string,int>")
     m2 = F.map_from_arrays(
@@ -283,7 +308,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(m, "k").alias("k_value"),
         F.size(m).alias("n_keys"),
-        F.map_keys(m).alias("key_list"),
+        F.array_join(F.sort_array(F.map_keys(m)), "|").alias("key_list"),
         F.element_at(m2, "double").alias("doubled_via_map"),
     )
 

@@ -318,10 +318,14 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_approx_percentile", category="agg", oracle=None)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-ish sketch) — mergeable, bounded-memory: the
-    percentile path at 100 TB. Rows-only; accuracy asserted in tests."""
+    percentile path at 100 TB. Rows-only; accuracy asserted in tests.
+    The two quantiles are emitted as scalar columns (the driver
+    canonicalizer cannot sort array-typed cells)."""
     li = table(spark, sf_dir, "lineitem")
+    ap = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("approx_p")
+        F.element_at(ap, 1).alias("approx_p50"),
+        F.element_at(ap, 2).alias("approx_p95"),
     )
 
 
@@ -362,17 +366,23 @@ def agg_minby_maxby_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="agg",
     oracle="""
 WITH d AS (SELECT DISTINCT user_id, event_type FROM events WHERE user_id < 20)
-SELECT user_id, list(event_type ORDER BY event_type) AS types
+SELECT user_id, array_to_string(list(event_type ORDER BY event_type), '|') AS types
 FROM d GROUP BY user_id
 """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array agg — collect_set + sort_array for deterministic contents."""
+    """Array agg — collect_set + sort_array for deterministic contents,
+    serialized via array_join (driver canonicalizer cannot sort list
+    cells)."""
     e = table(spark, sf_dir, "events")
     return (
         e.filter(F.col("user_id") < 20)
         .groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), "|").alias(
+                "types"
+            )
+        )
     )
 
 

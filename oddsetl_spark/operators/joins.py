@@ -329,9 +329,13 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof",
     category="joins",
     oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
 SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, o.o_orderkey, o.o_orderdate
 FROM events e
-ASOF LEFT JOIN orders o
+ASOF LEFT JOIN o
   ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
 WHERE e.event_id < 2000
 """,
@@ -346,9 +350,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie semantics: DuckDB ASOF takes o_orderdate <= ts; orders sort before
     the event at equal timestamps (is_order=1 first via secondary key).
+    DuckDB's choice among BUILD rows tied on the asof key is unspecified,
+    so both sides pre-dedup orders to max(o_orderkey) per
+    (o_custkey, o_orderdate) — the fixtures contain duplicate pairs.
     """
     e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    o = table(spark, sf_dir, "orders")
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
     ev = e.select(
         F.col("user_id").alias("k"),
         F.col("ts").alias("t"),
@@ -551,23 +562,38 @@ def join_runtime_bloomfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     might_contain() predicate prunes the probe scan BEFORE the shuffle —
     at 100 TB this cuts the shuffled fact volume by the build side's
     selectivity without any manual semi-join. Broadcast is disabled for
-    the demo so the SMJ path (the at-scale shape) is what gets pruned;
-    pin_session restores both confs before the next query."""
+    the demo so the SMJ path (the at-scale shape) is what gets pruned.
+
+    The plan is MATERIALIZED (localCheckpoint) while the overrides are in
+    force, and the saved confs are restored in a finally block — so a
+    caller that builds several query DataFrames before collecting any
+    never executes a sibling query with broadcast joins disabled (the
+    opt_cbo_join_reorder conf-scoping pattern)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    # Overrides AFTER table() (pin_session restores the defaults there).
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    spark.conf.set(
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter."
-        "applicationSideScanSizeThreshold", "0"
-    )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey")
-        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
-    )
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+            .localCheckpoint()  # execute while the bloom/SMJ confs hold
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -510,15 +510,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: vectors are L2-normalized
     (FIXTURES.md) so cosine == dot; emit ordered pairs with cosine >= tau.
 
-    EXACT all-pairs, executed as a distributed BLOCKED MATMUL: the build
-    side (id, matrix, label arrays) ships to executors as a broadcast
-    variable; the stream side repartitions and each Arrow batch computes
-    its (m x n) dot block in numpy. This replaced a one-task
-    BroadcastNestedLoopJoin evaluating a per-row fold expression (25 s at
-    sf0.1 -> ~1 s): same join, dense-linear-algebra execution. At 100 TB
-    the stream side stays partitioned exactly like this and the build side
-    blocks too (grid of (A_i, B_j) block pairs); the hyperplane-bucketed
-    prefilter of sim_lsh_bucketed is the approximate alternative.
+    EXACT all-pairs, executed as a fully DISTRIBUTED BLOCK-GRID MATMUL —
+    no driver-side materialization at any scale (the round-1 version
+    collected the whole build side with toPandas; this is the block-grid
+    design that replaces it):
+
+    1. range-block by vec_id: blk = vec_id // BLOCK (a constant, so no
+       count() pass and no driver data);
+    2. pack each block into ONE row of parallel arrays (ids, matrix rows,
+       labels) via sort_array(collect_list(struct(...)));
+    3. self-join the K packed block rows on blk_a <= blk_b — the upper
+       triangle of the (K x K) grid, K(K+1)/2 tiny rows;
+    4. mapInPandas computes each cell's (BLOCK x BLOCK) dot block in numpy.
+
+    Shuffle cost is one groupBy of the embeddings table plus ~K-fold
+    replication of packed blocks across grid cells — at 100 TB you raise
+    BLOCK so each cell's pair of blocks fits an executor core, and the
+    grid parallelism (K^2/2 cells) spreads over the cluster. The
+    hyperplane-bucketed prefilter of sim_lsh_approx is the approximate
+    alternative when even the grid is too much work.
 
     Bit-exactness vs the DuckDB list_reduce twin: the dot accumulates
     SEQUENTIALLY over the 64 dims (acc = acc + a_d*b_d, vectorized across
@@ -533,39 +543,70 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .llm_similarity import _emb
 
-    e = _emb(spark, sf_dir)
-    build = e.toPandas()  # build side: same driver collect a broadcast join does
-    b_ids = build["vec_id"].to_numpy(np.int64)
-    b_mat = np.stack(build["emb"].to_numpy())  # (n, 64) float64
-    b_lab = build["label"].to_numpy(np.int32)
-    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_lab))
+    BLOCK = 512  # vectors per grid block (fixture-sized; raise at scale)
     tau = _COSINE_TAU
 
-    def block_dots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b, mat_b, lab_b = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_mat = np.stack(pdf["emb"].to_numpy())
-            a_ids = pdf["vec_id"].to_numpy(np.int64)
-            a_lab = pdf["label"].to_numpy(np.int32)
-            # sequential fold over dims == Spark/DuckDB fold order
-            acc = np.zeros((len(a_ids), len(ids_b)))
-            for d in range(a_mat.shape[1]):
-                acc = acc + a_mat[:, d : d + 1] * mat_b[:, d]
-            keep = (a_ids[:, None] < ids_b[None, :]) & (acc >= tau)
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": ids_b[bi],
-                    "label_a": a_lab[ai],
-                    "label_b": lab_b[bi],
-                    "cosine": acc[ai, bi],
-                }
+    e = _emb(spark, sf_dir)
+    packed = (
+        e.groupBy(F.floor(F.col("vec_id") / BLOCK).alias("blk"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "emb", "label"))).alias(
+                "vs"
             )
+        )
+        .select(
+            "blk",
+            F.transform("vs", lambda v: v.vec_id).alias("ids"),
+            F.transform("vs", lambda v: v.emb).alias("embs"),
+            F.transform("vs", lambda v: v.label).alias("labels"),
+        )
+    )
+    a = packed.select(
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("embs").alias("embs_a"),
+        F.col("labels").alias("labels_a"),
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("embs").alias("embs_b"),
+        F.col("labels").alias("labels_b"),
+    )
+    # K rows x K rows upper-triangle theta join: tiny, BNLJ is correct here.
+    cells = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    # One grid cell per task: the matmul is the unit of work to spread.
+    cells = cells.repartition(F.col("blk_a"), F.col("blk_b"))
 
-    return e.repartition(32).mapInPandas(
-        block_dots,
+    def cell_dots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                a_ids = np.asarray(row.ids_a, dtype=np.int64)
+                b_ids = np.asarray(row.ids_b, dtype=np.int64)
+                a_mat = np.stack([np.asarray(v) for v in row.embs_a])
+                b_mat = np.stack([np.asarray(v) for v in row.embs_b])
+                a_lab = np.asarray(row.labels_a, dtype=np.int32)
+                b_lab = np.asarray(row.labels_b, dtype=np.int32)
+                # sequential fold over dims == Spark/DuckDB fold order
+                acc = np.zeros((len(a_ids), len(b_ids)))
+                for d in range(a_mat.shape[1]):
+                    acc = acc + a_mat[:, d : d + 1] * b_mat[:, d]
+                keep = acc >= tau
+                if row.blk_a == row.blk_b:
+                    keep &= a_ids[:, None] < b_ids[None, :]
+                # range blocking: blk_a < blk_b implies every a_id < b_id
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": a_ids[ai],
+                        "vec_b": b_ids[bi],
+                        "label_a": a_lab[ai],
+                        "label_b": b_lab[bi],
+                        "cosine": acc[ai, bi],
+                    }
+                )
+
+    return cells.mapInPandas(
+        cell_dots,
         schema="vec_a long, vec_b long, label_a int, label_b int, cosine double",
     )

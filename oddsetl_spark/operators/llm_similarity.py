@@ -11,7 +11,7 @@ Scale design:
 - brute-force top-k broadcasts the (small) query set and never shuffles
   the corpus: per-partition partial top-k via window over a repartitioned
   key would be the 1000-executor layout; at 100 TB switch to the bucketed
-  sim_lsh_bucketed path (candidates only within a hyperplane bucket);
+  sim_lsh_approx path (candidates only within a hyperplane bucket);
 - centroid ops are (label,pos)-keyed aggregations — one shuffle of
   64 rows per vector, mergeable partials.
 """
@@ -139,8 +139,8 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_lsh_bucketed", category="llm_sim", oracle=None)
-def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("sim_lsh_approx", category="llm_sim", oracle=None)
+def sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join at scale: random-hyperplane (SimHash)
     LSH with OR-amplification — L=8 hash tables of 3 hyperplanes each
     (8 buckets/table). Candidates = pairs sharing a bucket in ANY table,

@@ -131,12 +131,42 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _resize_pil(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """Real-codec resize: rasterize the payload bytes as a (h, w) 8-bit
+    grayscale image (np.resize tiles/truncates deterministically to w*h
+    pixels) and bilinear-resize to (tw, th) with PIL. Output is always
+    tw*th bytes. Deterministic: same payload -> same thumbnail."""
+    import numpy as np
+    from PIL import Image
+
+    arr = np.resize(np.frombuffer(payload, dtype=np.uint8), w * h)
+    img = Image.fromarray(arr.reshape(h, w), mode="L")
+    return img.resize((tw, th), Image.BILINEAR).tobytes()
+
+
+def _resize_fake(payload: bytes, tw: int, th: int) -> bytes:
+    """Fallback when PIL is absent: deterministic byte decimation — keep
+    every k-th byte so the output has at most tw*th 'pixels'."""
+    k = max(1, -(-len(payload) // (tw * th)))
+    return payload[::k]
+
+
+def _has_pil() -> bool:
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 @register("mm_resize_stub", category="multimodal", oracle=None)
 def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize-to-thumbnail over image payloads. Tries the real codec
-    (PIL); absent, a deterministic fake byte-decimates the payload to the
-    target 'pixel' budget. Either way the Spark-side contract is fixed:
-    mapInPandas in, (doc_id, out_w, out_h, out_payload, out_bytes) out."""
+    """Resize-to-thumbnail over image payloads. Uses the real codec (PIL
+    bilinear resize on the byte raster) when importable on the workers;
+    otherwise a deterministic fake byte-decimation. Either way the
+    Spark-side contract is fixed: mapInPandas in,
+    (doc_id, out_w, out_h, out_payload, out_bytes) out."""
     target_w, target_h = 64, 64
     m = (
         media_table(spark, sf_dir)
@@ -144,28 +174,23 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "meta", "payload")
     )
 
-    try:
-        from PIL import Image  # noqa: F401 — real codec path
-
-        has_pil = True
-    except ImportError:
-        has_pil = False
-
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_pil = _has_pil()  # probe on the WORKER: that's where it runs
         for pdf in batches:
-            if has_pil:
-                raise NotImplementedError(
-                    "real PIL resize path not exercised in this container"
+            if use_pil:
+                out = pd.Series(
+                    [
+                        _resize_pil(
+                            b, meta["width"], meta["height"], target_w, target_h
+                        )
+                        for b, meta in zip(pdf["payload"], pdf["meta"])
+                    ],
+                    index=pdf.index,
                 )
-            # Deterministic fake: keep every k-th byte so the output has
-            # at most target_w*target_h 'pixels'.
-            budget = target_w * target_h
-
-            def shrink(b: bytes) -> bytes:
-                k = max(1, -(-len(b) // budget))
-                return b[::k]
-
-            out = pdf["payload"].map(shrink)
+            else:
+                out = pdf["payload"].map(
+                    lambda b: _resize_fake(b, target_w, target_h)
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -249,19 +249,24 @@ FROM s
 GROUP BY user_id, session_id
 """,
 )
-def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min): lag -> new-session flag ->
-    running sum = session id -> per-session rollup. Two shuffles total
-    (window + final agg share the user_id key, so AQE can reuse the
-    exchange). This is the batch twin of stream_session_window."""
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared gap-based sessionization core (30-min): lag -> new-session
+    flag -> running sum = session id -> per-session rollup.
+
+    The gap compares microsecond-exact epochs (unix_micros), matching the
+    DuckDB oracle's `> INTERVAL 30 MINUTE` exact-interval semantics — a
+    cast('long') would truncate to seconds and diverge for gaps within 1 s
+    of exactly 1800 s."""
     e = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
     flagged = e.select(
         "user_id",
         "event_id",
         "ts",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("is_new"),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias(
+            "is_new"
+        ),
     )
     sess = flagged.select(
         "user_id",
@@ -274,4 +279,65 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+
+
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min): lag -> new-session flag ->
+    running sum = session id -> per-session rollup. Two shuffles total
+    (window + final agg share the user_id key, so AQE can reuse the
+    exchange). This is the batch twin of stream_session_window."""
+    return _sessionized(spark, sf_dir)
+
+
+@register(
+    "win_sessionize_stats",
+    category="windows",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_id,
+         COUNT(*) AS n_events,
+         MIN(ts) AS session_start,
+         MAX(ts) AS session_end
+  FROM s
+  GROUP BY user_id, session_id
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       SUM(n_events) AS total_events,
+       MAX(n_events) AS max_session_events,
+       MIN(session_start) AS first_start,
+       MAX(session_end) AS last_end
+FROM sess
+GROUP BY user_id
+""",
+)
+def win_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization rolled up to per-user stats. Computes strictly MORE
+    than win_sessionize (same lag/cumsum/per-session agg plus one further
+    user-level agg) but emits ~n_users rows instead of ~n_sessions — the
+    driver-transfer shape a 100 TB report actually collects. This is the
+    benchmarked sessionize variant (BASELINE 'sessionize events' row);
+    win_sessionize keeps the per-session output as the row-level oracle."""
+    return _sessionized(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.min("session_start").alias("first_start"),
+        F.max("session_end").alias("last_end"),
     )

@@ -29,33 +29,88 @@ class QueryDef:
     fn: QueryFn
     oracle: str | None
     category: str
+    heavy: bool = False
 
 
 _REGISTRY: dict[str, QueryDef] = {}
 
+# Sweep order. The external correctness driver iterates queries() in dict
+# order under a fixed time budget — round 1's sweep truncated after 50
+# queries because the streaming replays (each a full availableNow run +
+# foreachBatch materialization, seconds each at sf0.01) registered early.
+# Emit cheap, high-yield batch categories first; queries flagged heavy=True
+# (multi-second batch ops at sf0.01) after all light batch queries; the
+# streaming replays last. Stable within each tier (registration order).
+_CATEGORY_ORDER = (
+    "rowops",
+    "sorts",
+    "setops",
+    "functions",
+    "windows",
+    "agg",
+    "joins",
+    "udfs",
+    "llm_text",
+    "llm_sim",
+    "llm_dedup",
+    "multimodal",
+    "etl",
+    "geo",
+    "sources",
+    "streaming",
+)
+_CATEGORY_RANK = {c: i for i, c in enumerate(_CATEGORY_ORDER)}
 
-def register(name: str, oracle: str | None = None, category: str = "misc"):
+
+def _tier(q: QueryDef) -> int:
+    if q.category == "streaming":
+        return 2
+    return 1 if q.heavy else 0
+
+
+def _ordered() -> list[QueryDef]:
+    order = list(_REGISTRY.values())  # registration order (dicts are ordered)
+    return sorted(
+        order,
+        key=lambda q: (_tier(q), _CATEGORY_RANK.get(q.category, len(_CATEGORY_ORDER))),
+    )
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    category: str = "misc",
+    heavy: bool = False,
+):
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QueryDef(name, fn, oracle, category)
+        _REGISTRY[name] = QueryDef(name, fn, oracle, category, heavy)
         return fn
 
     return deco
 
 
+def register_alias(alias: str, existing: str) -> None:
+    """Register `alias` as a second name for an already-registered query."""
+    q = _REGISTRY[existing]
+    if alias in _REGISTRY:
+        raise ValueError(f"duplicate query name: {alias}")
+    _REGISTRY[alias] = QueryDef(alias, q.fn, q.oracle, q.category, q.heavy)
+
+
 def queries() -> dict[str, QueryFn]:
-    return {q.name: q.fn for q in _REGISTRY.values()}
+    return {q.name: q.fn for q in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {q.name: q.oracle for q in _REGISTRY.values() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 def all_queries() -> dict[str, QueryDef]:
-    return dict(_REGISTRY)
+    return {q.name: q for q in _ordered()}
 
 
 def get(name: str) -> QueryDef:
