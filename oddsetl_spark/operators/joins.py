@@ -569,31 +569,43 @@ def join_runtime_bloomfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     caller that builds several query DataFrames before collecting any
     never executes a sibling query with broadcast joins disabled (the
     opt_cbo_join_reorder conf-scoping pattern)."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    o = (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_orderkey")
-    )
-    overrides = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter."
-        "applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    saved = {k: spark.conf.get(k, None) for k in overrides}
-    for k, v in overrides.items():
+    # Build FIRST: table() -> pin_session resets these confs to defaults;
+    # the optimizer reads them at execution, so set overrides after build.
+    df = _bloom_join(spark, sf_dir)
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_OVERRIDES}
+    for k, v in _BLOOM_OVERRIDES.items():
         spark.conf.set(k, v)
     try:
-        return (
-            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy("o_orderkey")
-            .agg(dsum(F.col("l_quantity")).alias("total_qty"))
-            .localCheckpoint()  # execute while the bloom/SMJ confs hold
-        )
+        # execute (localCheckpoint) while the bloom/SMJ confs hold
+        return df.localCheckpoint()
     finally:
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_BLOOM_OVERRIDES = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-checkpointed bloom-join plan — tests inspect this under their
+    own conf scope (the registered query checkpoints, which hides the
+    join plan behind the checkpoint scan)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+    )

@@ -200,7 +200,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", category="llm_dedup", oracle=None)
+@register("dedup_minhash_lsh", category="llm_dedup", oracle=None, heavy=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (64 seeded xxhash64 mins) + LSH banding (16 bands x 4 rows)
     -> candidate pairs -> exact Jaccard refine >= tau.
@@ -325,7 +325,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", category="llm_dedup", oracle=None)
+@register("dedup_simhash", category="llm_dedup", oracle=None, heavy=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit) near-dup candidates with hamming distance <= 3.
 
@@ -573,8 +573,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embs").alias("embs_b"),
         F.col("labels").alias("labels_b"),
     )
-    # K rows x K rows upper-triangle theta join: tiny, BNLJ is correct here.
-    cells = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    # Upper-triangle grid WITHOUT broadcasting vector data: replicate each
+    # A-block across its row of cells by theta-joining against the bare
+    # block-id list (K longs — the only broadcast), then shuffle-equi-join
+    # the B-block data on blk_b. No packed vectors ever pass through a
+    # driver-side broadcast build.
+    blk_ids = packed.select(F.col("blk").alias("blk_b"))
+    a_cells = a.join(F.broadcast(blk_ids), F.col("blk_a") <= F.col("blk_b"))
+    cells = a_cells.join(b, "blk_b")
     # One grid cell per task: the matmul is the unit of work to spread.
     cells = cells.repartition(F.col("blk_a"), F.col("blk_b"))
 

@@ -139,7 +139,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_lsh_approx", category="llm_sim", oracle=None)
+@register("sim_lsh_approx", category="llm_sim", oracle=None, heavy=True)
 def sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join at scale: random-hyperplane (SimHash)
     LSH with OR-amplification — L=8 hash tables of 3 hyperplanes each

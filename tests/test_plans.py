@@ -120,8 +120,21 @@ def test_bucketed_join_has_no_exchange(spark):
 
 def test_runtime_bloom_filter_prunes_probe_side(spark):
     """The selective build side must inject might_contain() into the probe
-    scan's filter (runtime row-level semi-join pruning)."""
-    plan = _plan(spark, "join_runtime_bloomfilter")
+    scan's filter (runtime row-level semi-join pruning). The registered
+    query localCheckpoints (hiding the join plan), so inspect the
+    un-checkpointed builder under the same conf overrides."""
+    from oddsetl_spark.operators.joins import _BLOOM_OVERRIDES, _bloom_join
+    from oddsetl_spark.plans.report import executed_plan
+
+    df = _bloom_join(spark, SF_DIR)  # builds first: table() resets confs
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_OVERRIDES}
+    for k, v in _BLOOM_OVERRIDES.items():
+        spark.conf.set(k, v)
+    try:
+        plan = executed_plan(df)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
 
