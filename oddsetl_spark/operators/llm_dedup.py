@@ -215,8 +215,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly the stage LSH exists to avoid). xxhash64 is
     engine-specific => rows-only check; recall vs dedup_ngram_jaccard is
     asserted in tests.
+
+    Band parameters (16x4 at threshold s ~ (1/16)^(1/4) ~ 0.5): see
+    tools/lsh_band_sweep.py for the measured recall / candidate-count
+    trade-off across (bands x rows) configs at a given SF.
     """
-    n_sig, n_bands, rows_per_band = 64, 16, 4
+    return minhash_lsh_pairs(spark, sf_dir, n_bands=16, rows_per_band=4)
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int,
+    rows_per_band: int,
+    candidates_only: bool = False,
+) -> DataFrame:
+    """Parameterized MinHash-LSH core (the banding S-curve knobs).
+
+    n_bands * rows_per_band signatures are generated; `candidates_only`
+    returns the pre-refine candidate pairs (for measuring the candidate
+    count a config pays for its recall)."""
+    n_sig = n_bands * rows_per_band
     # Universal-hash permutation family: hash the shingle STRING once
     # (xxhash64), then derive the 64 signature hashes arithmetically as
     # g_i = (a_i*h31 + b_i) mod p  (p = 2^31-1, seeded constants). String
@@ -300,6 +319,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    if candidates_only:
+        return candidates
     sets = per_doc
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),

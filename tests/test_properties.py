@@ -64,6 +64,23 @@ def test_minhash_lsh_recall(spark):
     assert found <= truth | found
 
 
+def test_minhash_band_scurve(spark):
+    """Banding S-curve at a fixed 64-signature budget: more bands (fewer
+    rows per band) lowers the similarity threshold, so the candidate set
+    can only grow, while the refined output stays recall-comparable. Pins
+    the trade tools/lsh_band_sweep.py measures (16x4 is the production
+    config: full recall at a fraction of 64x1's candidate count)."""
+    from oddsetl_spark.operators.llm_dedup import minhash_lsh_pairs
+
+    n16 = minhash_lsh_pairs(spark, SF_DIR, 16, 4, candidates_only=True).count()
+    n64 = minhash_lsh_pairs(spark, SF_DIR, 64, 1, candidates_only=True).count()
+    assert n64 >= n16, f"64x1 candidates {n64} < 16x4 candidates {n16}"
+    assert n64 >= 5 * n16, (
+        f"64x1 should pay a large candidate blowup for its low threshold "
+        f"(got {n64} vs {n16})"
+    )
+
+
 def test_simhash_finds_twins(spark):
     """Each doc's perturbed twin should appear among hamming<=3 pairs for
     a healthy majority of docs (SimHash is approximate)."""
