@@ -21,6 +21,7 @@ from .operators import (  # noqa: F401,E402
     etl,
     geo,
     joins,
+    llm_curation,
     llm_dedup,
     llm_similarity,
     llm_text,

@@ -1,0 +1,410 @@
+"""Training-data curation operators: the end-to-end selection/cleaning steps
+a pre-training corpus pipeline runs AFTER the per-signal building blocks in
+llm_text/llm_dedup (SURVEY.md §2.K addendum — curation composites).
+
+Design for 100 TB:
+- stratified sampling and ntile bucketing each shuffle ONCE on their
+  grouping key (lang / nothing), with the per-row hash or score computed
+  map-side first;
+- the contamination check broadcasts the benchmark shingle set (benchmarks
+  are small by construction — a few thousand documents) so the 100 TB
+  training side is a single map-side semi-join, no shuffle of the corpus;
+- the funnel computes every stage flag in ONE pass over the corpus and
+  aggregates 5 counters — not five separate scans;
+- normalization/quantization is a pure per-row projection (embarrassingly
+  parallel, no shuffle at all).
+
+Oracle-exactness: deterministic integer hashing (Knuth multiplicative mod
+2^32 — identical arithmetic on both engines), unique tiebreakers under
+every window order, fold-based sums of squares evaluated left-to-right
+sequentially on both engines (F.aggregate / list_reduce), floor(x+0.5)
+instead of round() (engines disagree on banker's rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..io import table
+from ..registry import register
+
+# Knuth multiplicative hash: deterministic, engine-agnostic sampling order.
+_HASH_MULT = 2654435761
+_HASH_MOD = 1 << 32
+
+_SAMPLE_FRAC = 0.2  # stratified sample keeps 20% of each language
+
+
+@register(
+    "curate_stratified_sample",
+    category="curation",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, (doc_id * {_HASH_MULT}) % {_HASH_MOD} AS bucket,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, bucket, n_lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, lang, bucket
+FROM r WHERE rn <= CEIL(n_lang * {_SAMPLE_FRAC})
+""",
+)
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: keep the same FRACTION of every
+    language stratum, selecting rows by a content-independent integer hash
+    of the key (not rand()) so the sample is reproducible across runs,
+    engines, and cluster layouts.
+
+    Scale shape: one shuffle on `lang` (the stratum key) for the window;
+    the hash is computed map-side. At 100 TB with few strata the window
+    per-stratum is the skew risk — for huge strata switch to the
+    threshold-on-hash formulation (keep bucket < frac * 2^32), which needs
+    NO window and NO shuffle; the window variant is used here because it
+    guarantees the exact per-stratum count.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") * F.lit(_HASH_MULT) % F.lit(_HASH_MOD)).alias("bucket"),
+        F.count("*").over(W.partitionBy("lang")).alias("n_lang"),
+    )
+    rn = F.row_number().over(W.partitionBy("lang").orderBy("bucket", "doc_id"))
+    return (
+        h.withColumn("rn", rn)
+        .filter(F.col("rn") <= F.ceil(F.col("n_lang") * F.lit(_SAMPLE_FRAC)))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+@register(
+    "curate_quality_ntile",
+    category="curation",
+    oracle="""
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE)
+           / len(string_split(lower(text), ' ')) AS avg_tok_len,
+         length(text) AS n_char
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_char, avg_tok_len,
+         NTILE(10) OVER (ORDER BY avg_tok_len, doc_id) AS bucket
+  FROM q
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       MIN(avg_tok_len) AS min_score,
+       MAX(avg_tok_len) AS max_score,
+       CAST(SUM(CAST(n_char AS DECIMAL(30,0))) AS DOUBLE) / COUNT(*)
+         AS avg_chars
+FROM b GROUP BY bucket
+""",
+)
+def curate_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing by a quality signal (avg token length) — the
+    "keep the top-N% of the corpus by quality" selection primitive.
+
+    NTILE over a global order is a single-partition sort at the limit; at
+    100 TB replace with approx_percentile cutpoints (one pass, mergeable
+    sketch) + a map-side bucket assignment. The exact NTILE variant is the
+    oracle-checkable baseline; the order carries doc_id as the unique
+    tiebreaker so both engines bucket identically.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    q = d.select(
+        "doc_id",
+        (F.length("text").cast("double") / F.size(toks)).alias("avg_tok_len"),
+        F.length("text").alias("n_char"),
+    )
+    b = q.withColumn(
+        "bucket", F.ntile(10).over(W.orderBy("avg_tok_len", "doc_id"))
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("avg_tok_len").alias("min_score"),
+        F.max("avg_tok_len").alias("max_score"),
+        (
+            F.sum(F.col("n_char").cast("decimal(30,0)")).cast("double")
+            / F.count("*")
+        ).alias("avg_chars"),
+    )
+
+
+@register(
+    "curate_funnel",
+    category="curation",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pass_lang,
+         CASE WHEN lang = 'en' AND n_chars BETWEEN 80 AND 2000
+              THEN 1 ELSE 0 END AS pass_len,
+         CASE WHEN lang = 'en' AND n_chars BETWEEN 80 AND 2000
+                   AND len(string_split(lower(text), ' ')) >= 12
+              THEN 1 ELSE 0 END AS pass_tok,
+         CASE WHEN lang = 'en' AND n_chars BETWEEN 80 AND 2000
+                   AND len(string_split(lower(text), ' ')) >= 12
+                   AND ROW_NUMBER() OVER (
+                         PARTITION BY md5(lower(trim(text)))
+                         ORDER BY doc_id) = 1
+              THEN 1 ELSE 0 END AS pass_dedup
+  FROM documents
+)
+SELECT 'total' AS stage, 0 AS stage_idx, COUNT(*) AS n_docs FROM f
+UNION ALL
+SELECT 'lang_en', 1, SUM(pass_lang) FROM f
+UNION ALL
+SELECT 'len_80_2000', 2, SUM(pass_len) FROM f
+UNION ALL
+SELECT 'min_12_tokens', 3, SUM(pass_tok) FROM f
+UNION ALL
+SELECT 'exact_dedup', 4, SUM(pass_dedup) FROM f
+""",
+)
+def curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel: how many documents survive each successive filter
+    (language -> length -> token floor -> exact dedup). The per-stage
+    retention report every corpus-cleaning run publishes.
+
+    ONE scan computes all stage flags as expressions; the only shuffle is
+    the dedup window on the content hash (uniform md5 key — no skew), and
+    the final rollup is 5 counters merged map-side. At 100 TB this is a
+    single pass + one balanced shuffle, vs the naive 5 scans.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("p_lang"),
+        F.col("n_chars").between(80, 2000).alias("p_len"),
+        (F.size(toks) >= 12).alias("p_tok"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_key"),
+    )
+    first = F.row_number().over(
+        W.partitionBy("content_key").orderBy("doc_id")
+    )
+    f = base.select(
+        F.when(F.col("p_lang"), 1).otherwise(0).alias("pass_lang"),
+        F.when(F.col("p_lang") & F.col("p_len"), 1).otherwise(0).alias("pass_len"),
+        F.when(F.col("p_lang") & F.col("p_len") & F.col("p_tok"), 1)
+        .otherwise(0)
+        .alias("pass_tok"),
+        F.when(
+            F.col("p_lang") & F.col("p_len") & F.col("p_tok") & (first == 1), 1
+        )
+        .otherwise(0)
+        .alias("pass_dedup"),
+    )
+    agg = f.agg(
+        F.count("*").alias("total"),
+        F.sum("pass_lang").alias("lang_en"),
+        F.sum("pass_len").alias("len_80_2000"),
+        F.sum("pass_tok").alias("min_12_tokens"),
+        F.sum("pass_dedup").alias("exact_dedup"),
+    )
+    stages = ["total", "lang_en", "len_80_2000", "min_12_tokens", "exact_dedup"]
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("stage"),
+                        F.lit(i).alias("stage_idx"),
+                        F.col(s).alias("n_docs"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
+            )
+        ).alias("s")
+    ).select("s.stage", "s.stage_idx", "s.n_docs")
+
+
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "curate_token_histogram",
+    category="curation",
+    oracle=f"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
+  FROM documents
+),
+c AS (
+  SELECT token, COUNT(*) AS n FROM t GROUP BY token
+)
+SELECT token, n
+FROM c
+ORDER BY n DESC, token
+LIMIT 30
+""",
+)
+def curate_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token histogram under a BPE-style regex pre-tokenizer (letter runs /
+    digit runs / single punctuation) — the vocabulary-frequency profile
+    step of tokenizer training.
+
+    explode -> groupBy is one shuffle on the token key; map-side partial
+    counts collapse the per-partition duplicates first, so shuffle volume
+    follows DISTINCT token count per partition, not corpus token count.
+    Top-30 via TakeOrderedAndProject (no global sort).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_RE), 0)
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(30)
+    )
+
+
+@register(
+    "emb_normalize_quantize",
+    category="curation",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_reduce(
+           list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (acc, x) -> acc + x)) AS norm
+  FROM embeddings
+)
+SELECT vec_id, label,
+       floor(norm * 1000000 + 0.5) / 1000000 AS norm_6,
+       array_to_string(
+         list_transform(embedding,
+           x -> CAST(CAST(floor(CAST(x AS DOUBLE) / norm * 127 + 0.5)
+                          AS BIGINT) AS VARCHAR)),
+         ',') AS q_int8
+FROM n
+""",
+)
+def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize each embedding and quantize to int8 (the standard
+    pre-ANN compression step: 4x smaller than float32, recall loss <1% at
+    64-128 dims). Pure per-row projection — no shuffle, embarrassingly
+    parallel at any scale; stays entirely inside whole-stage codegen.
+
+    Exactness: sum of squares folds left-to-right sequentially on BOTH
+    engines (F.aggregate / list_reduce) -> bit-identical double; floor(x +
+    0.5) instead of round() (HALF_UP vs banker's differs between engines);
+    quantized vector serialized to a csv string (driver canonicalizer
+    cannot sort list cells).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(xd, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / F.col("norm") * 127 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+    )
+    return (
+        e.withColumn("norm", norm)
+        .select(
+            "vec_id",
+            "label",
+            (F.floor(F.col("norm") * 1e6 + F.lit(0.5)) / 1e6).alias("norm_6"),
+            F.array_join(q, ",").alias("q_int8"),
+        )
+    )
+
+
+@register(
+    "curate_contamination",
+    category="curation",
+    oracle="""
+WITH bench AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           range(1, len(string_split(lower(text), ' ')) - 1),
+           i -> concat(string_split(lower(text), ' ')[i], ' ',
+                       string_split(lower(text), ' ')[i+1], ' ',
+                       string_split(lower(text), ' ')[i+2])))) AS shingle
+  FROM documents WHERE doc_id % 23 = 0
+),
+train AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split(lower(text), ' ')) - 1),
+           i -> concat(string_split(lower(text), ' ')[i], ' ',
+                       string_split(lower(text), ' ')[i+1], ' ',
+                       string_split(lower(text), ' ')[i+2])))) AS shingle
+  FROM documents WHERE doc_id % 23 != 0
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id
+),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hit
+  FROM train t JOIN bench b ON t.shingle = b.shingle
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, s.n_shingles, h.n_hit,
+       floor(CAST(h.n_hit AS DOUBLE) / s.n_shingles * 1e9 + 0.5) / 1e9
+         AS overlap_ratio,
+       CAST(h.n_hit AS DOUBLE) / s.n_shingles >= 0.5 AS flagged
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+""",
+)
+def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every training document, the
+    fraction of its distinct word 3-grams that appear anywhere in the
+    benchmark set (docs with doc_id % 23 == 0 stand in for the eval set).
+    Docs with >= 50% shingle overlap are flagged for removal — the
+    standard n-gram decontamination pass before pre-training.
+
+    Scale shape: the benchmark shingle set is SMALL by construction (eval
+    sets are thousands of docs, not billions) -> broadcast it; the 100 TB
+    training side then does a map-side hash-join + per-doc count with NO
+    shuffle of the corpus (the only shuffle is the per-doc hit rollup,
+    keyed by doc_id — uniform). Never join shingle-to-shingle without the
+    broadcast: that shuffles the full corpus inverted index.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    k = 3
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    shingled = d.select("doc_id", F.explode(sh).alias("shingle"))
+    bench = (
+        shingled.filter(F.col("doc_id") % 23 == 0).select("shingle").distinct()
+    )
+    train = shingled.filter(F.col("doc_id") % 23 != 0)
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    ratio = F.col("n_hit").cast("double") / F.col("n_shingles")
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        (F.floor(ratio * 1e9 + F.lit(0.5)) / 1e9).alias("overlap_ratio"),
+        (ratio >= 0.5).alias("flagged"),
+    )

@@ -53,6 +53,7 @@ _CATEGORY_ORDER = (
     "llm_text",
     "llm_sim",
     "llm_dedup",
+    "curation",
     "multimodal",
     "etl",
     "geo",
