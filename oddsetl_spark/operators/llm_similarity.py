@@ -462,3 +462,79 @@ def mm_pairwise_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_sqdist(F.col("a_emb"), F.col("b_emb"))).alias("l2_dist"),
         _dot(F.col("a_emb"), F.col("b_emb")).alias("cosine"),
     )
+
+
+@register("emb_pca_project", category="llm_sim", oracle=None)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection to 2 components via the partial-Gramian
+    pattern: each partition emits ONE row holding its (d x d) Gramian
+    X'X, column sum, and count (a few KB regardless of partition size);
+    the driver merges the partials in deterministic partition order,
+    eigendecomposes the d x d covariance (d=64 — trivially driver-sized),
+    and the projection runs as a broadcast-literal zip_with/aggregate fold
+    back on the executors.
+
+    This is the canonical way to do PCA at 100 TB on Spark: the ONLY data
+    that ever moves is num_partitions * (d^2 + d + 1) doubles — no shuffle
+    of the corpus, no driver materialization of rows. Eigen-decomposition
+    is not SQL-expressible -> rows-only driver check; the algebraic
+    invariants (component orthonormality, per-component projected variance
+    == eigenvalue, variance ordering) are asserted in pytest.
+    """
+    import numpy as np
+
+    e = _emb(spark, sf_dir)
+
+    def gram_partials(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = e.select("emb").mapInPandas(
+        gram_partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in sorted(parts, key=lambda r: (r["n"], r["s"][0])):  # stable order
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    comps = []
+    for i in (d - 1, d - 2):  # top-2 eigenvectors
+        v = evecs[:, i]
+        nz = v[np.abs(v) > 1e-12]
+        if len(nz) and nz[0] < 0:  # deterministic sign
+            v = -v
+        comps.append(v)
+
+    def proj(vec_lit, mean_lit):
+        centered = F.zip_with(F.col("emb"), mean_lit, lambda x, m: x - m)
+        return F.aggregate(
+            F.zip_with(centered, vec_lit, lambda x, v: x * v),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    v1 = F.array(*[F.lit(float(v)) for v in comps[0]])
+    v2 = F.array(*[F.lit(float(v)) for v in comps[1]])
+    return e.select(
+        "vec_id",
+        "label",
+        proj(v1, mean_lit).alias("pc1"),
+        proj(v2, mean_lit).alias("pc2"),
+    )

@@ -500,3 +500,59 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(state_dir)
+
+
+@register(
+    "stream_topk_per_window",
+    category="streaming",
+    oracle=f"""
+WITH c AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+         time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+           + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         COUNT(*) AS n,
+         {{dsum}} AS sum_value
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT window_start, window_end, event_type, n, sum_value, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY window_start
+           ORDER BY n DESC, event_type) AS rk
+  FROM c
+) WHERE rk <= 3
+""".format(dsum=sql_dsum("value")),
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 1-hour tumbling window: a COMPLETE-mode
+    streaming aggregation (counts per window x type) whose per-window
+    ranking runs on the materialized micro-batch output — the standard
+    "trending topics" layout. Ranking inside the continuous query would
+    need complete-mode re-sorting of all history every batch; ranking the
+    landed table keeps streaming state bounded to the window x type
+    aggregates (watermark-evicted at scale) and makes the rank a cheap
+    batch window over ~n_windows * n_types rows."""
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="topkwin")
+    s = (
+        read_events_stream(spark, staged)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    landed = run_to_table(s, mode="complete", tag="topkwin")
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    )
+    return landed.withColumn("rk", rk).filter(F.col("rk") <= 3)

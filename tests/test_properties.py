@@ -368,3 +368,62 @@ def test_pii_scrub_redacts_seeded_and_preserves_others(spark):
             assert r["had_email"] and r["had_phone"], doc_id
         else:
             assert not r["had_email"] and not r["had_phone"], doc_id
+
+
+def test_pca_projection_invariants(spark):
+    """emb_pca_project must satisfy the PCA algebra: projected variance
+    along pc1 >= pc2 and both match the top covariance eigenvalues; the
+    two projections are uncorrelated; every input row is projected."""
+    import numpy as np
+
+    pdf = _q(spark, "emb_pca_project").toPandas()
+    e = table(spark, SF_DIR, "embeddings").toPandas()
+    assert len(pdf) == len(e)
+    X = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    v1, v2 = pdf.pc1.var(ddof=0), pdf.pc2.var(ddof=0)
+    assert v1 >= v2
+    assert abs(v1 - evals[0]) < 1e-8 * max(1.0, evals[0])
+    assert abs(v2 - evals[1]) < 1e-8 * max(1.0, evals[1])
+    corr = np.corrcoef(pdf.pc1, pdf.pc2)[0, 1]
+    assert abs(corr) < 1e-6
+
+
+def test_pca_projection_partitioning_invariance(spark):
+    """The partial-Gramian merge must give the same components regardless
+    of how the input is partitioned (the cluster-reorder safety law)."""
+    from oddsetl_spark.registry import get
+
+    base = get("emb_pca_project").fn(spark, SF_DIR).toPandas()
+    base = base.sort_values("vec_id").reset_index(drop=True)
+    # re-run with a different partitioning of the same fixture
+    import oddsetl_spark.operators.llm_similarity as sim
+
+    orig = sim._emb
+
+    def repart(spark_, sf_dir_):
+        return orig(spark_, sf_dir_).repartition(7)
+
+    sim._emb = repart
+    try:
+        alt = get("emb_pca_project").fn(spark, SF_DIR).toPandas()
+    finally:
+        sim._emb = orig
+    alt = alt.sort_values("vec_id").reset_index(drop=True)
+    import numpy as np
+
+    assert np.allclose(base.pc1, alt.pc1, atol=1e-9)
+    assert np.allclose(base.pc2, alt.pc2, atol=1e-9)
+
+
+def test_stratified_sample_fraction_per_stratum(spark):
+    """curate_stratified_sample keeps ceil(0.2 * n) docs of EVERY language
+    stratum — the defining property of stratified (vs uniform) sampling."""
+    import math
+
+    samp = _q(spark, "curate_stratified_sample").toPandas()
+    full = table(spark, SF_DIR, "documents").groupBy("lang").count().toPandas()
+    got = samp.groupby("lang").size().to_dict()
+    for _, row in full.iterrows():
+        assert got.get(row["lang"], 0) == math.ceil(0.2 * row["count"])
