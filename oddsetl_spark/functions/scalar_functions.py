@@ -445,3 +445,35 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_number(digits, F.lit("999999999")).cast("bigint").alias("parsed"),
         F.lit("not a number").try_cast("bigint").alias("unparsable"),
     )
+
+
+@register(
+    "fn_variant",
+    category="functions",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.missing') AS INT) AS missing_int,
+       to_json(json(props))::VARCHAR AS canonical_json,
+       CAST(json_extract_string(props, '$.k') AS INT) >= 50 AS k_high
+FROM events
+WHERE event_id < 600
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse_json -> binary variant, typed path
+    extraction via (try_)variant_get, canonical re-serialization. VARIANT
+    is the semi-structured scale path — the binary encoding is
+    shredded/predicate-pushable, unlike repeated get_json_object string
+    parsing which re-parses the JSON text per expression."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 600)
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
+        F.to_json(v).alias("canonical_json"),
+        (F.variant_get(v, "$.k", "int") >= 50).alias("k_high"),
+    )

@@ -556,3 +556,57 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
     )
     return landed.withColumn("rk", rk).filter(F.col("rk") <= 3)
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@register(
+    "stream_rocksdb_state",
+    category="streaming",
+    oracle=f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event_id,
+       MAX(event_id) AS last_event_id,
+       {sql_dsum("value")} AS sum_value
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user streaming aggregation with the RocksDB state store
+    provider — the production backend when state exceeds executor heap
+    (per-key state lives on local SSD with changelog checkpointing; the
+    default HDFS-backed provider keeps the whole map on-heap). Same plan,
+    same results: ONLY the state backend swaps, which is exactly the
+    property this query pins by hash-matching the batch oracle.
+
+    The provider conf is scoped save -> run -> restore-in-finally; the
+    stream drains completely (availableNow) inside the scope, so sibling
+    streaming queries keep their default provider.
+    """
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="rocksdb")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        s = (
+            read_events_stream(spark, staged)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("event_id").alias("first_event_id"),
+                F.max("event_id").alias("last_event_id"),
+                dsum(F.col("value")).alias("sum_value"),
+            )
+        )
+        return run_to_table(s, mode="complete", tag="rocksdb")
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
