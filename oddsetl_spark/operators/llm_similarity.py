@@ -538,3 +538,115 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj(v1, mean_lit).alias("pc1"),
         proj(v2, mean_lit).alias("pc2"),
     )
+
+
+def _kmeans_oracle(iters: int) -> str:
+    """Render the k-means Lloyd iterations as chained CTEs — the SAME loop
+    emits the Spark plan (mm_kmeans_iterate), so both engines execute
+    identical per-iteration arithmetic."""
+    sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+vex AS (
+  SELECT vec_id, label, unnest(emb) AS val, unnest(range(len(emb))) AS pos FROM e
+),
+cent0 AS (
+  SELECT vec_id AS c_id, pos, val AS cval FROM vex WHERE vec_id < 4
+)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+dists{t} AS (
+  SELECT v.vec_id, v.label, c.c_id,
+         CAST(SUM(CAST((v.val - c.cval) * (v.val - c.cval)
+                       AS DECIMAL(30,18))) AS DOUBLE) AS sqdist
+  FROM vex v JOIN cent{t - 1} c ON v.pos = c.pos
+  GROUP BY v.vec_id, v.label, c.c_id
+),
+asg{t} AS (
+  SELECT vec_id, label, c_id
+  FROM (SELECT vec_id, label, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sqdist, c_id) AS rn
+        FROM dists{t})
+  WHERE rn = 1
+),
+cent{t} AS (
+  SELECT a.c_id, v.pos,
+         CAST(SUM(CAST(v.val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+  FROM vex v JOIN asg{t} a ON v.vec_id = a.vec_id
+  GROUP BY a.c_id, v.pos
+)"""
+    sql += f"""
+SELECT c_id AS cluster, label, COUNT(*) AS n_vecs
+FROM asg{iters}
+GROUP BY c_id, label
+"""
+    return sql
+
+
+_KMEANS_ITERS = 3
+
+
+@register(
+    "mm_kmeans_iterate",
+    category="llm_sim",
+    oracle=_kmeans_oracle(_KMEANS_ITERS),
+    heavy=True,
+)
+def mm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (Lloyd) on the embedding table: k=4, seeded from
+    vec_id < 4, a fixed 3 iterations — the canonical DataFrame iterative
+    algorithm. Each iteration: broadcast the k x d centroid table, assign
+    via decimal-exact argmin, recompute centroids as decimal-exact means.
+
+    Scale shape per iteration: the corpus-side work is ONE map-side
+    broadcast join + two keyed shuffles (vec_id rollup for distances,
+    (c_id, pos) rollup for new centroids); centroids (k*d rows) are
+    localCheckpoint-ed every round — the iterative-lineage cut that keeps
+    plan depth constant (same discipline as dedup_components). The fixed
+    iteration count keeps it oracle-expressible (3 chained CTE rounds
+    rendered by the same Python loop that drives the Spark side).
+    """
+    e = _emb(spark, sf_dir)
+    vex = e.select(
+        "vec_id", "label", F.posexplode("emb").alias("pos", "val")
+    ).localCheckpoint()
+    cent = (
+        vex.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("c_id"), "pos", F.col("val").alias("cval"))
+        .localCheckpoint()
+    )
+    asg = None
+    for it in range(_KMEANS_ITERS):
+        dists = (
+            vex.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "label", "c_id")
+            .agg(
+                F.sum(
+                    ((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+                    .cast("decimal(30,18)")
+                )
+                .cast("double")
+                .alias("sqdist")
+            )
+        )
+        w = W.partitionBy("vec_id").orderBy(F.asc("sqdist"), F.asc("c_id"))
+        asg = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "label", "c_id")
+        )
+        if it < _KMEANS_ITERS - 1:  # final assignment is the answer
+            cent = (
+                vex.join(asg.select("vec_id", "c_id"), "vec_id")
+                .groupBy("c_id", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("cval")
+                )
+                .localCheckpoint()
+            )
+    return asg.groupBy(F.col("c_id").alias("cluster"), "label").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )

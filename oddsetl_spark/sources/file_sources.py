@@ -376,3 +376,78 @@ def opt_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return out
+
+
+# --- Z-order clustering ---------------------------------------------------
+# The bit-interleave is unrolled in Python once and rendered into BOTH the
+# Spark expression and the DuckDB oracle, so the two engines execute the
+# same arithmetic (floor-divide + mod instead of shifts: Spark's
+# shiftleft/shiftright only take literal shift amounts, and double
+# arithmetic on values < 2^20 is exact on both engines).
+
+_Z_BITS = 8
+
+
+def _z_terms_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(CAST(floor({x} / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i)}")
+        terms.append(f"(CAST(floor({y} / {1 << i}) AS BIGINT) % 2) * {2 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def _z_col(x, y):
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + (F.floor(x / (1 << i)).cast("long") % 2) * (1 << (2 * i))
+        z = z + (F.floor(y / (1 << i)).cast("long") % 2) * (2 << (2 * i))
+    return z
+
+
+@register(
+    "opt_zorder_cluster",
+    category="sources",
+    oracle=f"""
+WITH g AS (
+  SELECT l_quantity AS q,
+         CAST(floor(l_extendedprice / 1000) AS BIGINT) AS p,
+         {_z_terms_sql("l_quantity", "CAST(floor(l_extendedprice / 1000) AS BIGINT)")} AS z
+  FROM lineitem
+)
+SELECT CAST(floor(z / 1024) AS BIGINT) AS z_bucket,
+       COUNT(*) AS n,
+       MIN(q) AS min_q, MAX(q) AS max_q,
+       MIN(p) AS min_p, MAX(p) AS max_p
+FROM g GROUP BY 1
+""",
+)
+def opt_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of a fact table on two dimensions:
+    interleave the bits of (quantity, price-bucket) into one z-value and
+    range-bucket it. Rows inside a z-bucket are close in BOTH dimensions,
+    so per-file min/max stats stay narrow on each dimension at once — the
+    multi-dimensional file-skipping layout (Delta/Iceberg OPTIMIZE ZORDER)
+    that single-column range partitioning cannot give you.
+
+    The per-bucket (min,max) of each dimension IS the verification: the
+    oracle confirms every z-bucket spans a narrow q-range and p-range. At
+    100 TB the same z expression feeds repartitionByRange(z) before the
+    write, turning these buckets into files; the z computation itself is
+    a pure map-side codegen expression.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.floor(F.col("l_extendedprice") / 1000).cast("long")
+    g = li.select(
+        q.alias("q"), p.alias("p"), _z_col(q, p).alias("z")
+    )
+    return (
+        g.groupBy(F.floor(F.col("z") / 1024).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+            F.min("p").alias("min_p"),
+            F.max("p").alias("max_p"),
+        )
+    )
