@@ -408,3 +408,93 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 7
         ).alias("had_phone"),
     )
+
+
+@register(
+    "text_bigram_lm",
+    category="llm_text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+big AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ')[i] AS w1,
+         string_split(lower(text), ' ')[i + 1] AS w2
+  FROM documents,
+       unnest(range(1, len(string_split(lower(text), ' ')))) AS r(i)
+),
+uni_c AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+big_c AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+vocab AS (SELECT COUNT(DISTINCT w1) AS v FROM (
+            SELECT w1 FROM big UNION ALL SELECT w2 FROM big)),
+scored AS (
+  SELECT b.doc_id,
+         round(ln(CAST(bc.c2 + 1 AS DOUBLE) / (uc.c1 + vocab.v)), 9) AS logp
+  FROM big b
+  JOIN big_c bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  JOIN uni_c uc ON b.w1 = uc.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CAST(logp AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+         AS avg_logp
+FROM scored GROUP BY doc_id
+""",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-1 smoothing: train token
+    bigram/unigram counts over the corpus, then score every document by
+    its mean log-probability — the KenLM-style fluency filter used to
+    rank pre-training text (low avg_logp = boilerplate/gibberish).
+
+    Scale shape: counts are two explode+groupBy passes (map-side partial
+    combine); scoring joins each doc's bigrams against the model on the
+    bigram key. At 100 TB the model tables are the small side (vocab^eps,
+    not corpus-sized) -> broadcastable; the corpus side stays a single
+    scan. ln() rounded to 9 decimals BEFORE the decimal sum makes the
+    per-doc mean order-insensitive and bit-identical on both engines
+    (the tfidf discipline).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    big = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .localCheckpoint()
+    )
+    uni_c = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    big_c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    v = (
+        big.select(F.col("w1").alias("w"))
+        .unionAll(big.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    logp = F.round(
+        F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))), 9
+    )
+    scored = (
+        big.join(F.broadcast(big_c), ["w1", "w2"])
+        .join(F.broadcast(uni_c), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", logp.alias("logp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(F.col("logp").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_logp"),
+    )

@@ -341,3 +341,81 @@ def win_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("session_start").alias("first_start"),
         F.max("session_end").alias("last_end"),
     )
+
+
+@register(
+    "win_funnel_stages",
+    category="windows",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       v.t_view,
+       c.t_click,
+       p.t_purchase,
+       1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS stage_reached
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def win_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> later click -> later purchase)
+    per user: the MATCH_RECOGNIZE-style sequential-pattern query, done as
+    chained first-occurrence-after-anchor aggregations.
+
+    Each stage is one filtered groupBy on user_id — at scale, three
+    shuffles on the SAME key, which AQE + identical partitioning turn
+    into co-located exchanges (no re-shuffle of the later stages'
+    probe side after the first). Strictly-greater anchors make the result
+    tie-deterministic on both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+                + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+            ).alias("stage_reached"),
+        )
+    )
