@@ -375,33 +375,48 @@ def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by doc_id — uniform). Never join shingle-to-shingle without the
     broadcast: that shuffles the full corpus inverted index.
     """
-    d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    # token split projected before the transform (once-per-row, not
+    # once-per-element — see llm_dedup._shingles)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    tc = F.col("toks")
     k = 3
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.greatest(F.size(tc) - (k - 1), F.lit(0))),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                F.element_at(tc, i),
+                F.element_at(tc, i + 1),
+                F.element_at(tc, i + 2),
             ),
         )
     )
-    shingled = d.select("doc_id", F.explode(sh).alias("shingle"))
+    # The benchmark shingle set scans ONLY the benchmark slice (1/23 of
+    # the corpus) — never filter the full exploded corpus to get the small
+    # side. The training corpus is then a SINGLE pass: one explode, one
+    # map-side broadcast LEFT join tagging bench membership, one doc_id
+    # rollup computing size and hit count together.
     bench = (
-        shingled.filter(F.col("doc_id") % 23 == 0).select("shingle").distinct()
+        d.filter(F.col("doc_id") % 23 == 0)
+        .select(F.explode(sh).alias("shingle"))
+        .distinct()
+        .withColumn("is_bench", F.lit(1))
     )
-    train = shingled.filter(F.col("doc_id") % 23 != 0)
-    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        train.join(F.broadcast(bench), "shingle")
+    per_doc = (
+        d.filter(F.col("doc_id") % 23 != 0)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .join(F.broadcast(bench), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("is_bench").alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > 0)
     )
     ratio = F.col("n_hit").cast("double") / F.col("n_shingles")
-    return hits.join(sizes, "doc_id").select(
+    return per_doc.select(
         "doc_id",
         "n_shingles",
         "n_hit",

@@ -49,7 +49,7 @@ corpus AS (
                          len(string_split(lower(text), ' '))), ' ')
   FROM documents
 ),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
            range(1, len(string_split(text, ' ')) - 1),
@@ -67,7 +67,7 @@ pairs AS (
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
-jac AS (
+jac AS MATERIALIZED (
   SELECT p.doc_a, p.doc_b,
          CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
   FROM pairs p
@@ -99,17 +99,23 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) with DISTINCT k-word shingles per doc."""
-    toks = F.split(F.col("text"), " ")
+    """(doc_id, shingle) with DISTINCT k-word shingles per doc.
+
+    The token split is PROJECTED before the shingle transform: referencing
+    the raw split expression inside the lambda re-evaluates the split for
+    every element_at (O(n^2) splits per doc — measured 10x slower at
+    sf0.1); a projection boundary makes it once-per-row."""
+    t = df.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    tc = F.col("toks")
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.greatest(F.size(tc) - (k - 1), F.lit(0))),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
+                " ", *[F.element_at(tc, i + j) for j in range(k)]
             ),
         )
     )
-    return df.filter(F.size(toks) >= k).select(
+    return t.filter(F.size(tc) >= k).select(
         "doc_id", F.explode(sh).alias("shingle")
     )
 
@@ -253,19 +259,20 @@ def minhash_lsh_pairs(
     # ever needs the per-row array.) This one-row-per-doc table is
     # materialized (localCheckpoint) and reused by banding AND the
     # candidate refine.
-    toks = F.split(F.col("text"), " ")
     k = 3
+    tc = F.col("toks")
     sh_set = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.greatest(F.size(tc) - (k - 1), F.lit(0))),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
+                " ", *[F.element_at(tc, i + j) for j in range(k)]
             ),
         )
     )
     per_doc = (
         _corpus(spark, sf_dir)
-        .filter(F.size(toks) >= k)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size(tc) >= k)
         .select("doc_id", sh_set.alias("sh_set"))
         .withColumn(
             "h31",
@@ -434,24 +441,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_ROUNDS = 10
+
+
+def _min_label_rounds_sql(rounds: int) -> str:
+    """Render the fixed min-label-propagation rounds as chained CTEs — the
+    SAME update rule the Spark loop executes, so after the same number of
+    rounds both engines hold identical labels (the recursive-CTE
+    reachability oracle this replaces enumerated paths and blew up on
+    clique-shaped duplicate clusters: 46s at sf0.1 vs <1s for the rounds
+    form)."""
+    out = []
+    for t in range(1, rounds + 1):
+        out.append(f""",
+nbr{t} AS MATERIALIZED (
+  SELECT e.a AS node, MIN(l.lbl) AS nbr_lbl
+  FROM edges e JOIN lab{t - 1} l ON l.node = e.b
+  GROUP BY e.a
+),
+lab{t} AS MATERIALIZED (
+  SELECT l.node, LEAST(l.lbl, COALESCE(n.nbr_lbl, l.lbl)) AS lbl
+  FROM lab{t - 1} l LEFT JOIN nbr{t} n ON l.node = n.node
+)""")
+    return "".join(out)
+
+
+
 @register(
     "dedup_components",
     category="llm_dedup",
     oracle=f"""
-WITH RECURSIVE {_SQL_CORPUS},
-edges AS (
+WITH {_SQL_CORPUS},
+edges AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= {_JACCARD_TAU}
   UNION ALL
   SELECT doc_b, doc_a FROM jac WHERE jaccard >= {_JACCARD_TAU}
 ),
-nodes AS (SELECT DISTINCT a AS node FROM edges),
-reach(node, lbl) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-)
+lab0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM edges)
+{_min_label_rounds_sql(_CC_ROUNDS)}
 SELECT component, COUNT(*) AS n_members, MIN(node) AS rep
-FROM (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+FROM (SELECT node, lbl AS component FROM lab{_CC_ROUNDS})
 GROUP BY component
 """,
 )
@@ -461,26 +490,48 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, O(log n) with path doubling not needed at these diameters).
     Each round: join labels across edges, take min, localCheckpoint to cut
     lineage. Oracle: DuckDB recursive CTE reachability."""
-    edges_half = _jaccard_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= _JACCARD_TAU
+    # Materialize the (expensive) pair list ONCE; both union branches
+    # read the checkpoint instead of re-running the shingle self-join.
+    edges_half = (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
+    # The iterative phase works on the SPARSE pair graph (orders of
+    # magnitude smaller than the corpus): coalesce to a few partitions so
+    # per-round cost is dominated by the joins, not 32-task scheduling.
     edges = (
         edges_half.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(
             edges_half.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
         )
+        .coalesce(8)
         .localCheckpoint()
     )
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    for _ in range(10):
+    labels = _propagate_min_labels(edges, labels, _CC_ROUNDS)
+    return labels.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members"), F.min("node").alias("rep")
+    )
+
+
+def _propagate_min_labels(edges: DataFrame, labels: DataFrame, rounds: int) -> DataFrame:
+    """Min-label propagation, the same update rule the oracle renders as
+    chained CTEs. Convergence is detected with ONE scalar aggregate on the
+    already-materialized labels: labels only ever decrease, so an
+    unchanged exact sum means a fixed point (no per-round old-vs-new
+    join). Early exit yields the identical result to running all rounds."""
+    prev_sum = None
+    for _ in range(rounds):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
@@ -488,20 +539,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
+            .coalesce(8)
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
             break
-    return labels.groupBy(F.col("lbl").alias("component")).agg(
-        F.count(F.lit(1)).alias("n_members"), F.min("node").alias("rep")
-    )
+        prev_sum = cur_sum
+    return labels
 
 
 # DuckDB twin of the fold-based dot product used by llm_similarity (exact

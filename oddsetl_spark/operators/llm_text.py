@@ -243,12 +243,14 @@ HAVING COUNT(*) >= 3
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word bigrams with counts (>=3). transform(sequence) builds the n-gram
     windows inline — one narrow pass, then a single count shuffle."""
-    d = table(spark, sf_dir, "documents")
-    toks = _toks(F.col("text"))
+    # split projected once per row (see llm_dedup._shingles: an inline
+    # split re-evaluates per element_at)
+    d = table(spark, sf_dir, "documents").select(_toks(F.col("text")).alias("toks"))
+    tc = F.col("toks")
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        F.sequence(F.lit(1), F.size(tc) - 1),
         lambda i: F.concat(
-            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            F.element_at(tc, i), F.lit(" "), F.element_at(tc, i + 1)
         ),
     )
     return (
@@ -457,17 +459,19 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc mean order-insensitive and bit-identical on both engines
     (the tfidf discipline).
     """
-    d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    tc = F.col("toks")
     big = (
         d.select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    F.sequence(F.lit(1), F.size(tc) - 1),
                     lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2"),
+                        F.element_at(tc, i).alias("w1"),
+                        F.element_at(tc, i + 1).alias("w2"),
                     ),
                 )
             ).alias("bg"),

@@ -427,3 +427,39 @@ def test_stratified_sample_fraction_per_stratum(spark):
     got = samp.groupby("lang").size().to_dict()
     for _, row in full.iterrows():
         assert got.get(row["lang"], 0) == math.ceil(0.2 * row["count"])
+
+
+def test_components_converge_and_are_consistent(spark):
+    """dedup_components runs a FIXED round budget mirrored in its oracle;
+    equality between engines is by construction, so prove the rounds
+    actually converge to true components: one more propagation round
+    changes nothing, and both endpoints of every near-dup edge carry the
+    same label (the defining component property)."""
+    from oddsetl_spark.operators.llm_dedup import (
+        _CC_ROUNDS,
+        _JACCARD_TAU,
+        _jaccard_pairs,
+        _propagate_min_labels,
+    )
+
+    ph = (
+        _jaccard_pairs(spark, SF_DIR)
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = (
+        ph.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(ph.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .localCheckpoint()
+    )
+    labels0 = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    labels = _propagate_min_labels(edges, labels0, _CC_ROUNDS)
+    again = _propagate_min_labels(edges, labels, 1)
+    lbl = {r["node"]: r["lbl"] for r in labels.collect()}
+    lbl2 = {r["node"]: r["lbl"] for r in again.collect()}
+    assert lbl == lbl2, "not converged within the fixed round budget"
+    for r in edges.collect():
+        assert lbl[r["a"]] == lbl[r["b"]], (r["a"], r["b"])
