@@ -423,3 +423,169 @@ def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(ratio * 1e9 + F.lit(0.5)) / 1e9).alias("overlap_ratio"),
         (ratio >= 0.5).alias("flagged"),
     )
+
+
+_MIX_TEMP = 0.5  # temperature for mixture reweighting (w_d ~ n_d^T)
+_MIX_TARGET_FRAC = 0.5  # sample down to half the corpus overall
+
+
+@register(
+    "curate_domain_mix",
+    category="curation",
+    oracle=f"""
+WITH c AS (
+  SELECT lang AS domain, COUNT(*) AS n_d FROM documents GROUP BY lang
+),
+w AS (
+  SELECT domain, n_d, pow(CAST(n_d AS DOUBLE), {_MIX_TEMP}) AS w_d,
+         (SELECT SUM(pow(CAST(n_d AS DOUBLE), {_MIX_TEMP})) FROM c) AS sum_w,
+         (SELECT SUM(n_d) FROM c) AS n_total
+  FROM c
+),
+f AS (
+  SELECT domain, n_d,
+         CAST(floor(LEAST(
+           w_d / sum_w * ({_MIX_TARGET_FRAC} * n_total) / n_d, 1.0
+         ) * {_HASH_MOD} + 0.5) AS BIGINT) AS keep_below
+  FROM w
+)
+SELECT d.doc_id, d.lang AS domain, f.keep_below
+FROM documents d JOIN f ON d.lang = f.domain
+WHERE (d.doc_id * {_HASH_MULT}) % {_HASH_MOD} < f.keep_below
+""",
+)
+def curate_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain-mixture resampling (the pretraining data
+    recipe step): per-domain weights w_d ~ n_d^T (T={_MIX_TEMP}) flatten
+    the natural distribution; each domain then keeps a deterministic
+    hash-thresholded fraction sized so the total lands at the target
+    corpus fraction — NO window, NO per-domain shuffle: the corpus pass is
+    a map-side broadcast join against the (tiny) per-domain threshold
+    table and an integer compare. This is the formulation that holds at
+    100 TB where a per-domain row_number would serialize each domain
+    through one partition.
+    """
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy(F.col("lang").alias("domain")).agg(F.count("*").alias("n_d"))
+    tot = c.agg(
+        F.sum(F.pow(F.col("n_d").cast("double"), F.lit(_MIX_TEMP))).alias("sum_w"),
+        F.sum("n_d").alias("n_total"),
+    )
+    f = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            F.floor(
+                F.least(
+                    F.pow(F.col("n_d").cast("double"), F.lit(_MIX_TEMP))
+                    / F.col("sum_w")
+                    * (F.lit(_MIX_TARGET_FRAC) * F.col("n_total"))
+                    / F.col("n_d"),
+                    F.lit(1.0),
+                )
+                * _HASH_MOD
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("keep_below"),
+        )
+    )
+    return (
+        d.join(F.broadcast(f), d.lang == f.domain)
+        .filter((F.col("doc_id") * _HASH_MULT) % _HASH_MOD < F.col("keep_below"))
+        .select("doc_id", F.col("lang").alias("domain"), "keep_below")
+    )
+
+
+def _keep_best_oracle() -> str:
+    from .llm_dedup import _CC_ROUNDS, _JACCARD_TAU, _SQL_CORPUS, _min_label_rounds_sql
+
+    return f"""
+WITH {_SQL_CORPUS},
+edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= {_JACCARD_TAU}
+  UNION ALL
+  SELECT doc_b, doc_a FROM jac WHERE jaccard >= {_JACCARD_TAU}
+),
+lab0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM edges)
+{_min_label_rounds_sql(_CC_ROUNDS)},
+docs AS (SELECT doc_id, length(text) AS quality FROM corpus),
+labeled AS (
+  SELECT d.doc_id, d.quality, COALESCE(l.lbl, d.doc_id) AS component
+  FROM docs d LEFT JOIN lab{_CC_ROUNDS} l ON l.node = d.doc_id
+)
+SELECT component,
+       COUNT(*) AS n_members,
+       MAX(quality) AS best_quality,
+       MIN(doc_id) FILTER (WHERE is_best) AS kept_doc
+FROM (
+  SELECT *,
+         quality = MAX(quality) OVER (PARTITION BY component) AS is_best
+  FROM labeled
+)
+GROUP BY component
+"""
+
+
+@register(
+    "curate_dedup_keep_best",
+    category="curation",
+    oracle=_keep_best_oracle(),
+    heavy=True,
+)
+def curate_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup resolution: cluster near-duplicates (jaccard
+    pairs -> min-label components, the dedup_components machinery) and
+    keep the BEST member of each cluster by a quality signal (longest
+    text, ties to the smallest doc_id) — what a production corpus
+    pipeline actually does with duplicate clusters, instead of keeping an
+    arbitrary representative. Singleton documents are their own component
+    (left join + coalesce, no explicit singleton pass).
+    """
+    from pyspark.sql import Window as W
+
+    from .llm_dedup import (
+        _CC_ROUNDS,
+        _JACCARD_TAU,
+        _corpus,
+        _jaccard_pairs,
+        _propagate_min_labels,
+    )
+
+    ph = (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = (
+        ph.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(ph.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .coalesce(8)
+        .localCheckpoint()
+    )
+    labels0 = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    labels = _propagate_min_labels(edges, labels0, _CC_ROUNDS)
+    docs = _corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("quality")
+    )
+    labeled = (
+        docs.join(F.broadcast(labels), docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.coalesce(F.col("lbl"), F.col("doc_id")).alias("component"),
+        )
+    )
+    best = F.max("quality").over(W.partitionBy("component"))
+    return (
+        labeled.withColumn("is_best", F.col("quality") == best)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("quality").alias("best_quality"),
+            F.min(F.when(F.col("is_best"), F.col("doc_id"))).alias("kept_doc"),
+        )
+    )
