@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..io import table
 from ..registry import register
@@ -91,8 +92,31 @@ def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition by a key then sortWithinPartitions for clustered output files
     (parquet min/max stats become selective)."""
     li = table(spark, sf_dir, "lineitem")
-    return (
+    sorted_parts = (
         li.repartition(8, "l_suppkey")
         .sortWithinPartitions("l_suppkey", "l_shipdate")
         .select("l_suppkey", "l_shipdate", "l_orderkey")
+    )
+    # Verify the layout property itself, distributed: per partition, count
+    # rows and adjacent-pair sort violations (must be 0). Returns 8 summary
+    # rows instead of shipping the whole sorted table to the driver.
+    # pid/idx are projected BEFORE the window exchange, so both are
+    # evaluated map-side in the sorted stage (an expression inside the
+    # window spec could legally be computed post-shuffle).
+    w = W.partitionBy("pid").orderBy("idx")
+    flagged = sorted_parts.withColumn("pid", F.spark_partition_id()).withColumn(
+        "idx", F.monotonically_increasing_id()
+    ).withColumn(
+        "viol",
+        (
+            (F.lag("l_suppkey").over(w) > F.col("l_suppkey"))
+            | (
+                (F.lag("l_suppkey").over(w) == F.col("l_suppkey"))
+                & (F.lag("l_shipdate").over(w) > F.col("l_shipdate"))
+            )
+        ).cast("int"),
+    )
+    return flagged.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.coalesce(F.col("viol"), F.lit(0))).alias("sort_violations"),
     )
