@@ -609,3 +609,44 @@ def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(dsum(F.col("l_quantity")).alias("total_qty"))
     )
+
+
+@register(
+    "join_null_safe",
+    category="joins",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, NULLIF(o_orderstatus, 'F') AS k, o_totalprice
+  FROM orders WHERE o_orderkey < 2000
+),
+b AS (
+  SELECT NULLIF(o_orderstatus, 'F') AS k, COUNT(*) AS n_b
+  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 6000
+  GROUP BY 1
+)
+SELECT a.o_orderkey, a.k, a.o_totalprice, b.n_b
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other, unlike plain = which drops them — the semantic needed when
+    joining on nullable business keys (e.g. optional dimension codes).
+    Spark plans <=> as a regular hash join (NULL hashes to a bucket like
+    any value), so the scale shape is identical to join_inner_equi; the
+    only difference is the key comparator."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("k"),
+        "o_totalprice",
+    )
+    b = (
+        o.filter((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 6000))
+        .select(F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select(
+        "o_orderkey", a.k.alias("k"), "o_totalprice", "n_b"
+    )
