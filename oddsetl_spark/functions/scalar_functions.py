@@ -477,3 +477,81 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(v).alias("canonical_json"),
         (F.variant_get(v, "$.k", "int") >= 50).alias("k_high"),
     )
+
+
+@register(
+    "fn_collation_ci",
+    category="functions",
+    oracle="""
+WITH m AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg_mixed
+  FROM customer
+)
+SELECT lower(seg_mixed) AS seg_norm,
+       COUNT(*) AS n,
+       SUM(CASE WHEN seg_mixed = upper(seg_mixed) THEN 1 ELSE 0 END) AS n_upper
+FROM m GROUP BY 1
+""",
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: grouping under UNICODE_CI treats case variants
+    as equal keys — collation-aware comparison without materializing
+    lower() everywhere (the collation travels with the type, and data
+    sources can push collated predicates). The output key is normalized
+    with lower() on BOTH engines because a CI group's representative
+    string is engine-arbitrary; the group MEMBERSHIP (counts) is what the
+    collation determines and what the oracle pins."""
+    c = table(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper(F.col("c_mktsegment"))
+    ).otherwise(F.lower(F.col("c_mktsegment")))
+    m = c.select("c_custkey", mixed.alias("seg_mixed"))
+    ci = F.collate(F.col("seg_mixed"), "UNICODE_CI")
+    return (
+        m.groupBy(ci.alias("seg_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("seg_mixed") == F.upper(F.col("seg_mixed")), 1
+                ).otherwise(0)
+            ).alias("n_upper"),
+        )
+        .select(
+            F.lower(F.col("seg_ci").cast("string")).alias("seg_norm"), "n", "n_upper"
+        )
+    )
+
+
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate >= DATE'1995-01-01'
+|> AGGREGATE COUNT(*) AS n,
+     CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n > 0
+|> SELECT l_returnflag, l_linestatus, n, sum_qty
+"""
+
+
+@register(
+    "sql_pipe_syntax",
+    category="functions",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= DATE'1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 0
+""",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|>): the same logical plan as the
+    equivalent nested SQL, expressed as a linear dataflow — each |> stage
+    maps 1:1 onto a DataFrame transformation, and Catalyst optimizes the
+    result identically (verified: hash-matches the classic-SQL oracle)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PIPE_SQL)

@@ -451,3 +451,50 @@ def opt_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p").alias("max_p"),
         )
     )
+
+
+@register(
+    "etl_schema_evolution",
+    category="sources",
+    oracle="""
+WITH unioned AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_clerk_region
+  FROM orders WHERE o_orderkey < 3000
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority AS o_clerk_region
+  FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 6000
+)
+SELECT COALESCE(o_clerk_region, 'unknown') AS region,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+FROM unioned GROUP BY 1
+""",
+)
+def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a landed parquet table: an early batch lacks a
+    column a later batch added; `mergeSchema` reconciles the footers at
+    read time (missing columns -> NULL) — the standard additive-evolution
+    contract of a parquet lake. At 100 TB, merge-on-read of footers is
+    why additive evolution is free while renames/type-changes need a
+    rewrite."""
+    out = _tmpdir("schevo")
+    o = table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(out + "/b=1")
+    o.filter((F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 6000)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("o_clerk_region"),
+    ).write.mode("overwrite").parquet(out + "/b=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        out + "/b=1", out + "/b=2"
+    )
+    return back.groupBy(
+        F.coalesce(F.col("o_clerk_region"), F.lit("unknown")).alias("region")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
