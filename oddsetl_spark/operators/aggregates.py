@@ -484,3 +484,56 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "hll_users", "theta_users", "n_partials")
     )
+
+
+@register(
+    "agg_string_agg",
+    category="agg",
+    oracle="""
+SELECT o_orderstatus,
+       string_agg(o_orderpriority, '|' ORDER BY o_orderpriority, o_orderkey)
+         AS priorities,
+       COUNT(*) AS n
+FROM orders
+WHERE o_orderkey < 300
+GROUP BY o_orderstatus
+""",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg): concatenate group
+    members under an explicit deterministic order — the report-feed
+    primitive. Spark 4's listagg carries WITHIN GROUP ordering; the
+    explicit (value, key) order makes both engines emit the identical
+    string (an unordered listagg is execution-order-dependent and could
+    never hash-match)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "listagg(o_orderpriority, '|') "
+            "WITHIN GROUP (ORDER BY o_orderpriority, o_orderkey)"
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_boolean",
+    category="agg",
+    oracle="""
+SELECT l_returnflag,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_quantity > 45) AS any_large,
+       COUNT(*) FILTER (WHERE l_discount = 0) AS n_zero_discount
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any a.k.a. bool_and/bool_or) + filtered
+    count — data-quality assertion rollups as single-pass aggregations."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_quantity") > 0).alias("all_positive"),
+        F.some(F.col("l_quantity") > 45).alias("any_large"),
+        F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_zero_discount"),
+    )
