@@ -145,3 +145,42 @@ def map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     return o.mapInPandas(score, schema="o_orderkey long, o_totalprice double, score double")
+
+
+@register(
+    "map_in_arrow",
+    category="udfs",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice,
+       LEAST(o_totalprice / 1000.0, 500.0) AS score
+FROM orders
+""",
+)
+def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise RAW Arrow batch map (mapInArrow): like mapInPandas
+    but without the pandas conversion on either side — the zero-copy path
+    for numpy/Arrow-native batch scoring (pandas round-trips cost ~2x on
+    wide numeric batches). Deterministic IEEE arithmetic -> exact SQL
+    twin, unlike map_in_pandas' rows-only check."""
+    import pyarrow as pa
+
+    def score(batches):
+        for batch in batches:
+            t = batch.to_pydict()
+            import numpy as np
+
+            price = np.asarray(t["o_totalprice"])
+            yield pa.record_batch(
+                [
+                    pa.array(t["o_orderkey"]),
+                    pa.array(price),
+                    pa.array(np.minimum(price / 1000.0, 500.0)),
+                ],
+                names=["o_orderkey", "o_totalprice", "score"],
+            )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return o.mapInArrow(
+        score, schema="o_orderkey long, o_totalprice double, score double"
+    )
