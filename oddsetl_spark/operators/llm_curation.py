@@ -589,3 +589,37 @@ def curate_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("is_best"), F.col("doc_id"))).alias("kept_doc"),
         )
     )
+
+
+@register("curate_quality_buckets_approx", category="curation", oracle=None)
+def curate_quality_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB companion to curate_quality_ntile: decile cutpoints from
+    ONE approx_percentile pass (mergeable KLL-style sketch, no global
+    sort), then a map-side bucket assignment — no window, no single-
+    partition bottleneck. Verified against the exact NTILE baseline in
+    pytest (bucket populations within sketch tolerance); rows-only at the
+    driver because sketch cutpoints are engine-specific."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    q = d.select(
+        "doc_id",
+        (F.length("text").cast("double") / F.size(toks)).alias("avg_tok_len"),
+    )
+    cuts_row = q.agg(
+        F.percentile_approx(
+            "avg_tok_len", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("cuts")
+    ).collect()[0]
+    cuts = list(cuts_row["cuts"])  # 9 scalars to the driver — not data
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + (F.col("avg_tok_len") > F.lit(float(c))).cast("int")
+    return (
+        q.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_tok_len").alias("min_score"),
+            F.max("avg_tok_len").alias("max_score"),
+        )
+    )

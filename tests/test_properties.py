@@ -463,3 +463,60 @@ def test_components_converge_and_are_consistent(spark):
     assert lbl == lbl2, "not converged within the fixed round budget"
     for r in edges.collect():
         assert lbl[r["a"]] == lbl[r["b"]], (r["a"], r["b"])
+
+
+def test_quality_buckets_approx_tracks_exact_ntile(spark):
+    """The sketch-cutpoint bucketing (scale path) must put ~n/10 docs in
+    every decile — within the approx_percentile accuracy bound — and
+    preserve total mass vs the exact NTILE baseline."""
+    approx = {
+        r["bucket"]: r["n_docs"]
+        for r in _q(spark, "curate_quality_buckets_approx").collect()
+    }
+    exact = {
+        r["bucket"]: r["n_docs"]
+        for r in _q(spark, "curate_quality_ntile").collect()
+    }
+    assert sum(approx.values()) == sum(exact.values())
+    n = sum(exact.values())
+    for b in range(1, 11):
+        assert abs(approx.get(b, 0) - n / 10) <= max(3, 0.05 * n), (
+            b, approx.get(b, 0), n / 10)
+
+
+def test_zorder_zvalue_is_bijective(spark):
+    """The Morton interleave must be a bijection on the (q, p) grid —
+    distinct inputs map to distinct z-values (the property that makes
+    z-range file skipping lossless)."""
+    from oddsetl_spark.sources.file_sources import _z_col
+    from pyspark.sql import functions as F
+
+    grid = (
+        spark.range(64)
+        .selectExpr("CAST(id % 8 AS LONG) AS x", "CAST(id / 8 AS LONG) AS y")
+    )
+    z = grid.select("x", "y", _z_col(F.col("x"), F.col("y")).alias("z"))
+    rows = z.collect()
+    assert len({r["z"] for r in rows}) == len(rows)
+    # interleave of (x=1,y=0) must be 1 and (x=0,y=1) must be 2 (bit 0 of
+    # x lands at position 0, bit 0 of y at position 1)
+    m = {(r["x"], r["y"]): r["z"] for r in rows}
+    assert m[(1, 0)] == 1 and m[(0, 1)] == 2 and m[(0, 0)] == 0
+
+
+def test_domain_mix_conserves_and_flattens(spark):
+    """Domain-mixture resampling: selected set is a subset of the corpus,
+    every domain retains at least one doc, and the mixture is FLATTER than
+    the original (max/min domain share shrinks toward 1)."""
+    sel = _q(spark, "curate_domain_mix").toPandas()
+    full = table(spark, SF_DIR, "documents").groupBy("lang").count().toPandas()
+    orig = dict(zip(full["lang"], full["count"]))
+    got = sel.groupby("domain").size().to_dict()
+    assert set(got) <= set(orig)
+    for d_ in orig:
+        assert got.get(d_, 0) >= 1
+        assert got.get(d_, 0) <= orig[d_]
+    def ratio(c):
+        vals = list(c.values())
+        return max(vals) / max(1, min(vals))
+    assert ratio(got) <= ratio(orig) + 1e-9
