@@ -537,3 +537,36 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("l_quantity") > 45).alias("any_large"),
         F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_zero_discount"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    category="agg",
+    oracle="""
+SELECT COALESCE(l_returnflag, '(all)') AS rf,
+       COALESCE(l_linestatus, '(all)') AS ls,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id() disambiguate real NULL keys from rollup
+    subtotal rows — without them a rollup over nullable keys is
+    ambiguous. gid doubles as the aggregation-level selector when a
+    downstream consumer wants only one stratum of the rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("ls"),
+            "gid",
+            "n",
+        )
+    )

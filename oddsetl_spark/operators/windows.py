@@ -419,3 +419,44 @@ def win_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stage_reached"),
         )
     )
+
+
+@register(
+    "win_range_time_interval",
+    category="windows",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       COUNT(*) OVER w AS n_prev_30m,
+       CAST(SUM(CAST(value AS DECIMAL(30,12))) OVER w AS DOUBLE) AS sum_30m
+FROM events
+WHERE user_id < 30
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+""",
+)
+def win_range_time_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per user, rolling 30-minute trailing
+    count/sum keyed by the TIMESTAMP itself (not row offsets) — the
+    'activity in the last N minutes' feature. Rows with equal timestamps
+    are frame-PEERS under RANGE on both engines, so ties are inherently
+    deterministic; the decimal sum keeps the double aggregation
+    order-insensitive."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    # unix_micros, not cast('long'): second truncation would silently
+    # diverge from the oracle's exact INTERVAL semantics for events within
+    # 1s of the frame edge (the win_sessionize lesson, ADVICE r1)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-1800 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_prev_30m"),
+        F.sum(F.col("value").cast("decimal(30,12)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_30m"),
+    )
