@@ -246,3 +246,71 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(
         sample, schema="doc_id long, frame_idx int, frame binary, frame_crc long"
     )
+
+
+@register("mm_phash_dedup", category="multimodal", oracle=None, heavy=True)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate candidates over the media table: a
+    64-bit pHash-style signature from the decoded sample stream (block
+    means vs global mean — the standard aHash/pHash construction, here on
+    the deterministic fake decode), then 4x16-bit pigeonhole banding for
+    hamming<=3 candidate pairs — the dedup_simhash machinery applied to
+    multimodal payloads.
+
+    Scale shape: signature extraction is one Arrow-batched pass (no
+    shuffle); candidates come from 4 equi-joins on (band, 16-bit key) —
+    only same-bucket payloads ever meet. Rows-only (binary pHash is
+    implementation-specific); the pytest invariant asserts every reported
+    pair is truly hamming<=3 and that identical payloads always pair.
+    """
+    import numpy as np
+
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_h = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                if len(s) < 64:
+                    s = np.pad(s, (0, 64 - len(s)))
+                blocks = np.array_split(s, 64)
+                means = np.array([b.mean() if len(b) else 0.0 for b in blocks])
+                bits = (means > means.mean()).astype(np.uint64)
+                h = np.uint64(0)
+                for b in bits:
+                    h = np.uint64(h << np.uint64(1)) | b
+                out_ids.append(doc_id)
+                out_h.append(int(h) - (1 << 63))  # to signed long
+            yield pd.DataFrame({"doc_id": out_ids, "phash": out_h})
+
+    sigs = m.mapInPandas(phash, schema="doc_id long, phash long").localCheckpoint()
+    # 4 x 16-bit pigeonhole bands: hamming<=3 pairs share at least one band
+    bands = None
+    for i in range(4):
+        band_key = F.shiftrightunsigned(F.col("phash"), 16 * i).bitwiseAND(0xFFFF)
+        b = sigs.select("doc_id", "phash", F.lit(i).alias("band"), band_key.alias("key"))
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

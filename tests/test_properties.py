@@ -520,3 +520,41 @@ def test_domain_mix_conserves_and_flattens(spark):
         vals = list(c.values())
         return max(vals) / max(1, min(vals))
     assert ratio(got) <= ratio(orig) + 1e-9
+
+
+def test_phash_dedup_matches_bruteforce(spark):
+    """mm_phash_dedup's 4x16-bit pigeonhole banding must report EXACTLY
+    the brute-force hamming<=3 pair set over independently recomputed
+    signatures — banding is lossless for hamming<=3 (pigeonhole: 3 bit
+    errors cannot touch all 4 bands), and the refine filter admits
+    nothing beyond the threshold."""
+    import itertools
+
+    import numpy as np
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _q(spark, "mm_phash_dedup").collect()
+    }
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+
+    def sig(text):
+        s = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.float64)
+        if len(s) < 64:
+            s = np.pad(s, (0, 64 - len(s)))
+        blocks = np.array_split(s, 64)
+        means = np.array([b.mean() if len(b) else 0.0 for b in blocks])
+        bits = (means > means.mean()).astype(np.uint64)
+        h = 0
+        for b in bits:
+            h = (h << 1) | int(b)
+        return h
+
+    sigs = {r["doc_id"]: sig(r["text"]) for r in docs}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        d = bin(sigs[a] ^ sigs[b]).count("1")
+        if d <= 3:
+            expect[(a, b)] = d
+    assert pairs == expect
+    assert expect, "fixture produced no hamming<=3 pairs; invariant vacuous"
