@@ -570,3 +570,53 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "agg_time_rollup",
+    category="agg",
+    oracle="""
+SELECT COALESCE(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE), DATE '1970-01-01') AS week,
+       COALESCE(CAST(date_trunc('day',  CAST(ts AS TIMESTAMP)) AS DATE), DATE '1970-01-01') AS day,
+       COALESCE(date_trunc('hour', CAST(ts AS TIMESTAMP)), TIMESTAMP '1970-01-01') AS hour,
+       GROUPING(date_trunc('week', CAST(ts AS TIMESTAMP))) * 4
+         + GROUPING(date_trunc('day', CAST(ts AS TIMESTAMP))) * 2
+         + GROUPING(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS gid,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('week', CAST(ts AS TIMESTAMP)),
+                 date_trunc('day',  CAST(ts AS TIMESTAMP)),
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)))
+""",
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: hour, day, week and
+    grand-total aggregates of the event stream in ONE pass via ROLLUP on
+    the truncation hierarchy (hour ⊂ day ⊂ week). One shuffle; Spark
+    expands the rollup map-side, so partial aggregation still applies —
+    at 100 TB this replaces three separate scans with one. grouping_id
+    labels the stratum; sentinel epoch values stand in for the NULLs of
+    super-aggregate rows (both engines agree on the coalesce)."""
+    e = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts")
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    epoch_d = F.lit("1970-01-01").cast("date")
+    epoch_t = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    return (
+        e.rollup(week.alias("w"), day.alias("d"), hour.alias("h"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,12)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("w").cast("date"), epoch_d).alias("week"),
+            F.coalesce(F.col("d").cast("date"), epoch_d).alias("day"),
+            F.coalesce(F.col("h"), epoch_t).alias("hour"),
+            "gid",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -623,3 +623,78 @@ def curate_quality_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("avg_tok_len").alias("max_score"),
         )
     )
+
+
+@register(
+    "curate_retention_cohort",
+    category="curation",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS act_week
+  FROM events
+)
+SELECT c.cohort_week,
+       CAST(datediff('day', c.cohort_week, a.act_week) / 7 AS INT) AS week_offset,
+       COUNT(*) AS n_users
+FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+GROUP BY 1, 2
+""",
+)
+def curate_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each subsequent week they were active — the standard retention
+    triangle. Three keyed aggregations, all on user_id or
+    (cohort, offset); the DISTINCT activity reduce collapses raw events
+    map-side before the join, and the cohorts side joins on the same
+    user_id partitioning (no extra shuffle). Weeks are Monday-aligned in
+    both engines, so the day-difference is an exact multiple of 7."""
+    e = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts").cast("date")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select("user_id", wk.alias("act_week")).distinct()
+    return (
+        cohorts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "curate_hash_sample_per_group",
+    category="curation",
+    oracle="""
+SELECT event_type, event_id, user_id, md5(CAST(event_id AS VARCHAR)) AS h
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) <= 100
+""",
+)
+def curate_hash_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-group sampling by hash order: the 100 events per
+    type whose md5(event_id) sorts lowest. Unlike rand()-based sampling
+    this is engine- and run-independent (md5 is bit-identical everywhere)
+    — the property a 100 TB curation pipeline needs so a re-run selects
+    the SAME sample. One shuffle on event_type; at scale swap the full
+    sort for a per-partition top-k (window over high-cardinality strata
+    keeps partitions parallel — here 5 types is the demo grain)."""
+    e = table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    w = W.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        e.select("event_type", "event_id", "user_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+    )

@@ -460,3 +460,102 @@ def win_range_time_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_30m"),
     )
+
+
+@register(
+    "win_cumulative_distinct",
+    category="windows",
+    oracle="""
+WITH firsts AS (
+  SELECT event_type, user_id,
+         MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+  FROM events GROUP BY event_type, user_id
+), daily AS (
+  SELECT event_type, CAST(date_trunc('day', first_ts) AS DATE) AS day,
+         COUNT(*) AS new_users
+  FROM firsts GROUP BY event_type, day
+)
+SELECT event_type, day, new_users,
+       CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+         AS distinct_users_to_date
+FROM daily
+""",
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over an ordered window — 'unique users to
+    date per event type'. Neither Spark nor ANSI allows COUNT(DISTINCT)
+    OVER, so this is the canonical rewrite: reduce each (type, user) to
+    its FIRST appearance, roll first-appearances up to daily new-user
+    counts, then a running sum per type. Two keyed shuffles ((type,user)
+    then (type,day) — both high-cardinality and skew-free) replace an
+    unbounded per-row distinct state; at 100 TB the first groupBy is the
+    only pass over raw events and map-side partials shrink it to one row
+    per (type,user)."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("event_type", "user_id").agg(F.min("ts").alias("first_ts"))
+    daily = firsts.groupBy(
+        "event_type", F.date_trunc("day", "first_ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("distinct_users_to_date"),
+    )
+
+
+@register(
+    "win_zscore_outliers",
+    category="windows",
+    oracle="""
+WITH s AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(30,12)) * CAST(value AS DECIMAL(30,12)))
+              OVER w AS DOUBLE) AS sxx
+  FROM events
+  WHERE user_id < 200
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, value,
+       ROUND((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS zscore
+FROM s
+WHERE n >= 5
+  AND (sxx - sx * sx / n) / (n - 1) > 1e-12
+  AND abs((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 2
+""",
+)
+def win_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value against the
+    mean/std of the SAME user's trailing 20 events (frame excludes the
+    current row — self-exclusion avoids masking). Mean and variance come
+    from exact decimal sums (sx, sxx), so the z-score is a chain of
+    scalar IEEE double ops — bit-identical across engines — rather than
+    an engine-specific Welford stddev. One shuffle on user_id; the rows
+    frame is O(1) running state per partition at any scale."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-20, -1)
+    )
+    v = F.col("value")
+    dv = v.cast("decimal(30,12)")
+    s = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(dv).over(w).cast("double").alias("sx"),
+        F.sum(dv * dv).over(w).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / n) / (n - 1)
+    z = (v - sx / n) / F.sqrt(var)
+    return s.filter((n >= 5) & (var > 1e-12) & (F.abs(z) > 2)).select(
+        "event_id", "user_id", "ts", "value", F.round(z, 6).alias("zscore")
+    )
