@@ -331,3 +331,70 @@ def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_ver).alias("version"),
         F.lead("o_orderdate").over(w_ver).isNull().alias("is_current"),
     )
+
+
+@register(
+    "etl_cdc_apply",
+    category="etl",
+    oracle="""
+WITH log AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'error'  THEN 'D'
+                         ELSE 'U' END AS op
+  FROM events
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log
+), stats AS (
+  SELECT user_id, COUNT(*) AS n_ops, MIN(ts) AS first_seen, MAX(ts) AS last_seen
+  FROM log GROUP BY user_id
+)
+SELECT r.user_id, r.value AS last_value, r.op AS last_op,
+       s.n_ops, s.first_seen, s.last_seen
+FROM ranked r JOIN stats s ON r.user_id = s.user_id
+WHERE r.rn = 1 AND r.op <> 'D'
+""",
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: the event stream read as an I/U/D
+    change-log (signup=insert, error=delete, rest=upsert), reduced to the
+    final table state by last-writer-wins per key — a key whose latest op
+    is a delete vanishes. One shuffle on user_id serves both the
+    row_number and the per-key stats (same partitioning, no second
+    exchange); at 100 TB this is the standard log-compaction reduce that
+    turns a CDC firehose into a snapshot, and the windowed formulation
+    beats a groupBy(max_by) only when multiple columns ride along — here
+    both run map-side partials first."""
+    from pyspark.sql import Window as W
+
+    log = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = log.withColumn("rn", F.row_number().over(w))
+    stats = log.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .join(stats, "user_id")
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            F.col("op").alias("last_op"),
+            "n_ops",
+            "first_seen",
+            "last_seen",
+        )
+    )

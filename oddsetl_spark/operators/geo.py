@@ -257,3 +257,90 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist_km") <= 100.0)
         .select("c_custkey", "s_suppkey", "dist_km")
     )
+
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+# 15-bit cell indices per axis; interleave lon (odd positions, MSB first)
+# with lat (even) into the 30-bit geohash-6 integer. Generated bit
+# expressions keep everything in whole-stage codegen.
+_GH_SPARK_INTERLEAVE = "(shiftleft(shiftrightunsigned(lon_idx, 0) & 1, 1)) + (shiftleft(shiftrightunsigned(lon_idx, 1) & 1, 3)) + (shiftleft(shiftrightunsigned(lon_idx, 2) & 1, 5)) + (shiftleft(shiftrightunsigned(lon_idx, 3) & 1, 7)) + (shiftleft(shiftrightunsigned(lon_idx, 4) & 1, 9)) + (shiftleft(shiftrightunsigned(lon_idx, 5) & 1, 11)) + (shiftleft(shiftrightunsigned(lon_idx, 6) & 1, 13)) + (shiftleft(shiftrightunsigned(lon_idx, 7) & 1, 15)) + (shiftleft(shiftrightunsigned(lon_idx, 8) & 1, 17)) + (shiftleft(shiftrightunsigned(lon_idx, 9) & 1, 19)) + (shiftleft(shiftrightunsigned(lon_idx, 10) & 1, 21)) + (shiftleft(shiftrightunsigned(lon_idx, 11) & 1, 23)) + (shiftleft(shiftrightunsigned(lon_idx, 12) & 1, 25)) + (shiftleft(shiftrightunsigned(lon_idx, 13) & 1, 27)) + (shiftleft(shiftrightunsigned(lon_idx, 14) & 1, 29)) + (shiftleft(shiftrightunsigned(lat_idx, 0) & 1, 0)) + (shiftleft(shiftrightunsigned(lat_idx, 1) & 1, 2)) + (shiftleft(shiftrightunsigned(lat_idx, 2) & 1, 4)) + (shiftleft(shiftrightunsigned(lat_idx, 3) & 1, 6)) + (shiftleft(shiftrightunsigned(lat_idx, 4) & 1, 8)) + (shiftleft(shiftrightunsigned(lat_idx, 5) & 1, 10)) + (shiftleft(shiftrightunsigned(lat_idx, 6) & 1, 12)) + (shiftleft(shiftrightunsigned(lat_idx, 7) & 1, 14)) + (shiftleft(shiftrightunsigned(lat_idx, 8) & 1, 16)) + (shiftleft(shiftrightunsigned(lat_idx, 9) & 1, 18)) + (shiftleft(shiftrightunsigned(lat_idx, 10) & 1, 20)) + (shiftleft(shiftrightunsigned(lat_idx, 11) & 1, 22)) + (shiftleft(shiftrightunsigned(lat_idx, 12) & 1, 24)) + (shiftleft(shiftrightunsigned(lat_idx, 13) & 1, 26)) + (shiftleft(shiftrightunsigned(lat_idx, 14) & 1, 28))"
+_GH_SQL_INTERLEAVE = "(((lon_idx >> 0) & 1) << 1) + (((lon_idx >> 1) & 1) << 3) + (((lon_idx >> 2) & 1) << 5) + (((lon_idx >> 3) & 1) << 7) + (((lon_idx >> 4) & 1) << 9) + (((lon_idx >> 5) & 1) << 11) + (((lon_idx >> 6) & 1) << 13) + (((lon_idx >> 7) & 1) << 15) + (((lon_idx >> 8) & 1) << 17) + (((lon_idx >> 9) & 1) << 19) + (((lon_idx >> 10) & 1) << 21) + (((lon_idx >> 11) & 1) << 23) + (((lon_idx >> 12) & 1) << 25) + (((lon_idx >> 13) & 1) << 27) + (((lon_idx >> 14) & 1) << 29) + (((lat_idx >> 0) & 1) << 0) + (((lat_idx >> 1) & 1) << 2) + (((lat_idx >> 2) & 1) << 4) + (((lat_idx >> 3) & 1) << 6) + (((lat_idx >> 4) & 1) << 8) + (((lat_idx >> 5) & 1) << 10) + (((lat_idx >> 6) & 1) << 12) + (((lat_idx >> 7) & 1) << 14) + (((lat_idx >> 8) & 1) << 16) + (((lat_idx >> 9) & 1) << 18) + (((lat_idx >> 10) & 1) << 20) + (((lat_idx >> 11) & 1) << 22) + (((lat_idx >> 12) & 1) << 24) + (((lat_idx >> 13) & 1) << 26) + (((lat_idx >> 14) & 1) << 28)"
+
+
+def _gh_chars(combined_expr: str, substr_fn: str) -> str:
+    """6 base32 chars from the 30-bit interleave (engine-portable SQL)."""
+    parts = [
+        f"{substr_fn}('{_GH_ALPHABET}', CAST(((({combined_expr}) >> {25 - 5 * j}) & 31) AS INT) + 1, 1)"
+        for j in range(6)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+@register(
+    "geo_geohash",
+    category="geo",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey,
+         {_SQL_LAT.format(k='c_custkey')} AS lat,
+         {_SQL_LON.format(k='c_custkey')} AS lon
+  FROM customer WHERE c_custkey < 1000
+), idx AS (
+  SELECT c_custkey, lat, lon,
+         CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT) AS lat_idx,
+         CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT) AS lon_idx
+  FROM pts
+), gh AS (
+  SELECT c_custkey, lat, lon,
+         {_gh_chars("_GH_SQL_INTERLEAVE_PLACEHOLDER", "substr")} AS geohash6
+  FROM idx
+)
+SELECT c_custkey, lat, lon, geohash6,
+       substr(geohash6, 1, 4) AS cell4,
+       COUNT(*) OVER (PARTITION BY substr(geohash6, 1, 4)) AS cell4_density
+FROM gh
+""".replace("_GH_SQL_INTERLEAVE_PLACEHOLDER", _GH_SQL_INTERLEAVE),
+)
+def geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-6 encoding in pure column arithmetic: quantize each axis to
+    a 15-bit cell index, interleave the bits (lon MSB first — the
+    standard geohash layout), emit 6 base32 chars — zero UDFs, fully
+    inside whole-stage codegen, and the IDENTICAL scalar expressions run
+    in the oracle, so the encoding is hash-verified, not rows-only.
+    cell4_density (count per 4-char prefix ≈ 20 km cell) shows the
+    prefix-aggregation property that makes geohashes the partition key of
+    choice for spatial joins at 100 TB: co-located points share prefixes,
+    so a prefix groupBy is one skew-safe shuffle."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    k = F.col("c_custkey")
+    pts = c.select(
+        "c_custkey",
+        (25.0 + (k * 73 % 2300) / 100.0).alias("lat"),
+        (-122.0 + (k * 37 % 5100) / 100.0).alias("lon"),
+    )
+    idx = pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.floor((F.col("lat") + 90.0) / 180.0 * 32768.0).cast("bigint").alias("lat_idx"),
+        F.floor((F.col("lon") + 180.0) / 360.0 * 32768.0).cast("bigint").alias("lon_idx"),
+    )
+    combined = F.expr(_GH_SPARK_INTERLEAVE)
+    chars = [
+        F.substring(
+            F.lit(_GH_ALPHABET),
+            (F.shiftrightunsigned(combined, 25 - 5 * j) % 32).cast("int") + 1,
+            1,
+        )
+        for j in range(6)
+    ]
+    gh = idx.select("c_custkey", "lat", "lon", F.concat(*chars).alias("geohash6"))
+    w = W.partitionBy(F.substring("geohash6", 1, 4))
+    return gh.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        "geohash6",
+        F.substring("geohash6", 1, 4).alias("cell4"),
+        F.count(F.lit(1)).over(w).alias("cell4_density"),
+    )

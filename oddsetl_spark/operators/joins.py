@@ -650,3 +650,56 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a.k.eqNullSafe(b.k)).select(
         "o_orderkey", a.k.alias("k"), "o_totalprice", "n_b"
     )
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    category="joins",
+    oracle="""
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 500),
+variants AS (
+  SELECT c_custkey, c_name,
+         substr(c_name, 1, CAST(t.i AS INT) - 1) || substr(c_name, CAST(t.i AS INT) + 1) AS v
+  FROM c, UNNEST(range(1, length(c_name) + 2)) AS t(i)
+)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM variants a JOIN variants b ON a.v = b.v AND a.c_custkey < b.c_custkey
+GROUP BY 1, 2, 3
+HAVING dist <= 1
+""",
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join (edit distance <= 1) via SymSpell deletion-
+    neighborhood blocking: every name emits its length+1 one-character-
+    deletion variants (plus itself); any lev<=1 pair MUST share a variant,
+    so candidates come from an equi-join on the variant string and exact
+    levenshtein refines them. Work scales with variant-bucket collision
+    lists, never n² — the same inverted-index shape as dedup_ngram_jaccard.
+    All JVM-side: sequence/transform/explode build variants, one shuffle
+    on the variant key."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select("c_custkey", "c_name")
+    )
+    variants = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(c_name) + 1),"
+                " i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.v") == F.col("b.v")) & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("key_a"),
+        F.col("b.c_custkey").alias("key_b"),
+        F.levenshtein("a.c_name", "b.c_name").alias("dist"),
+    )
+    return cand.filter(F.col("dist") <= 1).distinct()

@@ -277,3 +277,27 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     (UnionLoop in the physical plan)."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SQL_RECURSIVE)
+
+
+_SQL_LATERAL = """
+SELECT o.o_orderkey, o.o_totalprice, t.l_linenumber, t.l_extendedprice
+FROM orders o,
+LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_orderkey = o.o_orderkey
+         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+WHERE o.o_orderkey < 2000
+"""
+
+
+@register("sql_lateral_topk", category="rowops", oracle=_SQL_LATERAL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT — 'top 2 line
+    items per order' phrased as a lateral join (Spark 4 + DuckDB run the
+    identical statement). Catalyst decorrelates the per-row subquery into
+    a joined window-rank plan, so execution is ONE shuffle on the join
+    key, not an O(orders) re-scan of lineitem — the plan a naive
+    nested-loop reading would suggest. The unique l_linenumber tiebreak
+    makes the LIMIT deterministic."""
+    for t in ("orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_LATERAL)

@@ -558,3 +558,36 @@ def test_phash_dedup_matches_bruteforce(spark):
             expect[(a, b)] = d
     assert pairs == expect
     assert expect, "fixture produced no hamming<=3 pairs; invariant vacuous"
+
+
+def test_geohash_matches_reference_encoder(spark):
+    """geo_geohash's bit-interleave must agree with the canonical
+    bisection geohash algorithm (public domain), not merely with its own
+    SQL twin — proves the column arithmetic IS geohash, modulo the
+    15-bit-per-axis quantization a 6-char hash carries."""
+    rows = _q(spark, "geo_geohash").select("lat", "lon", "geohash6").collect()
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def ref_encode(lat, lon, length=6):
+        lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+        bits, even, out = 0, True, []
+        ch = 0
+        while len(out) < length:
+            rng, x = (lon_rng, lon) if even else (lat_rng, lat)
+            mid = (rng[0] + rng[1]) / 2
+            if x >= mid:
+                ch = (ch << 1) | 1
+                rng[0] = mid
+            else:
+                ch = ch << 1
+                rng[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(alphabet[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    assert rows
+    for r in rows:
+        assert r["geohash6"] == ref_encode(r["lat"], r["lon"]), (r["lat"], r["lon"])
