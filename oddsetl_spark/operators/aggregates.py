@@ -620,3 +620,41 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "agg_mode_argmax",
+    category="agg",
+    oracle="""
+WITH counts AS (
+  SELECT c.c_nationkey, c.c_mktsegment, COUNT(*) AS n
+  FROM customer c GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment AS modal_segment, n
+FROM counts
+QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                           ORDER BY n DESC, c_mktsegment) = 1
+""",
+)
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value per group): count, then
+    argmax with an explicit lexicographic tiebreak. Spark's mode() picks
+    an ARBITRARY value on ties, so this two-step count+rank is the form
+    that hash-matches across engines and re-runs — the difference matters
+    exactly when it is invisible (tied groups). Two shuffles, both on
+    grouped keys with map-side partials; the rank window partitions on
+    the outer group so parallelism survives any group-count scale."""
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), F.col("c_mktsegment").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("modal_segment"), "n")
+    )

@@ -398,3 +398,49 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_seen",
         )
     )
+
+
+@register(
+    "etl_incremental_agg_merge",
+    category="etl",
+    oracle="""
+SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance by MERGEABLE PARTIAL
+    STATE: the stream is split at a mid-day cutoff into a 'base' batch
+    (already aggregated) and a 'delta' batch; each reduces to
+    (count, decimal-sum) state per (type, day); union of states +
+    re-aggregation yields EXACTLY the full recompute — which is what the
+    oracle computes, so the hash-match proves the merge algebra, not just
+    the query. The cutoff lands mid-day (2024-01-15 12:00) so the
+    boundary day genuinely merges rows from both batches. This is the
+    100 TB pattern: never re-scan history — keep additive state per
+    grain, fold each new batch in. Decimal sums (not doubles) make the
+    state merge associative and order-free."""
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 12:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,12)")).alias("sum_state"),
+        )
+
+    base = partial(e.filter(F.col("ts") < cutoff))
+    delta = partial(e.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_state").cast("double").alias("sum_value"),
+        )
+    )

@@ -698,3 +698,128 @@ def curate_hash_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .drop("rn")
     )
+
+
+@register(
+    "curate_pack_chunks",
+    category="curation",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), off AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM t
+)
+SELECT doc_id, n_tokens, start_off,
+       start_off // 256 AS first_chunk,
+       (start_off + n_tokens - 1) // 256 AS last_chunk,
+       (start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS n_chunks
+FROM off
+""",
+)
+def curate_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents laid end-to-end in
+    doc_id order, cut into 256-token training chunks; each doc learns its
+    global token offset and the chunk range it spans (boundary docs span
+    two). The offsets come from a DISTRIBUTED prefix sum — per-bucket
+    token totals, a cumulative base over the (tiny) bucket frame, then an
+    intra-bucket running sum partitioned by bucket — so no stage ever
+    runs a single-partition window over the full corpus; this is the
+    shape that packs 100 TB (buckets = input partitions, the bucket
+    frame is O(#partitions) and broadcast back). The oracle computes the
+    same offsets with one global window, proving the two-pass
+    decomposition exact."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    bucketed = d.withColumn("bucket", (F.col("doc_id") / 100).cast("bigint"))
+    totals = bucketed.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    bases = totals.select(
+        "bucket", F.coalesce(F.sum("bucket_total").over(wb), F.lit(0)).alias("base")
+    )
+    wi = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = (
+        bucketed.join(F.broadcast(bases), "bucket")
+        .withColumn(
+            "start_off",
+            F.col("base") + F.coalesce(F.sum("n_tokens").over(wi), F.lit(0)),
+        )
+    )
+    first = (F.col("start_off") / 256).cast("bigint")
+    last = ((F.col("start_off") + F.col("n_tokens") - 1) / 256).cast("bigint")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    )
+
+
+@register(
+    "curate_train_split",
+    category="curation",
+    oracle="""
+WITH tagged AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tokens,
+         (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 61
+          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bucket
+  FROM documents
+), labeled AS (
+  SELECT source, n_tokens,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM tagged
+)
+SELECT source, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY source), 6)
+         AS frac_of_source
+FROM labeled GROUP BY source, split
+""",
+)
+def curate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split: each doc's split is
+    a pure function of md5(doc_id) (80/10/10), so ANY engine, run, or
+    partitioning assigns the same document to the same split — the
+    reproducibility property rand()-splits lose on retry or scale-out.
+    Reported per source stratum with within-source fractions to audit
+    the stratification. One aggregation shuffle on (source, split); the
+    fraction window runs over the tiny aggregated frame."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 61 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    labeled = d.select(
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    agg = labeled.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    ws = W.partitionBy("source")
+    return agg.select(
+        "source",
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(ws), 6).alias(
+            "frac_of_source"
+        ),
+    )

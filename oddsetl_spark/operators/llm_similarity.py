@@ -650,3 +650,88 @@ def mm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.groupBy(F.col("c_id").alias("cluster"), "label").agg(
         F.count(F.lit(1)).alias("n_vecs")
     )
+
+
+@register(
+    "sim_hybrid_rrf",
+    category="llm_sim",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+vec_ranked AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY {_SQL_DOT.format(a='e.emb', b='q.q_emb')} DESC,
+                            vec_id) AS vrank
+  FROM e, q WHERE vec_id <> 0
+  QUALIFY vrank <= 50
+),
+lex_ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY len(list_filter(string_split(text, ' '),
+                                                     t -> t IN ('join', 'hash'))) DESC,
+                            doc_id) AS lrank
+  FROM documents WHERE doc_id <> 0
+  QUALIFY lrank <= 50
+)
+, fused AS (
+  SELECT COALESCE(v.doc_id, l.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + v.vrank), 0.0)
+             + COALESCE(1.0 / (60 + l.lrank), 0.0), 9) AS rrf,
+         v.vrank, l.lrank
+  FROM vec_ranked v FULL OUTER JOIN lex_ranked l ON v.doc_id = l.doc_id
+)
+SELECT doc_id, rrf, vrank, lrank FROM fused
+QUALIFY ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) <= 20
+""",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a dense ranking
+    (cosine to query vec 0) and a lexical ranking (query-term frequency in
+    text) are fused as sum of 1/(60+rank) — the standard RRF that needs
+    no score calibration between modalities. Each ranking is its own
+    top-50 (window with unique tiebreak), the fusion is a full outer join
+    on doc_id, final top-20 re-ranked on the fused score. At scale the
+    two rankings run as independent scans (dense side broadcast-query,
+    lexical side predicate-pushed) and the fusion joins two 50-row
+    frames — driver never sees the corpus. ROUND(9) pins the one
+    float-sum to well above double noise."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    wv = W.orderBy(F.desc("cos"), F.asc("doc_id"))
+    vec_ranked = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _dot(F.col("emb"), F.col("q_emb")).alias("cos"),
+        )
+        .withColumn("vrank", F.row_number().over(wv))
+        .filter(F.col("vrank") <= 50)
+        .select("doc_id", "vrank")
+    )
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    hits = F.size(
+        F.filter(F.split("text", " "), lambda t: t.isin("join", "hash"))
+    )
+    wl = W.orderBy(F.desc("hits"), F.asc("doc_id"))
+    lex_ranked = (
+        d.select("doc_id", hits.alias("hits"))
+        .withColumn("lrank", F.row_number().over(wl))
+        .filter(F.col("lrank") <= 50)
+        .select("doc_id", "lrank")
+    )
+    fused = (
+        vec_ranked.join(lex_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("vrank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("lrank")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+            "vrank",
+            "lrank",
+        )
+    )
+    wf = W.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return fused.withColumn("rn", F.row_number().over(wf)).filter(F.col("rn") <= 20).drop("rn")
