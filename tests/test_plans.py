@@ -187,3 +187,36 @@ def test_cbo_stats_reach_optimizer_and_dims_broadcast(spark):
         spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_geohash_no_python_udf(spark):
+    """geo_geohash's bit interleave must stay JVM-side — the whole point of
+    the arithmetic formulation over a UDF encoder."""
+    plan = _plan(spark, "geo_geohash")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_fuzzy_join_is_equi_not_nested_loop(spark):
+    """Deletion-variant blocking must compile to an equi join on the
+    variant key; a nested-loop/cartesian plan means the blocking failed."""
+    plan = _plan(spark, "join_fuzzy_levenshtein")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pack_chunks_big_window_is_partitioned(spark):
+    """The intra-bucket running sum must be a PARTITIONED window; only the
+    O(#buckets) base-offset frame may run single-partition."""
+    plan = _plan(spark, "curate_pack_chunks")
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    # at least one window partitioned by bucket must exist
+    assert any("bucket" in w for w in windows), plan
+
+
+def test_rrf_query_sides_broadcast(spark):
+    """The 1-row dense query vector must broadcast (no shuffle of the
+    corpus against it)."""
+    plan = _plan(spark, "sim_hybrid_rrf")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
