@@ -658,3 +658,37 @@ def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("c_nationkey", F.col("c_mktsegment").alias("modal_segment"), "n")
     )
+
+
+@register(
+    "agg_weighted_avg",
+    category="agg",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_dsum('l_extendedprice * l_quantity')}
+         / {sql_dsum('l_quantity')} AS wavg_price,
+       {sql_dsum('l_quantity')} AS total_weight,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (quantity-weighted price) from two exact decimal
+    sums — the mergeable-partials formulation: sum(w*x)/sum(w) composes
+    across partitions and batches (unlike a naive avg of per-row ratios),
+    which is what makes it incremental-maintenance-safe at 100 TB. The
+    per-row product multiplies in DOUBLE then casts to decimal once
+    (dsum discipline) — decimal*decimal typing differs between engines
+    (Spark reduces scale under precision pressure, DuckDB keeps s1+s2),
+    which cost a 1-ulp mismatch in the first cut. One shuffle, map-side
+    partials, final division in scalar double."""
+    li = table(spark, sf_dir, "lineitem")
+    wsum = dsum(F.col("l_quantity"))
+    return li.groupBy("l_returnflag").agg(
+        (dsum(F.col("l_extendedprice") * F.col("l_quantity")) / wsum).alias(
+            "wavg_price"
+        ),
+        wsum.alias("total_weight"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -502,3 +502,63 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_logp"),
     )
+
+
+@register(
+    "text_repetition_score",
+    category="llm_text",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents WHERE doc_id < 300
+), tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS trigram
+  FROM t
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tri,
+         COUNT(DISTINCT trigram) AS n_uniq, MAX(cnt) AS max_rep
+  FROM (SELECT doc_id, trigram, COUNT(*) AS cnt FROM tri GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tri, n_uniq,
+       ROUND(1.0 - n_uniq * 1.0 / n_tri, 9) AS rep_ratio,
+       max_rep
+FROM per_doc
+WHERE n_tri >= 3
+""",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring — the boilerplate/degenerate-text
+    quality signal: fraction of repeated trigrams per doc plus the
+    hottest trigram's count. Trigram explode -> (doc, trigram) counts ->
+    per-doc rollup: two shuffles, both keyed on doc_id-led keys, both
+    with map-side partials; nothing is quadratic in document length.
+    The token array is PROJECTED once before the trigram transform
+    (inline split expressions re-evaluate per element — measured 10x on
+    shingle explodes)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    t = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    tri = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
+            )
+        ).alias("trigram"),
+    )
+    counts = tri.groupBy("doc_id", "trigram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tri"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("cnt").alias("max_rep"),
+    )
+    return per_doc.filter(F.col("n_tri") >= 3).select(
+        "doc_id",
+        "n_tri",
+        "n_uniq",
+        F.round(1.0 - F.col("n_uniq") * 1.0 / F.col("n_tri"), 9).alias("rep_ratio"),
+        "max_rep",
+    )

@@ -559,3 +559,50 @@ def win_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter((n >= 5) & (var > 1e-12) & (F.abs(z) > 2)).select(
         "event_id", "user_id", "ts", "value", F.round(z, 6).alias("zscore")
     )
+
+
+@register(
+    "win_period_over_period",
+    category="windows",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS revenue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT day, n, revenue,
+       LAG(revenue, 1) OVER w AS prev_day,
+       ROUND((revenue - LAG(revenue, 1) OVER w)
+             / NULLIF(LAG(revenue, 1) OVER w, 0) * 100, 6) AS dod_pct,
+       LAG(revenue, 7) OVER w AS prev_week,
+       ROUND((revenue - LAG(revenue, 7) OVER w)
+             / NULLIF(LAG(revenue, 7) OVER w, 0) * 100, 6) AS wow_pct
+FROM daily
+WINDOW w AS (ORDER BY day)
+""",
+)
+def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period deltas: daily purchase revenue with
+    day-over-day and week-over-week percentage change via LAG(1)/LAG(7).
+    The raw-event aggregation carries the only real shuffle (map-side
+    partials); the lag window runs over the tiny daily frame — ordered
+    but O(days), so the single-partition window is free at any raw-data
+    scale. Revenue is a decimal-exact sum; the pct change is scalar
+    double math rounded well above noise."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,12)")).cast("double").alias("revenue"),
+    )
+    w = W.orderBy("day")
+    rev, p1, p7 = F.col("revenue"), F.lag("revenue", 1).over(w), F.lag("revenue", 7).over(w)
+    return daily.select(
+        "day",
+        "n",
+        "revenue",
+        p1.alias("prev_day"),
+        F.round((rev - p1) / F.nullif(p1, F.lit(0)) * 100, 6).alias("dod_pct"),
+        p7.alias("prev_week"),
+        F.round((rev - p7) / F.nullif(p7, F.lit(0)) * 100, 6).alias("wow_pct"),
+    )
