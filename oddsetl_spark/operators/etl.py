@@ -444,3 +444,64 @@ def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_state").cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "etl_snapshot_diff",
+    category="etl",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 5 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.05
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       old.price AS old_price, new.price AS new_price,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'deleted'
+            ELSE 'changed' END AS change_type
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR old.price <> new.price
+""",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: given yesterday's and today's keyed
+    snapshots, emit added / deleted / changed rows (the audit step of
+    every load into a store without CDC). One full outer shuffle join on
+    the key; 'unchanged' rows — the overwhelming majority at scale — are
+    filtered before the sink so output ∝ churn, not table size. The two
+    snapshots here are deterministic fixture derivations (key-residue
+    membership, +5% price on open orders); real use passes two paths.
+    Double prices compare bit-exactly: the same IEEE multiply runs on
+    both sides, no rounding step to diverge."""
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    new = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice") * 1.05)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    j = old.alias("a").join(
+        new.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    a_key, b_key = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    a_price, b_price = F.col("a.price"), F.col("b.price")
+    return j.filter(
+        a_key.isNull() | b_key.isNull() | (a_price != b_price)
+    ).select(
+        F.coalesce(a_key, b_key).alias("o_orderkey"),
+        a_price.alias("old_price"),
+        b_price.alias("new_price"),
+        F.when(a_key.isNull(), "added")
+        .when(b_key.isNull(), "deleted")
+        .otherwise("changed")
+        .alias("change_type"),
+    )

@@ -823,3 +823,81 @@ def curate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_source"
         ),
     )
+
+
+_GOPHER_STOPS = "('the','a','of','and','to','in','is','on')"
+
+
+@register(
+    "curate_gopher_rules",
+    category="curation",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS wc,
+         length(replace(text, ' ', '')) * 1.0 / len(toks) AS mwl,
+         len(list_filter(toks, t -> t IN {_GOPHER_STOPS})) * 1.0
+           / len(toks) AS stop_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio
+  FROM t
+)
+SELECT doc_id, wc,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(uniq_ratio, 6) AS uniq_ratio,
+       concat_ws('|',
+         CASE WHEN wc < 24 THEN 'too_short' END,
+         CASE WHEN wc > 88 THEN 'too_long' END,
+         CASE WHEN mwl < 4.3 THEN 'short_words' END,
+         CASE WHEN stop_ratio < 0.03 THEN 'low_stopword' END,
+         CASE WHEN uniq_ratio < 0.35 THEN 'low_diversity' END) AS failed_rules,
+       (wc >= 24 AND wc <= 88 AND mwl >= 4.3
+        AND stop_ratio >= 0.03 AND uniq_ratio >= 0.35) AS keep
+FROM m
+""",
+)
+def curate_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality gate (Gopher-style rule stack): word
+    count bounds, mean word length, stopword density, and unique-token
+    diversity, each a named rule; emits per-doc metrics, the '|'-joined
+    list of failed rules (the auditable drop reason every curation
+    pipeline owes its users), and the keep verdict. Pure per-row
+    projection — zero shuffles; every metric is a built-in expression
+    over ONE projected token split (inline splits re-evaluate per lambda
+    element — measured 10x). Thresholds compare RAW doubles on both
+    engines (identical int/int IEEE divisions), so rule flags can't
+    straddle a rounding edge; only the reported metrics are rounded."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "text", F.split("text", " ").alias("toks"))
+    wc = F.size("toks")
+    m = t.select(
+        "doc_id",
+        wc.alias("wc"),
+        (F.length(F.regexp_replace("text", " ", "")) * 1.0 / wc).alias("mwl"),
+        (
+            F.expr(f"size(filter(toks, t -> t IN {_GOPHER_STOPS}))") * 1.0 / wc
+        ).alias("stop_ratio"),
+        (F.size(F.array_distinct("toks")) * 1.0 / wc).alias("uniq_ratio"),
+    )
+    mwl, stp, unq = F.col("mwl"), F.col("stop_ratio"), F.col("uniq_ratio")
+    w = F.col("wc")
+    return m.select(
+        "doc_id",
+        "wc",
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(stp, 6).alias("stop_ratio"),
+        F.round(unq, 6).alias("uniq_ratio"),
+        F.concat_ws(
+            "|",
+            F.when(w < 24, "too_short"),
+            F.when(w > 88, "too_long"),
+            F.when(mwl < 4.3, "short_words"),
+            F.when(stp < 0.03, "low_stopword"),
+            F.when(unq < 0.35, "low_diversity"),
+        ).alias("failed_rules"),
+        (
+            (w >= 24) & (w <= 88) & (mwl >= 4.3) & (stp >= 0.03) & (unq >= 0.35)
+        ).alias("keep"),
+    )

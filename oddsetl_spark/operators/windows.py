@@ -606,3 +606,75 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         p7.alias("prev_week"),
         F.round((rev - p7) / F.nullif(p7, F.lit(0)) * 100, 6).alias("wow_pct"),
     )
+
+
+@register(
+    "win_gaps_islands",
+    category="windows",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), anchored AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM days
+)
+SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
+       COUNT(*) AS n_days
+FROM anchored
+GROUP BY user_id, anchor
+HAVING COUNT(*) >= 3
+""",
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active DAYS per user
+    (streak detection), via the anchor trick — day minus row_number() is
+    constant within a consecutive run, so one window pass + one group-by
+    finds every island with no self-join and no iteration. Both shuffles
+    key on user_id (high cardinality, even); contrast with win_sessionize,
+    which islands by time GAP rather than calendar adjacency."""
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn("anchor", F.date_sub("day", F.row_number().over(w)))
+    return (
+        anchored.groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("island_start"),
+            F.max("day").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 3)
+        .select("user_id", "island_start", "island_end", "n_days")
+    )
+
+
+@register(
+    "win_moving_median",
+    category="windows",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+FROM events
+WHERE user_id < 150
+""",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median (robust rolling center, 7-row trailing frame) — the
+    outlier-resistant twin of win_sliding_avg. Spark's exact `percentile`
+    runs as a window aggregate over the rows frame: one shuffle on
+    user_id, per-partition sort, O(frame) heap per row — no UDF, no
+    collect_list+sort in Python. Interpolation at even frame sizes is the
+    same midpoint-average in Spark percentile and DuckDB median; rounded
+    at 6 dp, far above double noise."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med7"),
+    )
