@@ -20,6 +20,7 @@ from .operators import (  # noqa: F401,E402
     aggregates,
     etl,
     geo,
+    graph,
     joins,
     llm_curation,
     llm_dedup,

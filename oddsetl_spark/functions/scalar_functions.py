@@ -555,3 +555,54 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     result identically (verified: hash-matches the classic-SQL oracle)."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_PIPE_SQL)
+
+
+@register(
+    "fn_url_parse",
+    category="functions",
+    oracle="""
+WITH u AS (
+  SELECT c_custkey,
+         concat('https://', lower(c_mktsegment), '.example.org/c/',
+                c_custkey, '?n=', c_nationkey, '&seg=',
+                lower(c_mktsegment)) AS url
+  FROM customer WHERE c_custkey <= 1000
+)
+SELECT c_custkey, url,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]n=([^&#]*)', 1) AS q_n
+FROM u
+""",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structure extraction with the built-in parse_url (JVM-side,
+    codegen) — protocol / host / path / single query parameter. The URL
+    is synthesized deterministically from fixture columns; the oracle
+    re-parses the identical string with anchored regexes, so the check
+    exercises real parsing, not string re-assembly. Pure projection:
+    zero shuffles, scales linearly."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    u = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("https://"),
+            F.lower("c_mktsegment"),
+            F.lit(".example.org/c/"),
+            F.col("c_custkey").cast("string"),
+            F.lit("?n="),
+            F.col("c_nationkey").cast("string"),
+            F.lit("&seg="),
+            F.lower("c_mktsegment"),
+        ).alias("url"),
+    )
+    url = F.col("url")
+    return u.select(
+        "c_custkey",
+        "url",
+        F.lower(F.parse_url(url, F.lit("PROTOCOL"))).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("n")).alias("q_n"),
+    )

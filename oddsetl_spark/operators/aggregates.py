@@ -692,3 +692,37 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         wsum.alias("total_weight"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_regression",
+    category="agg",
+    oracle="""
+SELECT l_returnflag,
+       regr_count(l_extendedprice, l_quantity) AS n,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+       ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS via the SQL-standard regr_* aggregates (price ~
+    quantity): slope, intercept, R², means — single-pass mergeable
+    moment sums, so one shuffle with map-side partials and incremental-
+    merge-safe partials at any scale. Both engines run the same stable
+    single-pass covariance updates; rounding absorbs trailing-ulp
+    divergence (precision per column scaled to its magnitude)."""
+    li = table(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )

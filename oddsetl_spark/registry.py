@@ -56,6 +56,7 @@ _CATEGORY_ORDER = (
     "curation",
     "multimodal",
     "etl",
+    "graph",
     "geo",
     "sources",
     "streaming",
