@@ -66,6 +66,15 @@ def read_events_stream(
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# State-store partition count for the finite replays. The number of state
+# partitions is fixed per checkpoint at first plan time, so it must be a
+# deliberate sizing decision: one state dir + provider per partition is pure
+# overhead when the replay holds ~1e4-1e5 keys (measured: 32 -> 8 partitions
+# cuts stream-stream join replay ~25% at sf0.01). A production deployment
+# sizes this to expected key cardinality / executor count instead.
+STREAM_STATE_PARTITIONS = 8
+
+
 def run_to_table(
     stream_df: DataFrame,
     mode: str = "append",
@@ -92,14 +101,22 @@ def run_to_table(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode(write_mode).parquet(out)
 
-    q = (
-        stream_df.writeStream.foreachBatch(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Scope shuffle/state partitions to the replay size; the conf is read at
+    # start() (state partition count binds to the fresh checkpoint there) and
+    # restored afterwards so sibling batch queries keep the session default.
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     try:
         return spark.read.parquet(out)
     except Exception:
