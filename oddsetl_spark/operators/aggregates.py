@@ -726,3 +726,33 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    category="agg",
+    oracle="""
+SELECT c_mktsegment,
+       bit_count(bit_or(1::BIGINT << c_nationkey)) AS n_nations_bitmap,
+       COUNT(DISTINCT c_nationkey) AS n_nations_exact
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count of a SMALL-domain key via a single-long
+    bitmap: bit_count(bit_or(1 << key)). Unlike count(distinct) — whose
+    distributed form needs a second shuffle or an expand — the bitmap is
+    a plain mergeable aggregate: map-side partial OR, one shuffle, and
+    the partials are 8 bytes regardless of group size. This is the
+    segment-tree/rollup-friendly distinct the incremental-maintenance
+    path wants (OR is idempotent and associative); domain must fit the
+    word (nationkey < 64). The exact count(distinct) column proves
+    equality."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.bit_count(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), c_nationkey)"))
+        ).alias("n_nations_bitmap"),
+        F.countDistinct("c_nationkey").alias("n_nations_exact"),
+    )

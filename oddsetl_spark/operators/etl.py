@@ -505,3 +505,69 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("change_type"),
     )
+
+
+@register(
+    "etl_compaction",
+    category="etl",
+    heavy=True,
+    oracle="""
+SELECT event_type, COUNT(*) AS n_rows,
+       8 AS files_before, 1 AS files_after
+FROM events
+GROUP BY event_type
+""",
+)
+def etl_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming sink
+    needs: a fragmented partitioned table (8 writer tasks × each
+    partition value = 8 small files per partition) is rewritten with the
+    shuffle keyed ON the partition column, so every value lands in
+    exactly one task and writes exactly one file. File counts are read
+    from the filesystem (metadata, not data) and verified against the
+    deterministic before/after law; row counts prove the rewrite lost
+    nothing. At scale the same job targets a size budget with
+    repartitionByRange(partition, bucket) instead of one file per
+    value."""
+    import os
+    import tempfile
+
+    e = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    frag_dir = tempfile.mkdtemp(prefix="oddsetl_frag_")
+    comp_dir = tempfile.mkdtemp(prefix="oddsetl_comp_")
+    # fragment: spread every event_type across 8 round-robin tasks
+    e.repartition(8).write.mode("overwrite").partitionBy("event_type").parquet(
+        frag_dir
+    )
+    frag = spark.read.parquet(frag_dir)
+    n_types = frag.select("event_type").distinct().count()
+    # compact: key the shuffle on the partition column -> 1 file per value
+    frag.repartition(n_types, "event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(comp_dir)
+
+    def files_per_partition(root: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for entry in os.listdir(root):
+            if entry.startswith("event_type="):
+                val = entry.split("=", 1)[1]
+                out[val] = sum(
+                    1
+                    for f in os.listdir(os.path.join(root, entry))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before, after = files_per_partition(frag_dir), files_per_partition(comp_dir)
+    counts = (
+        spark.read.parquet(comp_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    stats = spark.createDataFrame(
+        [(t, before[t], after[t]) for t in sorted(before)],
+        "event_type string, files_before int, files_after int",
+    )
+    return counts.join(F.broadcast(stats), "event_type").select(
+        "event_type", "n_rows", "files_before", "files_after"
+    )

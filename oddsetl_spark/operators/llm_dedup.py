@@ -684,3 +684,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_dots,
         schema="vec_a long, vec_b long, label_a int, label_b int, cosine double",
     )
+
+
+@register(
+    "dedup_shingle_containment",
+    category="llm_dedup",
+    heavy=True,
+    oracle=f"""
+WITH {_SQL_CORPUS}
+SELECT p.doc_a, p.doc_b,
+       ROUND(CAST(p.n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 9)
+         AS containment,
+       CASE WHEN sa.n_sh <= sb.n_sh THEN p.doc_a ELSE p.doc_b END
+         AS contained_doc
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.9
+""",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    |A∩B| / min(|A|,|B|) — catches a document embedded inside a larger
+    one (quote farms, boilerplate wrappers), where symmetric Jaccard
+    dilutes below any usable threshold. Same inverted-index join shape
+    as dedup_ngram_jaccard — cost follows shingle collision lists, never
+    n² — only the denominator and the contained-side attribution differ.
+    Tie on equal sizes attributes doc_a on both engines."""
+    sh = _shingles(_corpus(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cont = F.col("n_common").cast("double") / F.least("na", "nb")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= 0.9)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 9).alias("containment"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+    )
