@@ -72,6 +72,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     check is exact up to double summation order (absorbed by 6-dp
     rounding on the final ranks only — intermediate ranks stay raw on
     both sides)."""
+    return _pagerank_ranks(spark, sf_dir, checkpoint=True)
+
+
+def _pagerank_ranks(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = False
+) -> DataFrame:
+    """Core loop; `checkpoint=False` keeps the full lineage visible (the
+    plan test asserts the iteration's join strategy on it)."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -99,7 +107,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumnRenamed("dst", "node")
             )
         out = ranks.select("node", F.round("pr", 6).alias("pr"))
-        out = out.localCheckpoint()  # materialize before unpersisting edges
+        if checkpoint:
+            out = out.localCheckpoint()  # materialize before unpersisting edges
     finally:
-        edged.unpersist()
+        if checkpoint:
+            edged.unpersist()
     return out

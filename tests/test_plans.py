@@ -220,3 +220,39 @@ def test_rrf_query_sides_broadcast(spark):
     corpus against it)."""
     plan = _plan(spark, "sim_hybrid_rrf")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pagerank_iteration_joins_broadcast_rank_vector(spark):
+    """Each PageRank iteration joins the tiny rank vector against the
+    persisted edge list: the persisted edges must read from the
+    in-memory relation (shuffled once, reused every iteration). The
+    registered query localCheckpoints its result (lifecycle), which
+    truncates the visible plan — assert on the un-checkpointed core."""
+    from oddsetl_spark.operators.graph import _pagerank_ranks
+    from oddsetl_spark.plans.report import executed_plan
+
+    plan = executed_plan(_pagerank_ranks(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_moving_median_single_window_exchange(spark):
+    """percentile-as-window-aggregate must run in ONE hash exchange on
+    user_id (plus AQE reads) — no extra shuffle, no Python UDF."""
+    plan = _plan(spark, "win_moving_median").split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_filters_pushed_to_both_scans(spark):
+    """Both snapshot derivations read from the same table with their
+    key-residue filters pushed into the parquet scans."""
+    plan = _plan(spark, "etl_snapshot_diff")
+    assert "PushedFilters: [IsNotNull(o_orderkey)]" in plan, plan
+
+
+def test_bitmap_distinct_is_single_aggregate_pass(spark):
+    """The bitmap OR must compile to partial->final HashAggregate with one
+    exchange; countDistinct adds its expand, but no join, no window."""
+    plan = _plan(spark, "agg_bitmap_distinct")
+    assert "HashAggregate" in plan, plan
+    assert "Window" not in plan and "Join" not in plan
