@@ -226,7 +226,8 @@ SELECT doc_id,
        coalesce(array_to_string(list_filter(toks, x -> length(x) > 6), '|'), '')
          AS long_toks,
        len(list_filter(toks, x -> x = 'scan')) > 0 AS has_scan,
-       list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS total_chars,
+       CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT)
+         AS total_chars,
        array_to_string(
          list_transform(list_zip(list_slice(toks, 1, 3), list_slice(toks, 2, 4)),
                         p -> concat(p[1], '_', p[2])), '|') AS bigram3
@@ -491,7 +492,8 @@ WITH m AS (
 )
 SELECT lower(seg_mixed) AS seg_norm,
        COUNT(*) AS n,
-       SUM(CASE WHEN seg_mixed = upper(seg_mixed) THEN 1 ELSE 0 END) AS n_upper
+       CAST(SUM(CASE WHEN seg_mixed = upper(seg_mixed) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_upper
 FROM m GROUP BY 1
 """,
 )

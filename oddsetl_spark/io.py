@@ -44,10 +44,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     pin_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Belt-and-braces vs the inferTimestampNTZ pin: if a caller's session read
+    # the fixture as TIMESTAMP_NTZ anyway, normalize to TimestampType (session
+    # tz is UTC, so values are identical) so epoch functions keep resolving.
+    ntz_cols = [c for c, t in dtypes.items() if t == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 

@@ -161,13 +161,13 @@ WITH f AS (
 )
 SELECT 'total' AS stage, 0 AS stage_idx, COUNT(*) AS n_docs FROM f
 UNION ALL
-SELECT 'lang_en', 1, SUM(pass_lang) FROM f
+SELECT 'lang_en', 1, CAST(SUM(pass_lang) AS BIGINT) FROM f
 UNION ALL
-SELECT 'len_80_2000', 2, SUM(pass_len) FROM f
+SELECT 'len_80_2000', 2, CAST(SUM(pass_len) AS BIGINT) FROM f
 UNION ALL
-SELECT 'min_12_tokens', 3, SUM(pass_tok) FROM f
+SELECT 'min_12_tokens', 3, CAST(SUM(pass_tok) AS BIGINT) FROM f
 UNION ALL
-SELECT 'exact_dedup', 4, SUM(pass_dedup) FROM f
+SELECT 'exact_dedup', 4, CAST(SUM(pass_dedup) AS BIGINT) FROM f
 """,
 )
 def curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -71,7 +71,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT {_SQL_MEDIA_TYPE} AS media_type,
        COUNT(*) AS n,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        MAX(doc_id % 640 + 16) AS max_width
 FROM documents
 GROUP BY 1

@@ -91,7 +91,7 @@ WITH e AS (
 SELECT
   COUNT(*) AS n_total,
   COUNT(et) AS n_et_not_null,
-  SUM(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS n_et_null,
+  CAST(SUM(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_et_null,
   COUNT(big_value) AS n_big,
   COALESCE(MIN(CASE WHEN et IS NULL THEN event_id END), -1) AS first_null_id
 FROM e

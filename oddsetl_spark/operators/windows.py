@@ -237,8 +237,8 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id,
@@ -305,8 +305,8 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 ),
 sess AS (
@@ -319,7 +319,7 @@ sess AS (
 )
 SELECT user_id,
        COUNT(*) AS n_sessions,
-       SUM(n_events) AS total_events,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
        MAX(n_events) AS max_session_events,
        MIN(session_start) AS first_start,
        MAX(session_end) AS last_end

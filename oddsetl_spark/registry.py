@@ -35,12 +35,16 @@ class QueryDef:
 _REGISTRY: dict[str, QueryDef] = {}
 
 # Sweep order. The external correctness driver iterates queries() in dict
-# order under a fixed time budget — round 1's sweep truncated after 50
-# queries because the streaming replays (each a full availableNow run +
-# foreachBatch materialization, seconds each at sf0.01) registered early.
-# Emit cheap, high-yield batch categories first; queries flagged heavy=True
-# (multi-second batch ops at sf0.01) after all light batch queries; the
-# streaming replays last. Stable within each tier (registration order).
+# order and checks exactly the FIRST 50 queries per round (rounds 1 and 2
+# both produced exactly 50 rows, truncating mid-category), so with ~190
+# registered queries the order decides WHICH 50 get driver evidence this
+# round. Rotation: queries with no hash-match evidence in any prior round's
+# CORRECTNESS_r*.json (including ones whose latest evidence is a FAILURE —
+# they must be re-proven) sort first, in a category order that front-loads
+# the §2-critical never-verified families; already-verified queries keep
+# the cheap-batch-first / heavy / streaming-last tiering behind them. As
+# CORRECTNESS files accumulate round over round, the front of the sweep
+# automatically becomes the next unverified slice.
 _CATEGORY_ORDER = (
     "rowops",
     "sorts",
@@ -63,6 +67,71 @@ _CATEGORY_ORDER = (
 )
 _CATEGORY_RANK = {c: i for i, c in enumerate(_CATEGORY_ORDER)}
 
+# Unverified-first category priority: regression fixes + never-driver-seen
+# core operator families (joins!) ahead of addendum families.
+_UNVERIFIED_ORDER = (
+    "rowops",
+    "functions",
+    "windows",
+    "joins",
+    "udfs",
+    "agg",
+    "llm_text",
+    "llm_sim",
+    "llm_dedup",
+    "curation",
+    "multimodal",
+    "etl",
+    "graph",
+    "geo",
+    "sorts",
+    "setops",
+    "sources",
+    "streaming",
+)
+_UNVERIFIED_RANK = {c: i for i, c in enumerate(_UNVERIFIED_ORDER)}
+
+
+def _load_verified() -> frozenset[str]:
+    """Names with positive driver evidence: latest CORRECTNESS row is a
+    hash match (or a declared rows-only run). A later failed/errored row
+    demotes a name back to unverified so it re-enters the sweep front."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ok: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            good = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if good:
+                ok.add(name)
+            else:
+                ok.discard(name)
+    return frozenset(ok)
+
+
+_VERIFIED: frozenset[str] | None = None
+
+
+def _verified() -> frozenset[str]:
+    global _VERIFIED
+    if _VERIFIED is None:
+        _VERIFIED = _load_verified()
+    return _VERIFIED
+
 
 def _tier(q: QueryDef) -> int:
     if q.category == "streaming":
@@ -71,11 +140,25 @@ def _tier(q: QueryDef) -> int:
 
 
 def _ordered() -> list[QueryDef]:
-    order = list(_REGISTRY.values())  # registration order (dicts are ordered)
-    return sorted(
-        order,
-        key=lambda q: (_tier(q), _CATEGORY_RANK.get(q.category, len(_CATEGORY_ORDER))),
-    )
+    verified = _verified()
+    reg_index = {name: i for i, name in enumerate(_REGISTRY)}
+
+    def key(q: QueryDef):
+        if q.name not in verified:
+            return (
+                0,
+                _UNVERIFIED_RANK.get(q.category, len(_UNVERIFIED_ORDER)),
+                1 if q.heavy else 0,
+                reg_index[q.name],
+            )
+        return (
+            1,
+            _tier(q),
+            _CATEGORY_RANK.get(q.category, len(_CATEGORY_ORDER)),
+            reg_index[q.name],
+        )
+
+    return sorted(_REGISTRY.values(), key=key)
 
 
 def register(

@@ -30,6 +30,10 @@ _RUNTIME_CONF: dict[str, str] = {
     # read as long nanos and convert in io.table (floor to micros, matching
     # DuckDB's CAST(ts_ns AS TIMESTAMP) truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture timestamps are tz-naive micros; with session tz pinned UTC,
+    # reading them as TimestampType (not NTZ) gives identical values while
+    # keeping epoch functions (unix_micros etc.) and DuckDB parity working.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Defaults restored on every pin so per-query overrides (e.g. the
     # runtime-bloom-filter demo disabling auto-broadcast) cannot leak into
     # the next query in a shared session.

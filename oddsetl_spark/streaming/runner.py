@@ -29,20 +29,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Streaming file sources require an explicit schema (no inference pass at
-# plan time). events.ts is parquet TIMESTAMP(NANOS): with
-# spark.sql.legacy.parquet.nanosAsLong pinned (session.py) it arrives as
-# long nanoseconds; to_event_time() floors it to the microsecond
-# TimestampType exactly like io.table() does for batch.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# plan time). The fixture's ts physical type has changed across fixture
+# generations (TIMESTAMP(NANOS) read as long nanos under
+# spark.sql.legacy.parquet.nanosAsLong vs plain TIMESTAMP(MICROS)), so
+# read_events_stream probes the staged files with a batch read and picks
+# the matching schema — both normalize to microsecond TimestampType,
+# exactly like io.table() does for batch.
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+EVENTS_RAW_SCHEMA = _events_schema(T.TimestampType())
 
 
 def stage_events(sf_dir: str, copies: int = 1, tag: str = "stream") -> str:
@@ -59,11 +65,19 @@ def read_events_stream(
     spark: SparkSession, staged_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Streaming scan over a staged events dir, ts normalized to µs."""
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    from ..session import pin_session
+
+    pin_session(spark)
+    ts_physical = dict(spark.read.parquet(staged_dir).dtypes).get("ts")
+    nanos = ts_physical == "bigint"  # legacy TIMESTAMP(NANOS) fixture
+    schema = _events_schema(T.LongType() if nanos else T.TimestampType())
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(staged_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 # State-store partition count for the finite replays. The number of state

@@ -193,16 +193,9 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _stage_half(df: DataFrame, fname: str) -> None:
         tmp = tempfile.mkdtemp(prefix="oddsetl_late_half_")
-        # Write ts back as long nanos so the staged file matches the
-        # streaming schema (EVENTS_RAW_SCHEMA reads ts as long).
-        df.select(
-            "event_id",
-            (F.unix_micros(F.col("ts")) * 1_000).alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
-        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        # Stage ts as TimestampType (micros) — read_events_stream probes the
+        # staged files and picks the matching streaming schema.
+        df.select(*_EVENT_COLS).coalesce(1).write.mode("overwrite").parquet(tmp)
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
         shutil.move(os.path.join(tmp, part), os.path.join(staged, fname))
 
