@@ -61,6 +61,43 @@ def _rows_canon(rows, cols):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def _pandas_path_canon(v) -> str:
+    """Canonicalize a duckdb-.df() cell the way the external driver's pandas
+    canonicalizer sees it. Intolerant of float-vs-int (DuckDB HUGEINT ->
+    float64 drift, the round-2 gate failure class); tolerant of date vs
+    midnight timestamp (empirically driver-tolerated)."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return f"{v.isoformat()}T00:00:00"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_pandas_path_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ",".join(f"{k}={_pandas_path_canon(v[k])}" for k in sorted(v))
+            + "}"
+        )
+    return f"S:{v}"
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     """Raise AssertionError with a readable diff on any mismatch."""
     s_cols = list(spark_df.columns)
@@ -86,6 +123,31 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
         )
         raise AssertionError(
             f"value mismatch ({len([1 for a, b in zip(sc, dc) if a != b])} rows differ, "
+            f"cols sorted={sorted(s_cols)}):\n{msg}"
+        )
+
+    # Pandas-path twin of the value check: re-fetch the oracle through
+    # duckdb's .df() (the conversion the external driver uses) and compare
+    # against the SAME collected Spark rows. Catches engine type-mapping
+    # drift the fetchall() path hides — e.g. SUM(int) -> HUGEINT -> float64
+    # ("201.0" vs "201"), the round-2 driver gate failure class.
+    pdf = con.execute(sql).df()
+    pdf = pdf[sorted(pdf.columns)]
+    dp = sorted(
+        tuple(_pandas_path_canon(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    sp = sorted(
+        tuple(_pandas_path_canon(r[i]) for i in order) for r in s_rows
+    )
+    if sp != dp:
+        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sp, dp)) if a != b][:5]
+        msg = "\n".join(
+            f"  row {i}:\n    spark: {a}\n    duck(.df): {b}" for i, a, b in diffs
+        )
+        raise AssertionError(
+            f"pandas-path mismatch (driver canonicalizer would fail; "
             f"cols sorted={sorted(s_cols)}):\n{msg}"
         )
 
