@@ -1008,7 +1008,11 @@ def curate_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("c_label").alias("cluster"))
     )
-    m = assign.join(e.select("vec_id", "emb"), "vec_id")
+    # The assignment subtree feeds three consumers (both pairwise sides +
+    # the final verdict join): cut it once instead of recomputing the
+    # centroid/argmin pipeline 3x (same lineage-cut pattern as
+    # dedup_components).
+    m = assign.join(e.select("vec_id", "emb"), "vec_id").localCheckpoint(eager=False)
     a = m.alias("a")
     b = m.alias("b")
     drops = (
