@@ -131,15 +131,41 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     # against the SAME collected Spark rows. Catches engine type-mapping
     # drift the fetchall() path hides — e.g. SUM(int) -> HUGEINT -> float64
     # ("201.0" vs "201"), the round-2 driver gate failure class.
+    # Pandas promotes int columns containing NULLs to float64 on BOTH
+    # engines' conversion paths (the driver's spark side is pandas too), so
+    # ints in any nullable column are canonicalized as floats symmetrically
+    # (fn_try's parsed column: NULL-bearing bigint).
+    import numpy as np
+    import pandas as pd
+
     pdf = con.execute(sql).df()
     pdf = pdf[sorted(pdf.columns)]
-    dp = sorted(
-        tuple(_pandas_path_canon(v) for v in row)
-        for row in pdf.itertuples(index=False, name=None)
-    )
     order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+
+    def _isnull(v):
+        return v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v))
+
+    d_tuples = list(pdf.itertuples(index=False, name=None))
+    s_tuples = [tuple(r[i] for i in order) for r in s_rows]
+    nullable = [
+        any(_isnull(t[c]) for t in s_tuples) or any(_isnull(t[c]) for t in d_tuples)
+        for c in range(len(pdf.columns))
+    ]
+
+    def _cell(v, c):
+        if (
+            nullable[c]
+            and isinstance(v, (int, np.integer))
+            and not isinstance(v, bool)
+        ):
+            return _pandas_path_canon(float(v))
+        return _pandas_path_canon(v)
+
+    dp = sorted(
+        tuple(_cell(v, c) for c, v in enumerate(row)) for row in d_tuples
+    )
     sp = sorted(
-        tuple(_pandas_path_canon(r[i]) for i in order) for r in s_rows
+        tuple(_cell(v, c) for c, v in enumerate(row)) for row in s_tuples
     )
     if sp != dp:
         diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sp, dp)) if a != b][:5]

@@ -15,7 +15,8 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "join_dynamic_partition_pruning", "geo_grid_join",
             "win_sessionize_stats", "dedup_embedding_cosine",
             "curate_contamination", "mm_kmeans_iterate", "opt_zorder_cluster",
-            "text_bigram_lm", "win_funnel_stages"]
+            "text_bigram_lm", "win_funnel_stages", "sim_ann_pq",
+            "curate_semdedup"]
 
 NOTES = {
     "agg_groupby_multi": "Q1 flagship: pushed shipdate filter, 7-col ReadSchema, "
@@ -65,6 +66,14 @@ NOTES = {
     "win_funnel_stages": "three same-key (user_id) aggregations; later "
         "stages join stage anchors on the identical key so exchanges "
         "co-locate instead of re-partitioning.",
+    "sim_ann_pq": "codebook (16x64 values) and query LUTs (5x8x16) both "
+        "BROADCAST; the corpus is encoded by map-side broadcast joins and "
+        "the ADC scan is a broadcast-join projection + small grouped sum — "
+        "the corpus never shuffles at full width, only (q,vec) partials.",
+    "curate_semdedup": "assignment subtree lineage-cut once "
+        "(localCheckpoint) and reused by all three consumers; the pairwise "
+        "prune is a SortMergeJoin keyed on cluster — per-cluster local "
+        "work, the SemDeDup scale contract (sum of c_i^2, never n^2).",
 }
 
 out = ["# PLANS — final physical plans of the headline queries (sf0.1, AQE final)",

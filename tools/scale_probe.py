@@ -1,0 +1,106 @@
+"""Scale-linearity probe: demonstrate that headline plans scale ~linearly
+in rows on fixed cores — the local-mode proxy for "the plan survives a
+100x scale-up" (per-core work and shuffle volume grow linearly; no
+super-linear stage like an all-pairs join or a single-partition window).
+
+Method: materialize sf0.1 fact tables multiplied K times (union of K
+shifted copies written to /tmp parquet — key offsets preserve join
+selectivity and group cardinality per copy), run each headline query warm
+at K in {1, 4, 10}, and report seconds plus the normalized sec/K ratio.
+A flat sec/K column = linear scaling; growth flags a scale hazard.
+
+Usage: python tools/scale_probe.py [K ...]   (default 1 4 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import oddsetl_spark as o  # noqa: E402
+from oddsetl_spark.io import TABLES  # noqa: E402
+from oddsetl_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+BASE = "/tmp/oddsetl_scale_probe"
+
+# Facts are multiplied; dims stay fixed (a 100 TB deployment grows facts,
+# not region/nation). Key columns shifted per copy keep per-copy join
+# fan-outs and group counts identical to sf0.1's.
+FACT_SHIFT = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+
+QUERIES = [
+    "agg_groupby_multi",
+    "join3_topk_revenue",
+    "join_broadcast_star",
+    "win_topk_per_group",
+    "win_sessionize_stats",
+    "text_token_count",
+]
+
+
+def stage(spark, k: int) -> str:
+    out = f"{BASE}/k{k}"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if t in FACT_SHIFT and k > 1:
+            copies = []
+            for i in range(k):
+                c = src
+                for col, span in FACT_SHIFT[t].items():
+                    c = c.withColumn(col, F.col(col) + F.lit(i * span))
+                copies.append(c)
+            df = copies[0]
+            for c in copies[1:]:
+                df = df.unionByName(c)
+        else:
+            df = src
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    spark = get_spark("scale-probe")
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    for k in ks:
+        sf_dir = stage(spark, k)
+        for q in QUERIES:
+            fn = o.registry.get(q).fn
+            fn(spark, sf_dir).count()  # warm: file listing, codegen
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            results[q][k] = round(time.time() - t0, 3)
+    print(f"\n{'query':28s}" + "".join(f"  K={k:<3d}" for k in ks) + "   sec/K ratio (last/first, ideal ~1 after fixed cost)")
+    for q in QUERIES:
+        r = results[q]
+        per_k = [r[k] / k for k in ks]
+        ratio = per_k[-1] / per_k[0]
+        print(
+            f"{q:28s}"
+            + "".join(f"  {r[k]:5.2f}" for k in ks)
+            + f"   {ratio:5.2f}"
+        )
+    with open("/tmp/scale_probe.json", "w") as f:
+        json.dump(results, f, indent=1)
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
