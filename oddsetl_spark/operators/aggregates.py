@@ -756,3 +756,54 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_nations_bitmap"),
         F.countDistinct("c_nationkey").alias("n_nations_exact"),
     )
+
+
+@register(
+    "agg_entropy",
+    category="agg",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+), u AS (
+  SELECT user_id,
+         CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         list(cnt ORDER BY cnt) AS cl
+  FROM c GROUP BY user_id
+)
+SELECT user_id, total, n_types,
+       ROUND(-list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+           list_transform(cl, x -> (CAST(x AS DOUBLE) / total)
+                                   * ln(CAST(x AS DOUBLE) / total))),
+         (a, b) -> a + b), 9) AS entropy
+FROM u
+""",
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    mixture-diversity metric a curation pipeline reports per domain /
+    source shard. Two mergeable aggregations (count per (user, type),
+    then per-user); the float part is a fold over the SORTED count list
+    via the higher-order aggregate(), so double summation order is fixed
+    and engine-independent — a plain SUM of p*ln(p) would be partial-
+    aggregation-order dependent. ln() may differ by an ulp between
+    libms, absorbed by 9-dp rounding; counts and totals stay exact
+    integers."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sort_array(F.collect_list("cnt")).alias("cl"),
+    )
+    total = F.col("total").cast("double")
+    ent = -F.aggregate(
+        F.col("cl"),
+        F.lit(0.0),
+        lambda acc, x: acc + (x.cast("double") / total) * F.log(x.cast("double") / total),
+    )
+    return per_user.select(
+        "user_id", "total", "n_types", F.round(ent, 9).alias("entropy")
+    )

@@ -113,3 +113,144 @@ def _pagerank_ranks(
         if checkpoint:
             edged.unpersist()
     return out
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (u < v canonical): two parts
+    are linked when they appear in the same order. The self-join shuffles
+    once on l_orderkey; per-order fan-out is items-per-order choose 2,
+    bounded by order size, not table size."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 600)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+_COPURCHASE_EDGE_SQL = """
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 600 AND b.l_partkey < 600
+"""
+
+
+@register(
+    "graph_triangle_count",
+    category="graph",
+    oracle=f"""
+WITH e AS ({_COPURCHASE_EDGE_SQL}),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+GROUP BY node
+""",
+    heavy=True,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation on the part co-purchase graph,
+    via DEGREE-ORDERED orientation (Schank–Wagner): every edge points
+    from its lower-(degree, id) endpoint to the higher one, wedges are
+    built only from each node's oriented out-neighbors, and a final join
+    closes them. Out-degrees are O(sqrt(m)) under this orientation, so
+    wedge count is O(m^1.5) instead of sum(deg^2) — THE property that
+    keeps triangle counting alive on power-law graphs at 100 TB, where a
+    single hub under the naive u<v orientation would emit deg^2 ~ 10^12
+    wedges on one key. The (deg, id) order is encoded as one long key
+    (deg * 2^32 + id) so orientation is a scalar comparison, not a sort.
+    The oracle counts the same triangles with the naive formulation —
+    per-node participation is orientation-invariant, so the two
+    algorithms must agree exactly."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            "node",
+            (F.col("deg").cast("long") * F.lit(2**32) + F.col("node")).alias("okey"),
+        )
+    )
+    ek = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("okey", "ku"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("okey", "kv"), "v")
+    )
+    lo = F.col("ku") < F.col("kv")
+    o = ek.select(
+        F.when(lo, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lo, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lo, F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
+    )
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    tri = (
+        o1.join(
+            o2,
+            (F.col("o1.src") == F.col("o2.src"))
+            & (F.col("o1.kdst") < F.col("o2.kdst")),
+        )
+        .select(
+            F.col("o1.src").alias("a"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
+        )
+        .join(
+            o3,
+            (F.col("b") == F.col("o3.src")) & (F.col("c") == F.col("o3.dst")),
+            "left_semi",
+        )
+    )
+    return (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    category="graph",
+    oracle=f"""
+WITH e AS ({_COPURCHASE_EDGE_SQL}),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+)
+SELECT degree, COUNT(*) AS n_nodes
+FROM deg GROUP BY degree
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph: two mergeable
+    aggregations (node degree, then nodes-per-degree), each one shuffle
+    with map-side partials; output is bounded by max degree, so the
+    second shuffle is tiny at any scale."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

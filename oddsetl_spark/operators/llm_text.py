@@ -562,3 +562,53 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - F.col("n_uniq") * 1.0 / F.col("n_tri"), 9).alias("rep_ratio"),
         "max_rep",
     )
+
+
+@register(
+    "text_chunk_sliding",
+    category="llm_text",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents WHERE doc_id < 400
+), c AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) > 32 THEN (len(toks) - 32 + 15) // 16 + 1
+              ELSE 1 END AS nc
+  FROM d
+)
+SELECT doc_id, t.i AS chunk_id,
+       array_to_string(toks[t.i*16+1 : t.i*16+32], ' ') AS chunk_text,
+       len(toks[t.i*16+1 : t.i*16+32]) AS n_tok
+FROM c, UNNEST(range(0, c.nc)) AS t(i)
+""",
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    32-token chunks with stride 16 (the standard pretraining/RAG windowing
+    step). Everything is narrow, per-row array arithmetic — split once,
+    sequence() over the chunk count, explode, slice — so the operator is
+    embarrassingly parallel with NO shuffle at any scale; output rows ∝
+    input tokens / stride. The last chunk is allowed short (slice clamps
+    identically in both engines); chunk count = ceil((n-32)/16)+1 in exact
+    integer arithmetic."""
+    C, S = 32, 16
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", _toks(F.col("text")).alias("toks"))
+    )
+    nc = F.expr(
+        f"CASE WHEN size(toks) > {C} THEN (size(toks) - {C} + {S - 1}) DIV {S} + 1 "
+        "ELSE 1 END"
+    )
+    e = d.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_id")
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * S + 1, C)
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tok"),
+    )

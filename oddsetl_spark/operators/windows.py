@@ -678,3 +678,52 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med7"),
     )
+
+
+@register(
+    "win_ewma",
+    category="windows",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       list_reduce(
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         (acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc
+       ) AS ewma10
+FROM events
+WHERE user_id < 150
+""",
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.5) over each user's
+    trailing 10 events. EWMA's recurrence (acc = a*x + (1-a)*acc) is not a
+    mergeable window aggregate, and the closed-form sum of a*(1-a)^k * x_k
+    overflows for deep partitions; instead the frame's values are gathered
+    with collect_list over a bounded ROWS frame and folded JVM-side with
+    the higher-order aggregate() — O(frame) per row, no Python, no state
+    beyond the 10-row frame at any scale. DuckDB folds the identical list
+    with list_reduce (seed = first element on both sides; both fold left
+    to right), so the double chain is bit-identical: alpha=0.5 makes BOTH lambda products exact power-of-two
+    scalings, so even fused-multiply-add contraction in either engine's
+    codegen cannot change a single bit of the fold. Returned UNrounded:
+    the dyadic fold results sit on exact decimal ties where the engines'
+    round() directions diverge — bit-equality needs no rounding."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        ewma.alias("ewma10"),
+    )
