@@ -256,3 +256,39 @@ def test_bitmap_distinct_is_single_aggregate_pass(spark):
     plan = _plan(spark, "agg_bitmap_distinct")
     assert "HashAggregate" in plan, plan
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_ewma_single_window_exchange_no_python(spark):
+    """The EWMA fold is a higher-order function inside the projection over
+    ONE window exchange on user_id — no Python eval, no second shuffle."""
+    plan = _plan(spark, "win_ewma").split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_sliding_no_shuffle(spark):
+    """Context-window chunking is narrow per-row array work: the plan may
+    contain NO exchange at all (embarrassingly parallel at any scale)."""
+    plan = _plan(spark, "text_chunk_sliding")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_orientation_joins_stay_hash_based(spark):
+    """Degree-ordered triangle counting must close wedges with hash joins
+    (broadcast or shuffled) — a nested-loop join here means the equi-keys
+    were lost and the operator degrades to all-pairs at scale."""
+    plan = _plan(spark, "graph_triangle_count")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_entropy_two_aggregate_levels_no_window(spark):
+    """Entropy = two mergeable groupBys; the sorted-list fold must stay a
+    projection expression — no window, no Python, no extra join."""
+    plan = _plan(spark, "agg_entropy")
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+    assert "Window" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
