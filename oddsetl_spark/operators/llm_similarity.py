@@ -892,3 +892,83 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("q_id", "vec_id", "adc_score", "rn")
     )
+
+
+@register(
+    "sim_maxsim_multivec",
+    category="llm_sim",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, vec_id // 4 AS doc
+           FROM embeddings),
+q AS (SELECT doc AS q_doc, vec_id AS q_vec_id, emb AS q_emb FROM e WHERE doc < 2),
+d AS (SELECT doc AS d_doc, vec_id, emb FROM e WHERE doc >= 2),
+dots AS (
+  SELECT q.q_doc, q.q_vec_id, d.d_doc,
+         MAX({_SQL_DOT.format(a='q.q_emb', b='d.emb')}) AS m
+  FROM q, d
+  GROUP BY q.q_doc, q.q_vec_id, d.d_doc
+),
+scored AS (
+  SELECT q_doc, d_doc,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(m ORDER BY q_vec_id)),
+                     (a, b) -> a + b) AS score
+  FROM dots GROUP BY q_doc, d_doc
+)
+SELECT q_doc, d_doc, score, rn
+FROM (SELECT q_doc, d_doc, score,
+             ROW_NUMBER() OVER (PARTITION BY q_doc
+                                ORDER BY score DESC, d_doc) AS rn
+      FROM scored)
+WHERE rn <= 10
+""",
+)
+def sim_maxsim_multivec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: documents are
+    multi-vector (4 token-vectors each, carved from consecutive vec_ids),
+    and score(q, d) = sum over q's vectors of the MAX dot product against
+    d's vectors. The query side (a handful of vectors) broadcasts; the
+    corpus is scanned ONCE with per-(q_vec, d_doc) maxes reduced
+    map-side, so the shuffle carries |q_vecs| * n_docs maxes, not the
+    full dot-product cross product. MAX is float-order-exact; the final
+    per-(q,d) sum folds over the q_vec_id-SORTED max list, fixing the
+    one order-sensitive float reduction. At 100 TB the same plan holds:
+    broadcast stays |query| and both aggregations are mergeable
+    partials."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.expr("vec_id DIV 4").alias("doc"),
+    )
+    q = e.filter(F.col("doc") < 2).select(
+        F.col("doc").alias("q_doc"),
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
+    )
+    d = e.filter(F.col("doc") >= 2).select(
+        F.col("doc").alias("d_doc"), "vec_id", "emb"
+    )
+    dots = (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            "q_doc",
+            "q_vec_id",
+            "d_doc",
+            _dot(F.col("q_emb"), F.col("emb")).alias("dot"),
+        )
+        .groupBy("q_doc", "q_vec_id", "d_doc")
+        .agg(F.max("dot").alias("m"))
+    )
+    scored = dots.groupBy("q_doc", "d_doc").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("q_vec_id", "m"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["m"],
+        ).alias("score")
+    )
+    w = W.partitionBy("q_doc").orderBy(F.desc("score"), F.asc("d_doc"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_doc", "d_doc", "score", "rn")
+    )

@@ -292,3 +292,14 @@ def test_entropy_two_aggregate_levels_no_window(spark):
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
     assert "Window" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_maxsim_query_side_broadcast_single_corpus_scan(spark):
+    """MaxSim's deliberate product must broadcast the tiny query side
+    (BroadcastNestedLoopJoin), reduce maxes map-side (partial->final
+    HashAggregate), and never shuffle the corpus on a join key (the two
+    parquet scans are the query and corpus sides of the same table)."""
+    plan = _plan(spark, "sim_maxsim_multivec")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "HashAggregate" in plan and "Window" in plan, plan
