@@ -703,3 +703,77 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("a.c_name", "b.c_name").alias("dist"),
     )
     return cand.filter(F.col("dist") <= 1).distinct()
+
+
+@register(
+    "join_asof_forward",
+    category="joins",
+    oracle="""
+WITH b AS (
+  SELECT o_custkey, o_orderdate, MIN(o_orderkey) AS nxt_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT a.o_orderkey, a.o_custkey, a.o_orderdate,
+       b.nxt_orderkey, b.o_orderdate AS nxt_date,
+       CAST(DATE_DIFF('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
+         AS days_to_next
+FROM orders a
+ASOF LEFT JOIN b
+  ON a.o_custkey = b.o_custkey AND b.o_orderdate > a.o_orderdate
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward (strict) as-of self-join: each order finds the customer's
+    NEXT order — the time-to-next-event query behind churn and
+    reorder-interval analyses. Same union-tag single-shuffle formulation
+    as join_asof but looking AHEAD: build rows sort BEFORE probe rows at
+    equal time, so a first(ignoreNulls) over (1 FOLLOWING, UNBOUNDED
+    FOLLOWING) sees strictly-later builds only — strict '>' semantics
+    without a second pass. Build side pre-deduped to min(o_orderkey) per
+    (custkey, date) to pin DuckDB's unspecified tie choice."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    b = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.min("o_orderkey").alias("nxt_orderkey")
+    )
+    probe = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("tag"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("nxt_orderkey"),
+    )
+    build = b.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "nxt_orderkey",
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("tag").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    u = probe.unionByName(build)
+    matched = u.select(
+        "tag",
+        "o_orderkey",
+        F.col("k").alias("o_custkey"),
+        F.col("t").alias("o_orderdate"),
+        F.first("nxt_orderkey", ignorenulls=True).over(w).alias("nxt_orderkey"),
+        F.first(F.when(F.col("tag") == 0, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("nxt_date"),
+    )
+    return matched.filter(F.col("tag") == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "nxt_orderkey",
+        "nxt_date",
+        F.datediff(F.col("nxt_date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_next"),
+    )

@@ -612,3 +612,65 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tok"),
     )
+
+
+@register(
+    "text_heavy_hitters",
+    category="llm_text",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tot AS (SELECT COUNT(*) AS total FROM tok)
+SELECT token, COUNT(*) AS n, (SELECT total FROM tot) AS total
+FROM tok GROUP BY token
+HAVING COUNT(*) >= (SELECT total FROM tot) / 256.0
+""",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter tokens (frequency >= 1/256 of the stream) via
+    the scalable two-pass pattern: pass 1 runs Misra–Gries with K=256
+    counters per partition inside mapInPandas — NO shuffle, O(K) state —
+    and the union of per-partition summaries is a guaranteed superset of
+    every global heavy hitter (pigeonhole: a token with global share
+    >= 1/256 has share > 1/(K+1) in some partition). Pass 2 broadcasts
+    the candidate set, semi-joins BEFORE the count shuffle, and applies
+    the exact threshold — so the shuffle carries only candidate tokens,
+    not the full vocabulary. At 100 TB with a billion-key vocabulary the
+    exact one-pass groupBy shuffles everything; this shuffles K x
+    n_partitions candidates. Final output is exact and deterministic
+    regardless of partitioning (extra candidates die at the HAVING)."""
+    d = table(spark, sf_dir, "documents").select(_toks(F.col("text")).alias("toks"))
+    K = 256
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for toks in pdf["toks"]:
+                for t in toks:
+                    if t in counters:
+                        counters[t] += 1
+                    elif len(counters) < K:
+                        counters[t] = 1
+                    else:
+                        for k2 in list(counters):
+                            counters[k2] -= 1
+                            if counters[k2] == 0:
+                                del counters[k2]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    cands = d.mapInPandas(mg, "token string").distinct()
+    toks = d.select(F.explode("toks").alias("token"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    counts = (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= F.col("total") / F.lit(256.0))
+        .select("token", "n", "total")
+    )

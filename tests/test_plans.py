@@ -303,3 +303,19 @@ def test_maxsim_query_side_broadcast_single_corpus_scan(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "HashAggregate" in plan and "Window" in plan, plan
+
+
+def test_asof_forward_single_shuffle(spark):
+    """Forward as-of must stay the union-tag formulation: ONE hash
+    exchange on the key, one window, no join operator at all."""
+    plan = _plan(spark, "join_asof_forward").split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning(k") == 1, plan
+    assert "Join" not in plan or "BroadcastHashJoin" not in plan, plan
+
+
+def test_heavy_hitters_candidates_broadcast_before_count(spark):
+    """The exact pass must semi-join the broadcast candidate set BEFORE
+    the count shuffle — the shuffle then carries candidates only."""
+    plan = _plan(spark, "text_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
