@@ -727,3 +727,83 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         ewma.alias("ewma10"),
     )
+
+
+@register(
+    "win_rolling_corr",
+    category="windows",
+    oracle="""
+WITH lagged AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         LAG(value) OVER (PARTITION BY user_id
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+  FROM events
+  WHERE user_id < 150
+),
+s AS (
+  SELECT event_id, user_id, ts, value, prev,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(prev  AS DECIMAL(30,12))) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(CAST(value AS DECIMAL(30,12)) * CAST(value AS DECIMAL(30,12)))
+              OVER w AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(prev  AS DECIMAL(30,12)) * CAST(prev  AS DECIMAL(30,12)))
+              OVER w AS DOUBLE) AS syy,
+         CAST(SUM(CAST(value AS DECIMAL(30,12)) * CAST(prev  AS DECIMAL(30,12)))
+              OVER w AS DOUBLE) AS sxy
+  FROM lagged
+  WHERE prev IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS corr20
+FROM s
+WHERE n >= 5
+  AND n * sxx - sx * sx > 1e-9
+  AND n * syy - sy * sy > 1e-9
+""",
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1 autocorrelation of each user's value series over a
+    trailing 20-row frame — the signal-stability feature a time-series
+    curation pass computes per entity. Same exact-decimal discipline as
+    win_zscore_outliers: the five frame sums (sx, sy, sxx, syy, sxy)
+    accumulate as DECIMAL(30,12) (order-insensitive, cluster-reorder
+    safe), and Pearson r comes out of the n-scaled closed form as a
+    chain of scalar IEEE double ops — bit-identical across engines,
+    rounded at 6 dp. One shuffle on user_id serves BOTH the lag and the
+    frame window (same partitioning); O(1) running state per row."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+    w0 = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    lagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w0).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    w = w0.rowsBetween(-19, 0)
+    dx = F.col("value").cast("decimal(30,12)")
+    dy = F.col("prev").cast("decimal(30,12)")
+    s = lagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(dx).over(w).cast("double").alias("sx"),
+        F.sum(dy).over(w).cast("double").alias("sy"),
+        F.sum(dx * dx).over(w).cast("double").alias("sxx"),
+        F.sum(dy * dy).over(w).cast("double").alias("syy"),
+        F.sum(dx * dy).over(w).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    corr = (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
+    return s.filter((n >= 5) & (varx > 1e-9) & (vary > 1e-9)).select(
+        "event_id", "user_id", "ts", F.round(corr, 6).alias("corr20")
+    )
