@@ -6,7 +6,9 @@ table, so the driver's batch oracle applies. Windowed aggregations that
 must hash-match use COMPLETE output mode (emission independent of the
 final watermark position); append-mode watermark semantics are exercised
 by `stream_watermark_late`, which is an engine-asserted rows check by
-design (SURVEY §2.I).
+design (SURVEY §2.I). `stream_chained_windows` (stacked stateful
+operators, append-only) still hash-matches because its oracle mirrors
+the final-watermark emission bound.
 
 At 100 TB the same plans run unbounded: swap the staged dir for the live
 landing path, drop availableNow, and keep the watermark/output-mode
@@ -603,3 +605,59 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+@register(
+    "stream_chained_windows",
+    category="streaming",
+    oracle="""
+WITH wm AS (
+  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events
+),
+hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT time_bucket(INTERVAL 6 HOUR, h) AS window_start,
+       time_bucket(INTERVAL 6 HOUR, h) + INTERVAL 6 HOUR AS window_end,
+       event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_hours
+FROM hourly
+GROUP BY 1, 2, 3
+HAVING time_bucket(INTERVAL 6 HOUR, h) + INTERVAL 6 HOUR <= (SELECT w FROM wm)
+""",
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained streaming window aggregations (multiple stateful operators,
+    Spark 3.4+): hourly counts per event_type roll up into 6-hour windows
+    via window(window_time(...)) — the pre-aggregation cascade that keeps
+    level-2 state tiny (it sees one row per finalized hourly window, not
+    raw events). Append mode is mandatory for stacked stateful operators;
+    emitted set = 6h windows closed at the final watermark (max ts - 1h),
+    which the oracle mirrors with its HAVING bound. Chained counts stay
+    integer-exact, so the hash check is exact despite two stateful
+    stages."""
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="chain")
+    hourly = (
+        read_events_stream(spark, staged)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    six = (
+        hourly.groupBy(
+            F.window(F.window_time("window"), "6 hours"), "event_type"
+        )
+        .agg(F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_hours"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_hours",
+        )
+    )
+    return run_to_table(six, mode="append", tag="chain")
