@@ -254,3 +254,65 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "graph_link_prediction",
+    category="graph",
+    oracle=f"""
+WITH e AS ({_COPURCHASE_EDGE_SQL}),
+adj AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e),
+deg AS (SELECT w AS node, COUNT(*) AS d FROM adj GROUP BY w),
+common AS (
+  SELECT a1.x AS u, a2.x AS v, COUNT(*) AS n_common
+  FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
+  GROUP BY a1.x, a2.x
+)
+SELECT c.u, c.v, c.n_common,
+       c.n_common / (du.d + dv.d - c.n_common) AS jaccard_score
+FROM common c
+JOIN deg du ON du.node = c.u
+JOIN deg dv ON dv.node = c.v
+LEFT JOIN e ON e.u = c.u AND e.v = c.v
+WHERE c.n_common >= 3 AND e.u IS NULL
+""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the co-purchase graph: for
+    every NON-adjacent part pair sharing >= 3 neighbors, the neighbor-
+    Jaccard score |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the classic
+    collaborative-filtering candidate generator. Wedge enumeration
+    (adjacency self-joined on the shared middle node) costs sum(deg^2),
+    the same budget as triangle counting, and every stage is an equi-join
+    or mergeable aggregate — one shuffle each on w, (u,v), u, v. The
+    anti-join against existing edges keeps only genuine predictions.
+    Integer counts + one bigint/bigint double division = engine-exact
+    with no rounding needed."""
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
+        e.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    )
+    deg = adj.groupBy(F.col("w").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    common = (
+        a1.join(a2, (F.col("a1.w") == F.col("a2.w")) & (F.col("a1.x") < F.col("a2.x")))
+        .groupBy(F.col("a1.x").alias("u"), F.col("a2.x").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        common.join(e, ["u", "v"], "left_anti")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common"))
+            ).alias("jaccard_score"),
+        )
+    )
