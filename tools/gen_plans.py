@@ -16,7 +16,9 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "win_sessionize_stats", "dedup_embedding_cosine",
             "curate_contamination", "mm_kmeans_iterate", "opt_zorder_cluster",
             "text_bigram_lm", "win_funnel_stages", "sim_ann_pq",
-            "curate_semdedup"]
+            "curate_semdedup", "graph_triangle_count", "text_heavy_hitters",
+            "sim_maxsim_multivec", "win_ewma", "graph_link_prediction",
+            "text_chunk_sliding"]
 
 NOTES = {
     "agg_groupby_multi": "Q1 flagship: pushed shipdate filter, 7-col ReadSchema, "
@@ -74,6 +76,22 @@ NOTES = {
         "(localCheckpoint) and reused by all three consumers; the pairwise "
         "prune is a SortMergeJoin keyed on cluster — per-cluster local "
         "work, the SemDeDup scale contract (sum of c_i^2, never n^2).",
+    "graph_triangle_count": "degree-ordered orientation: oriented edges "
+        "close wedges with hash equi-joins only (no nested loop) — "
+        "O(m^1.5) wedges instead of sum(deg^2), the hub-proof budget.",
+    "text_heavy_hitters": "Misra-Gries candidates via MapInPandas (no "
+        "shuffle), then a BROADCAST LeftSemi prunes the token stream "
+        "BEFORE the count exchange — the shuffle carries candidates only.",
+    "sim_maxsim_multivec": "tiny query side broadcast into the deliberate "
+        "product (BroadcastNestedLoopJoin); per-(q_vec,d_doc) maxes reduce "
+        "in a partial HashAggregate before the only exchange.",
+    "win_ewma": "higher-order aggregate() fold inside the projection over "
+        "ONE user_id window exchange — no Python eval, no second shuffle.",
+    "graph_link_prediction": "wedge self-join on the shared neighbor plus "
+        "anti/degree joins — every stage an equi-join or mergeable "
+        "aggregate; no nested loop anywhere.",
+    "text_chunk_sliding": "pure narrow array ops (split/sequence/explode/"
+        "slice): the plan has NO exchange at all.",
 }
 
 out = ["# PLANS — final physical plans of the headline queries (sf0.1, AQE final)",
