@@ -972,3 +972,50 @@ def sim_maxsim_multivec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("q_doc", "d_doc", "score", "rn")
     )
+
+
+def _ann_recall_oracle() -> str:
+    from ..registry import get as _get
+
+    exact_sql = _get("sim_cosine_topk").oracle
+    ivf_sql = _get("sim_ann_ivf").oracle
+    return f"""
+WITH exact AS (SELECT q_id, vec_id FROM ({exact_sql})),
+approx AS (SELECT q_id, vec_id FROM ({ivf_sql})),
+hits AS (
+  SELECT e.q_id, COUNT(a.vec_id) AS n_hit
+  FROM exact e
+  LEFT JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY e.q_id
+)
+SELECT q_id, n_hit, n_hit / 10.0 AS recall_at_10 FROM hits
+"""
+
+
+@register(
+    "sim_ann_recall_eval",
+    category="llm_sim",
+    oracle=_ann_recall_oracle(),
+    heavy=True,
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 report for the IVF index against the exact brute-force
+    baseline — the index-quality gate an embedding pipeline runs after
+    every rebuild. Both sides are deterministic operators with their own
+    SQL oracles, so even this EVALUATION query hash-matches end to end
+    (the oracle composes both queries' oracles verbatim). The join is
+    |queries| x k rows — negligible next to either input — so the eval
+    adds no scale risk on top of its inputs."""
+    exact = sim_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    approx = sim_ann_ivf(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("a_vec"), F.lit(1).alias("hit")
+    )
+    joined = exact.join(
+        approx,
+        (exact.q_id == approx.q_id) & (exact.vec_id == approx.a_vec),
+        "left",
+    ).select(exact.q_id, "hit")
+    return joined.groupBy("q_id").agg(
+        F.count("hit").alias("n_hit"),
+        (F.count("hit") / F.lit(10.0)).alias("recall_at_10"),
+    )

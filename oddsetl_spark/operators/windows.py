@@ -807,3 +807,89 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter((n >= 5) & (varx > 1e-9) & (vary > 1e-9)).select(
         "event_id", "user_id", "ts", F.round(corr, 6).alias("corr20")
     )
+
+
+@register(
+    "win_mad_outliers",
+    category="windows",
+    oracle="""
+WITH s AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         list_sort(list(value) OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                     ROWS BETWEEN 14 PRECEDING AND CURRENT ROW))
+           AS l
+  FROM events
+  WHERE user_id < 150
+),
+m AS (
+  SELECT event_id, user_id, ts, value, l, len(l) AS n,
+         CASE WHEN len(l) % 2 = 1 THEN l[(len(l) + 1) // 2]
+              ELSE (l[len(l) // 2] + l[len(l) // 2 + 1]) / 2.0 END AS med
+  FROM s
+),
+d AS (
+  SELECT event_id, user_id, ts, value, n, med,
+         list_sort(list_transform(l, x -> abs(x - med))) AS dl
+  FROM m
+)
+SELECT event_id, user_id, ts, value, med,
+       CASE WHEN n % 2 = 1 THEN dl[(n + 1) // 2]
+            ELSE (dl[n // 2] + dl[n // 2 + 1]) / 2.0 END AS mad
+FROM d
+WHERE n >= 7
+  AND (CASE WHEN n % 2 = 1 THEN dl[(n + 1) // 2]
+            ELSE (dl[n // 2] + dl[n // 2 + 1]) / 2.0 END) > 1e-12
+  AND abs(value - med)
+      > 3 * (CASE WHEN n % 2 = 1 THEN dl[(n + 1) // 2]
+                  ELSE (dl[n // 2] + dl[n // 2 + 1]) / 2.0 END)
+""",
+)
+def win_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rolling outliers: |x - median| > 3 * MAD over each user's
+    trailing 15 events. The z-score's mean/std break down when the window
+    itself contains outliers; median/MAD is the robust pair every
+    anomaly pipeline reaches for next. The frame's values are gathered
+    once (collect_list over a bounded ROWS frame) and BOTH medians come
+    from explicit sorted-array midpoint formulas rather than engine
+    median() — sorting, abs, and the midpoint (a+b)/2 are all exact
+    double ops, so the result is bit-identical with NO rounding. O(frame
+    log frame) per row, one shuffle on user_id."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-14, 0)
+    )
+    l = F.sort_array(F.collect_list("value").over(w))
+    s = e.select("event_id", "user_id", "ts", "value", l.alias("l"))
+    n = F.size("l")
+
+    def _median(arr, m):
+        return F.when(
+            m % 2 == 1, F.element_at(arr, ((m + 1) / 2).cast("int"))
+        ).otherwise(
+            (
+                F.element_at(arr, (m / 2).cast("int"))
+                + F.element_at(arr, (m / 2 + 1).cast("int"))
+            )
+            / 2.0
+        )
+
+    m = s.select(
+        "event_id", "user_id", "ts", "value", "l",
+        n.alias("n"),
+        _median(F.col("l"), n).alias("med"),
+    )
+    dl = F.sort_array(
+        F.transform(F.col("l"), lambda x: F.abs(x - F.col("med")))
+    )
+    d = m.select(
+        "event_id", "user_id", "ts", "value", "med", "n", dl.alias("dl")
+    )
+    mad = _median(F.col("dl"), F.col("n"))
+    return d.filter(
+        (F.col("n") >= 7)
+        & (mad > 1e-12)
+        & (F.abs(F.col("value") - F.col("med")) > 3 * mad)
+    ).select("event_id", "user_id", "ts", "value", "med", mad.alias("mad"))
