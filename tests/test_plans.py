@@ -319,3 +319,24 @@ def test_heavy_hitters_candidates_broadcast_before_count(spark):
     plan = _plan(spark, "text_heavy_hitters")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_rolling_corr_single_exchange_no_python(spark):
+    """Lag + five decimal frame sums must share ONE user_id exchange."""
+    plan = _plan(spark, "win_rolling_corr").split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mad_outliers_single_exchange_no_python(spark):
+    """collect_list frame + array-midpoint medians are all codegen
+    expressions over one user_id window exchange."""
+    plan = _plan(spark, "win_mad_outliers").split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_link_prediction_all_joins_hash_based(spark):
+    """Wedge/degree/anti joins must all be hash equi-joins."""
+    plan = _plan(spark, "graph_link_prediction")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
