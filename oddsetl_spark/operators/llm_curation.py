@@ -1028,3 +1028,58 @@ def curate_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.join(drops.withColumn("dropped", F.lit(True)), "vec_id", "left").select(
         "cluster", "vec_id", F.col("dropped").isNull().alias("kept")
     )
+
+
+@register(
+    "curate_source_gini",
+    category="curation",
+    oracle="""
+WITH tc AS (
+  SELECT source, doc_id,
+         len(string_split(lower(text), ' ')) AS ntok
+  FROM documents
+),
+r AS (
+  SELECT source, ntok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY ntok, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM tc
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       CAST(SUM((2 * r - n - 1) * ntok) AS BIGINT)
+         / CAST(MAX(n) * SUM(ntok) AS DOUBLE) AS gini
+FROM r GROUP BY source
+""",
+)
+def curate_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count Gini coefficient per source — the concentration metric
+    a data-mix report pairs with entropy: is a source's token mass spread
+    evenly across its documents or locked up in a few giants? Uses the
+    SCALABLE closed form sum((2*rank - n - 1) * x) / (n * sum(x)) over a
+    rank window (one shuffle) instead of collecting per-group lists —
+    tokens counts are integers so every sum is exact; rank ties
+    contribute identical totals under any tiebreak, so the statistic is
+    deterministic. The single double division at the end is engine-exact
+    (bigint/bigint), no rounding."""
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias("ntok"),
+    )
+    w = W.partitionBy("source").orderBy("ntok", "doc_id")
+    r = d.select(
+        "source",
+        "ntok",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+    return r.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        (
+            F.sum((2 * F.col("r") - F.col("n") - 1) * F.col("ntok"))
+            / (F.max("n") * F.sum("ntok")).cast("double")
+        ).alias("gini"),
+    )

@@ -893,3 +893,45 @@ def win_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (mad > 1e-12)
         & (F.abs(F.col("value") - F.col("med")) > 3 * mad)
     ).select("event_id", "user_id", "ts", "value", "med", mad.alias("mad"))
+
+
+@register(
+    "win_drawdown",
+    category="windows",
+    oracle="""
+WITH s AS (
+  SELECT user_id, value,
+         MAX(value) OVER (PARTITION BY user_id
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MAX(peak) AS max_peak,
+       MAX(peak - value) AS max_drawdown
+FROM s GROUP BY user_id
+""",
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: running peak minus current value,
+    maximized — the canonical running-extreme window (finance drawdown,
+    SLA worst-regression, watermark lag). Comparisons and one double
+    subtraction only, so the result is bit-exact with no rounding and no
+    decimal scaffolding. One shuffle on user_id; the running max is O(1)
+    state per row at any scale, and the rollup is a mergeable
+    aggregate."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    s = e.select(
+        "user_id", "value", F.max("value").over(w).alias("peak")
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("peak").alias("max_peak"),
+        F.max(F.col("peak") - F.col("value")).alias("max_drawdown"),
+    )
