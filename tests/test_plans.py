@@ -340,3 +340,39 @@ def test_link_prediction_all_joins_hash_based(spark):
     """Wedge/degree/anti joins must all be hash equi-joins."""
     plan = _plan(spark, "graph_link_prediction")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Runtime complement to the manual join_skew_salted operator: with a
+    90%-hot key, AQE must mark the sort-merge join skew=true and split
+    the hot partition (AQEShuffleRead skewed) — the self-tuning path a
+    100 TB deployment relies on before anyone reaches for salt."""
+    from pyspark.sql import functions as F
+
+    from oddsetl_spark.plans.report import executed_plan
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        f = spark.range(0, 1_000_000, 1, 8).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        d = spark.range(0, 1_000_000, 1, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        plan = executed_plan(f.join(d, "k").select(F.sum("attr").alias("s")))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "skew=true" in plan, plan
+    assert "AQEShuffleRead skewed" in plan, plan
