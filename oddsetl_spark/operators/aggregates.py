@@ -807,3 +807,55 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(
         "user_id", "total", "n_types", F.round(ent, 9).alias("entropy")
     )
+
+
+@register(
+    "agg_pearson_corr",
+    category="agg",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))
+                * CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))
+                * CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))
+                * CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS corr_qty_price
+FROM s
+""",
+)
+def agg_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation WITHOUT the engine's corr() — corr()
+    accumulates co-moments in doubles whose partial-merge order differs
+    across engines and cluster layouts. Here the five co-moment sums are
+    exact decimals (mergeable, order-insensitive) and the coefficient is
+    a scalar double chain — deterministic on any partitioning, which is
+    what an incremental/cluster-reordered 100 TB aggregation needs. One
+    shuffle, map-side partials."""
+    li = table(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(30,12)")
+    dy = F.col("l_extendedprice").cast("decimal(30,12)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return s.select(
+        "l_returnflag", "n", F.round(corr, 9).alias("corr_qty_price")
+    )
