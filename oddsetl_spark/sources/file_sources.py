@@ -498,3 +498,64 @@ def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "source_json_corrupt_records",
+    category="sources",
+    oracle="""
+SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id END AS event_id,
+       CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_id,
+       CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+       event_id % 7 = 0 AS is_corrupt,
+       CASE WHEN event_id % 7 = 0
+            THEN CAST(LENGTH('{"event_id": ' || CAST(event_id AS VARCHAR)
+                             || ', "oops"') AS BIGINT)
+       END AS corrupt_len
+FROM events
+""",
+)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingestion with corrupt-record capture — the
+    ingestion-robustness contract: every 7th event is written as a
+    deliberately malformed NDJSON line; the read schema carries a
+    _corrupt column, so bad lines surface as (all-null fields + raw
+    line) instead of failing the job or being silently dropped. The
+    oracle reconstructs the exact expected outcome per row — valid rows
+    round-trip bit-exactly (Jackson double round-trip is lossless),
+    corrupt rows null out with the malformed line's length — proving no
+    row was lost in either direction. At scale this is the dead-letter
+    pattern: filter is_corrupt to a quarantine sink, continue the
+    pipeline on the rest."""
+    out = _tmpdir("jsoncorrupt")
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    line = F.when(
+        F.col("event_id") % 7 == 0,
+        F.concat(
+            F.lit('{"event_id": '),
+            F.col("event_id").cast("string"),
+            F.lit(', "oops"'),
+        ),
+    ).otherwise(F.to_json(F.struct("event_id", "user_id", "event_type", "value")))
+    e.select(line.alias("value")).write.mode("overwrite").text(out)
+    schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "_corrupt string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+        F.length("_corrupt").cast("long").alias("corrupt_len"),
+    )
