@@ -608,3 +608,44 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("n")).alias("q_n"),
     )
+
+
+@register(
+    "fn_struct_ops",
+    category="functions",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       MAX(struct_pack(tp := o_totalprice, k := o_orderkey)).tp AS max_tp,
+       CAST(MAX(struct_pack(tp := o_totalprice, k := o_orderkey)).k AS BIGINT)
+         AS max_tp_orderkey,
+       CAST(SUM(CASE WHEN struct_pack(st := o_orderstatus, tp := o_totalprice)
+                       < struct_pack(st := 'O', tp := CAST(100000.0 AS DOUBLE))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_before_pivot
+FROM orders WHERE o_orderkey < 2000
+GROUP BY o_orderstatus
+""",
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested STRUCT surface: construction, lexicographic comparison, and
+    MAX-of-struct as the canonical argmax (max (price, key) pair = max
+    price with max-key tiebreak, one mergeable aggregate — the pattern
+    that replaces a join-back or a window for 'row of the group max').
+    Struct ordering is field-positional in both engines, so comparisons
+    against a pivot struct and the struct MAX agree exactly. Output
+    projects struct FIELDS (scalars), never raw structs — driver-output
+    discipline (SURVEY §5.3)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    s1 = F.struct(
+        F.col("o_orderstatus").alias("st"), F.col("o_totalprice").alias("tp")
+    )
+    pivot = F.struct(F.lit("O").alias("st"), F.lit(100000.0).alias("tp"))
+    m = F.max(
+        F.struct(F.col("o_totalprice").alias("tp"), F.col("o_orderkey").alias("k"))
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        m.getField("tp").alias("max_tp"),
+        m.getField("k").alias("max_tp_orderkey"),
+        F.sum((s1 < pivot).cast("long")).alias("n_before_pivot"),
+    )

@@ -301,3 +301,37 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_LATERAL)
+
+
+_SQL_NULL_TRAP = """
+WITH sub AS (
+  SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END AS ck
+  FROM orders
+)
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT ck FROM sub)) AS n_not_in,
+  (SELECT COUNT(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.ck = c.c_custkey))
+    AS n_not_exists,
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey IN (SELECT ck FROM sub)) AS n_in,
+  (SELECT COUNT(*) FROM customer c
+   WHERE EXISTS (SELECT 1 FROM sub s WHERE s.ck = c.c_custkey)) AS n_exists
+"""
+
+
+@register("sql_exists_null_trap", category="rowops", oracle=_SQL_NULL_TRAP)
+def sql_exists_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI three-valued logic where it bites: the subquery contains one
+    NULL, so NOT IN returns 0 rows (x <> NULL is UNKNOWN for every x)
+    while NOT EXISTS performs the intended anti-join — the single most
+    common silent-wrong-answer bug in analytics SQL. The IDENTICAL
+    statement runs on both engines and must agree cell-for-cell. Scale
+    note: Spark compiles NOT IN to a null-aware anti join that supports
+    ONLY broadcast of the subquery side — on a 100 TB right side it
+    fails outright, which is itself an argument for writing NOT EXISTS
+    (plain anti-join, any strategy)."""
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_NULL_TRAP)
