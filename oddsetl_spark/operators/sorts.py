@@ -120,3 +120,60 @@ def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.coalesce(F.col("viol"), F.lit(0))).alias("sort_violations"),
     )
+
+
+@register(
+    "sort_total_order_range",
+    category="sorts",
+    oracle="""
+WITH s AS (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+           AS global_rank
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice, global_rank
+FROM s WHERE global_rank % 1000 = 1
+""",
+)
+def sort_total_order_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total order WITHOUT a single-task sort: repartitionByRange
+    assigns contiguous key ranges to partitions (RangePartitioning
+    exchange), each partition sorts locally, and the global rank =
+    partition-local position + the (broadcast) cumulative count of all
+    earlier range partitions. Local positions come from
+    monotonically_increasing_id() — (partition << 33 | row-position), a
+    pure projection on the already-sorted partitions — so the ONLY
+    full-table exchange in the plan is the range partitioner itself
+    (plan-asserted; a window over spark_partition_id would re-shuffle
+    everything a second time). Global ranks are boundary-independent, so
+    the result is deterministic wherever the range sampler cuts. This is
+    how a 100 TB ORDER BY runs; the anti-pattern it replaces is
+    Window.orderBy with no partitionBy (every row through ONE task).
+    Emits every 1000th rank as the verification spine; the oracle ranks
+    with a plain (single-threaded) window."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranged = o.repartitionByRange(
+        8, F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).sortWithinPartitions(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    mid = F.monotonically_increasing_id()
+    local = ranged.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.shiftright(mid, 33).cast("int").alias("pid"),
+        (mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias("local_rank"),
+    )
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    wcum = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("n").over(wcum), F.lit(0)).alias("offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("local_rank") + F.col("offset")).alias("global_rank"),
+        )
+        .filter((F.col("global_rank") % 1000) == 1)
+    )

@@ -376,3 +376,20 @@ def test_aqe_skew_join_splits_hot_partition(spark):
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     assert "skew=true" in plan, plan
     assert "AQEShuffleRead skewed" in plan, plan
+
+
+def test_total_order_single_range_exchange(spark):
+    """The distributed ORDER BY must have exactly ONE full-table exchange
+    (the range partitioner). Local ranks are a projection on the sorted
+    partitions — a second full-table shuffle (window over
+    spark_partition_id, seen as hashpartitioning(_w0)) must not appear;
+    the only hash exchange carries the 8-row per-partition counts."""
+    plan = _plan(spark, "sort_total_order_range").split("== Initial Plan ==")[0]
+    real = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange rangepartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real) == 1, plan  # second consumer must be a ReusedExchange
+    assert "ReusedExchange" in plan, plan
+    assert "hashpartitioning(_w0" not in plan, plan
