@@ -559,3 +559,41 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_corrupt").isNotNull().alias("is_corrupt"),
         F.length("_corrupt").cast("long").alias("corrupt_len"),
     )
+
+
+@register(
+    "source_orc",
+    category="sources",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the second columnar format Spark ships natively
+    (vectorized reader, predicate pushdown, same pruning machinery as
+    parquet). Oracle compares against the ORIGINAL parquet: losslessness
+    across the format boundary."""
+    out = _tmpdir("orc")
+    c = table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").orc(out)
+    return spark.read.schema(_CUSTOMER_SCHEMA).orc(out)
+
+
+@register(
+    "source_xml",
+    category="sources",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip (spark-xml graduated into Spark 4 core): write each
+    customer as a <customer> row element, read back with an explicit
+    schema and rowTag. Doubles survive because Spark writes
+    shortest-round-trip decimal text — same exactness contract as the
+    CSV/JSON round-trips."""
+    out = _tmpdir("xml")
+    c = table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("rowTag", "customer").format("xml").save(out)
+    return (
+        spark.read.schema(_CUSTOMER_SCHEMA)
+        .option("rowTag", "customer")
+        .format("xml")
+        .load(out)
+    )
