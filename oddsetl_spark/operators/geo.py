@@ -344,3 +344,58 @@ def geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("geohash6", 1, 4).alias("cell4"),
         F.count(F.lit(1)).over(w).alias("cell4_density"),
     )
+
+
+@register(
+    "geo_trajectory_length",
+    category="geo",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         {_SQL_LAT.format(k="event_id")} AS lat,
+         {_SQL_LON.format(k="event_id")} AS lon
+  FROM events WHERE user_id < 100
+),
+legs AS (
+  SELECT user_id,
+         {_SQL_HAVERSINE.format(
+             lat1="LAG(lat) OVER w", lon1="LAG(lon) OVER w",
+             lat2="lat", lon2="lon")} AS leg_km
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       COUNT(leg_km) AS n_legs,
+       CAST(SUM(CAST(leg_km AS DECIMAL(30,6))) AS DOUBLE) AS total_km,
+       MAX(leg_km) AS max_leg_km
+FROM legs GROUP BY user_id
+""",
+)
+def geo_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trajectory length — the movement analytic a disaster
+    response pipeline runs over asset pings: haversine leg between each
+    consecutive point (lag over the time order), summed per user. Legs
+    are rounded to 3 dp (the module's ulp discipline), which also makes
+    them EXACT decimals — so the per-user total is an order-insensitive
+    decimal sum, safe under any cluster reordering. One shuffle on
+    user_id serves the lag window and the rollup."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    pts = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (25.0 + (F.col("event_id") * 73 % 2300) / 100.0).alias("lat"),
+        (-122.0 + (F.col("event_id") * 37 % 5100) / 100.0).alias("lon"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    legs = pts.select(
+        "user_id",
+        _haversine_km(
+            F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+        ).alias("leg_km"),
+    )
+    return legs.groupBy("user_id").agg(
+        F.count("leg_km").alias("n_legs"),
+        F.sum(F.col("leg_km").cast("decimal(30,6)")).cast("double").alias("total_km"),
+        F.max("leg_km").alias("max_leg_km"),
+    )
