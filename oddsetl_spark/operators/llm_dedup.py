@@ -739,3 +739,38 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contained_doc"),
         )
     )
+
+
+def _cluster_histogram_oracle() -> str:
+    from ..registry import get as _get
+
+    return f"""
+SELECT n_members,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(n_members) AS BIGINT) AS n_docs
+FROM ({_get("dedup_components").oracle})
+GROUP BY n_members
+"""
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    category="llm_dedup",
+    oracle=_cluster_histogram_oracle(),
+    heavy=True,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the one-page summary a dedup
+    run reports (how many pairs, triples, giant clusters?) and the input
+    to dedup-rate estimates (docs removed = n_docs - n_clusters). Runs
+    the full components pipeline and adds one tiny aggregation; output
+    is bounded by the largest cluster size. The oracle composes the
+    components oracle verbatim, so the histogram is hash-checked
+    end-to-end through the same 10-round min-label propagation."""
+    from ..registry import get as _get
+
+    comp = _get("dedup_components").fn(spark, sf_dir)
+    return comp.groupBy("n_members").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_members").alias("n_docs"),
+    )
