@@ -859,3 +859,41 @@ def agg_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", F.round(corr, 9).alias("corr_qty_price")
     )
+
+
+@register(
+    "agg_percentile_disc",
+    category="agg",
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5)  AS p50,
+       quantile_disc(l_extendedprice, 0.9)  AS p90,
+       quantile_disc(l_extendedprice, 0.99) AS p99,
+       MIN(l_extendedprice) AS p_min,
+       MAX(l_extendedprice) AS p_max
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (smallest value whose cumulative distribution
+    reaches p — always an actual data value, never an interpolation), the
+    SQL-standard WITHIN GROUP form added in Spark 3.4. Discrete selection
+    sidesteps interpolation-arithmetic drift entirely, so results are
+    exact with no rounding. Exact percentiles sort per group (bounded by
+    group size); the declared scale path for a 100 TB stream stays
+    approx_percentile's mergeable sketch (agg_approx_percentile /
+    curate_quality_buckets_approx)."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def pd_(p: float):
+        return F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_extendedprice)"
+        )
+
+    return li.groupBy("l_returnflag").agg(
+        pd_(0.5).alias("p50"),
+        pd_(0.9).alias("p90"),
+        pd_(0.99).alias("p99"),
+        F.min("l_extendedprice").alias("p_min"),
+        F.max("l_extendedprice").alias("p_max"),
+    )
