@@ -335,3 +335,29 @@ def sql_exists_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_NULL_TRAP)
+
+
+@register(
+    "sql_parameterized",
+    category="rowops",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice >= 250000.0 AND o_orderstatus = 'O'
+""",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized spark.sql (Spark 3.4+ named-parameter binding): the
+    injection-safe front door for templated analytics — parameters bind
+    as typed literals in the parser, not string concatenation, so a
+    malicious or odd value can never change the statement shape. The
+    oracle is the same query with the literals inlined."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        """,
+        args={"min_price": 250000.0, "status": "O"},
+    )
