@@ -18,7 +18,7 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "text_bigram_lm", "win_funnel_stages", "sim_ann_pq",
             "curate_semdedup", "graph_triangle_count", "text_heavy_hitters",
             "sim_maxsim_multivec", "win_ewma", "graph_link_prediction",
-            "text_chunk_sliding"]
+            "text_chunk_sliding", "sort_total_order_range"]
 
 NOTES = {
     "agg_groupby_multi": "Q1 flagship: pushed shipdate filter, 7-col ReadSchema, "
@@ -92,6 +92,9 @@ NOTES = {
         "aggregate; no nested loop anywhere.",
     "text_chunk_sliding": "pure narrow array ops (split/sequence/explode/"
         "slice): the plan has NO exchange at all.",
+    "sort_total_order_range": "distributed ORDER BY: ONE full-table "
+        "rangepartitioning exchange (second consumer is a ReusedExchange); "
+        "local ranks are a monotonic-id projection, offsets broadcast.",
 }
 
 out = ["# PLANS — final physical plans of the headline queries (sf0.1, AQE final)",
