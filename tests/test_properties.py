@@ -631,3 +631,156 @@ def test_semdedup_greedy_invariants(spark):
     for cluster, members in by_cluster.items():
         lead = min(members, key=lambda r: r["vec_id"])
         assert lead["kept"], f"cluster {cluster} min-id member was dropped"
+
+
+# --- round-3 second/third-wave operators: independent Python references ---
+# The DuckDB twin is one independent engine; these recompute the same
+# statistic from the raw fixtures in plain numpy/python — a third
+# implementation that shares no code with either engine.
+
+
+def _events_pdf(sf=SF_DIR):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        return con.execute(
+            f"SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value "
+            f"FROM '{sf}/events.parquet' ORDER BY user_id, ts, event_id"
+        ).df()
+    finally:
+        con.close()
+
+
+def test_ewma_matches_python_recursion(spark):
+    """win_ewma == the plain-python recursion acc = 0.5*x + 0.5*acc seeded
+    with the first element of each trailing-10 frame."""
+    got = {
+        r["event_id"]: r["ewma10"]
+        for r in _q(spark, "win_ewma").collect()
+    }
+    pdf = _events_pdf()
+    pdf = pdf[pdf.user_id < 150]
+    n_checked = 0
+    for _, grp in pdf.groupby("user_id"):
+        vals = list(grp.value)
+        ids = list(grp.event_id)
+        for i in range(len(vals)):
+            frame = vals[max(0, i - 9) : i + 1]
+            acc = frame[0]
+            for x in frame[1:]:
+                acc = 0.5 * x + 0.5 * acc
+            assert got[ids[i]] == acc, (ids[i], got[ids[i]], acc)
+            n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_mad_outliers_match_numpy(spark):
+    """win_mad_outliers rows: med/mad equal numpy's sorted-midpoint median
+    of the trailing-15 frame, and every row satisfies |x-med| > 3*mad."""
+    rows = {r["event_id"]: r for r in _q(spark, "win_mad_outliers").collect()}
+    assert rows
+    pdf = _events_pdf()
+    pdf = pdf[pdf.user_id < 150]
+
+    def pymed(fr):
+        s = sorted(fr)
+        n = len(s)
+        return s[n // 2] if n % 2 == 1 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    for _, grp in pdf.groupby("user_id"):
+        vals = list(grp.value)
+        ids = list(grp.event_id)
+        for i in range(len(vals)):
+            if ids[i] not in rows:
+                continue
+            frame = vals[max(0, i - 14) : i + 1]
+            med = pymed(frame)
+            mad = pymed([abs(x - med) for x in frame])
+            r = rows[ids[i]]
+            assert r["med"] == med and r["mad"] == mad
+            assert abs(r["value"] - med) > 3 * mad
+
+
+def test_source_gini_matches_direct_formula(spark):
+    """curate_source_gini == the direct sorted-rank Gini on token counts."""
+    import duckdb
+
+    got = {r["source"]: r for r in _q(spark, "curate_source_gini").collect()}
+    con = duckdb.connect()
+    try:
+        pdf = con.execute(
+            f"SELECT source, doc_id, len(string_split(lower(text), ' ')) AS ntok "
+            f"FROM '{SF_DIR}/documents.parquet'"
+        ).df()
+    finally:
+        con.close()
+    for src, grp in pdf.groupby("source"):
+        xs = sorted(grp.ntok)
+        n = len(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        gini = num / (n * sum(xs))
+        assert got[src]["n_docs"] == n
+        assert got[src]["gini"] == gini, (src, got[src]["gini"], gini)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """graph_triangle_count (degree-ordered) == brute-force adjacency-set
+    intersection on the sf0.001 co-purchase graph."""
+    import duckdb
+    from collections import defaultdict
+
+    got = {r["node"]: r["n_triangles"] for r in _q(spark, "graph_triangle_count").collect()}
+    con = duckdb.connect()
+    try:
+        edges = con.execute(
+            f"""
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM '{SF_DIR}/lineitem.parquet' a
+            JOIN '{SF_DIR}/lineitem.parquet' b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_partkey < 600 AND b.l_partkey < 600
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    # each triangle {u<v<w} found once from edge (u,v) via neighbor w>v,
+    # and counted at all three corners
+    expect: dict[int, int] = defaultdict(int)
+    for u, v in edges:
+        common = adj[u] & adj[v]
+        for w in common:
+            if v < w:  # (u < v < w) since edges have u < v
+                expect[u] += 1
+                expect[v] += 1
+                expect[w] += 1
+    assert dict(expect) == got
+
+
+def test_maxsim_matches_numpy(spark):
+    """sim_maxsim_multivec scores == numpy max-dot/sum recomputation."""
+    import duckdb
+    import numpy as np
+
+    got = {(r["q_doc"], r["d_doc"]): r["score"] for r in _q(spark, "sim_maxsim_multivec").collect()}
+    assert got
+    con = duckdb.connect()
+    try:
+        pdf = con.execute(
+            f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+        ).df()
+    finally:
+        con.close()
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), dtype=np.float64) for r in pdf.itertuples()}
+    docs: dict[int, list[int]] = {}
+    for vid in vecs:
+        docs.setdefault(vid // 4, []).append(vid)
+    for (q, d), score in got.items():
+        s = 0.0
+        for qv in sorted(docs[q]):
+            s += max(float(np.dot(vecs[qv], vecs[dv])) for dv in docs[d])
+        assert abs(score - s) < 1e-9, (q, d, score, s)
