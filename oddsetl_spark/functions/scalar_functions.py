@@ -649,3 +649,46 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getField("k").alias("max_tp_orderkey"),
         F.sum((s1 < pivot).cast("long")).alias("n_before_pivot"),
     )
+
+
+@register(
+    "fn_higher_order",
+    category="functions",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> length(x) > 5)) AS INT) AS n_long,
+       COALESCE(array_to_string(list_filter(toks, x -> length(x) > 5), '|'), '')
+         AS long_toks,
+       list_bool_or(list_transform(toks, x -> length(x) = 3)) AS has_len3,
+       list_bool_and(list_transform(toks, x -> length(x) > 0)) AS all_nonempty,
+       CAST(COALESCE(list_position(toks, 'table'), 0) AS BIGINT) AS table_pos
+FROM d
+""",
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class surface: filter /
+    exists / forall lambdas and positional search, all JVM-side codegen
+    (these are the primitives the EWMA fold, MaxSim sum, and entropy
+    queries build on). Array outputs serialize through array_join —
+    driver-output discipline. DuckDB twins: list_filter /
+    list_bool_or(list_transform) / list_position (NULL-when-absent
+    coalesced to Spark's 0-when-absent convention; empty-list
+    array_to_string is NULL in DuckDB vs '' in Spark — coalesced too)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+    )
+    long_toks = F.filter(F.col("toks"), lambda x: F.length(x) > 5)
+    return d.select(
+        "doc_id",
+        F.size(long_toks).alias("n_long"),
+        F.array_join(long_toks, "|").alias("long_toks"),
+        F.exists(F.col("toks"), lambda x: F.length(x) == 3).alias("has_len3"),
+        F.forall(F.col("toks"), lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.array_position(F.col("toks"), "table").cast("long").alias("table_pos"),
+    )
