@@ -132,10 +132,21 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("map_in_pandas", category="udfs", oracle=None)
+@register(
+    "map_in_pandas",
+    category="udfs",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice,
+       LEAST(o_totalprice / 1000.0, 500.0) AS score
+FROM orders
+""",
+)
 def map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-wise Arrow batch map (the batch-scoring shape: load a
-    model once per partition, score each batch). Rows-only check."""
+    model once per partition, score each batch). pandas division and
+    clip are plain IEEE double ops, so the SQL twin is exact — upgraded
+    from the original rows-only check (round 3)."""
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
