@@ -22,6 +22,7 @@ sampled frames, not payload size.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 from typing import Iterator
 
@@ -97,11 +98,32 @@ def _decode_payload(payload: bytes) -> list[int]:
     return list(payload)
 
 
-@register("mm_decode_features", category="multimodal", oracle=None)
+@register(
+    "mm_decode_features",
+    category="multimodal",
+    oracle=f"""
+SELECT doc_id,
+       {_SQL_MEDIA_TYPE} AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE list_aggregate(list_transform(range(1, length(text) + 1),
+                                               i -> ord(text[i])), 'sum')
+                 / CAST(length(text) AS DOUBLE) END AS mean_sample,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+            ELSE list_aggregate(list_transform(range(1, length(text) + 1),
+                                               i -> ord(text[i])), 'max')
+            END AS BIGINT) AS max_sample,
+       md5(text) AS checksum
+FROM documents
+""",
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract as Arrow-batched mapInPandas: per doc,
-    emit (n_samples, mean_sample, max_sample, checksum). Rows-only check;
-    the pytest suite asserts feature bounds and count invariants."""
+    emit (n_samples, mean_sample, max_sample, checksum). Upgraded from
+    rows-only to a full SQL oracle in round 3: the deterministic fake
+    decode is byte math DuckDB can replay (ord() over the ASCII corpus,
+    md5 of the same UTF-8 bytes), so even the Python codec path is
+    hash-checked end to end."""
     m = media_table(spark, sf_dir).select("doc_id", "media_type", "payload")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -117,7 +139,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                     "max_sample": samples.map(lambda s: max(s) if s else 0),
                     "checksum": pdf["payload"].map(
-                        lambda b: zlib.crc32(b) & 0xFFFFFFFF
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
                 }
             )
@@ -126,7 +148,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract,
         schema=(
             "doc_id long, media_type string, n_samples long, "
-            "mean_sample double, max_sample long, checksum long"
+            "mean_sample double, max_sample long, checksum string"
         ),
     )
 

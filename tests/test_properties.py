@@ -237,7 +237,7 @@ def test_components_are_twin_cliques(spark):
 def test_mm_decode_features_exact(spark):
     """The fake decode is deterministic byte math — features must equal a
     driver-side recomputation from the source text."""
-    import zlib
+    import hashlib
 
     feats = {r["doc_id"]: r for r in _q(spark, "mm_decode_features").collect()}
     docs = table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
@@ -247,7 +247,7 @@ def test_mm_decode_features_exact(spark):
         f = feats[r["doc_id"]]
         assert f["n_samples"] == len(b)
         assert f["max_sample"] == max(b)
-        assert f["checksum"] == (zlib.crc32(b) & 0xFFFFFFFF)
+        assert f["checksum"] == hashlib.md5(b).hexdigest()
         assert abs(f["mean_sample"] - sum(b) / len(b)) < 1e-12
         assert 0.0 <= f["mean_sample"] <= 255.0
 
