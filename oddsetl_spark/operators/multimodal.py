@@ -232,13 +232,31 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_frame_sample", category="multimodal", oracle=None)
+@register(
+    "mm_frame_sample",
+    category="multimodal",
+    oracle=f"""
+WITH v AS (
+  SELECT doc_id, text,
+         CAST(ceil(octet_length(encode(text)) / {_FRAME_BYTES}.0) AS INT) AS nf
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(t.i AS INT) AS frame_idx,
+       CAST(octet_length(encode(substr(text, t.i * {_FRAME_BYTES} + 1,
+                                       {_FRAME_BYTES}))) AS INT) AS frame_len,
+       md5(substr(text, t.i * {_FRAME_BYTES} + 1, {_FRAME_BYTES})) AS frame_md5
+FROM v, UNNEST(range(0, nf, {_FRAME_STRIDE})) AS t(i)
+""",
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video payloads: split the byte stream into
     fixed 64-byte 'frames', keep every 4th, EXPLODE to one row per kept
     frame (the fan-out shape of real video sampling — output rows scale
     with sampled frames, and each Arrow batch yields its frames without
-    driver involvement)."""
+    driver involvement). Upgraded from rows-only to a full SQL oracle in
+    round 3: frames project to (length, md5) and DuckDB replays the same
+    byte windows with substr over the ASCII corpus."""
     m = (
         media_table(spark, sf_dir)
         .filter(F.col("media_type") == "video")
@@ -247,26 +265,27 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            doc_ids, idxs, frames, crcs = [], [], [], []
+            doc_ids, idxs, lens, md5s = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
                 n_frames = -(-len(payload) // _FRAME_BYTES)
                 for i in range(0, n_frames, _FRAME_STRIDE):
                     frame = payload[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
                     doc_ids.append(doc_id)
                     idxs.append(i)
-                    frames.append(frame)
-                    crcs.append(zlib.crc32(frame) & 0xFFFFFFFF)
+                    lens.append(len(frame))
+                    md5s.append(hashlib.md5(frame).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids,
                     "frame_idx": idxs,
-                    "frame": frames,
-                    "frame_crc": crcs,
+                    "frame_len": lens,
+                    "frame_md5": md5s,
                 }
             )
 
     return m.mapInPandas(
-        sample, schema="doc_id long, frame_idx int, frame binary, frame_crc long"
+        sample, schema="doc_id long, frame_idx int, frame_len int, frame_md5 string"
     )
 
 
