@@ -777,3 +777,132 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_to_next"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    category="joins",
+    oracle="""
+WITH bb AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS bkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+fb AS (
+  SELECT o_custkey, o_orderdate, MIN(o_orderkey) AS fkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+p AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders),
+pb AS (
+  SELECT p.o_orderkey, p.o_custkey, p.o_orderdate,
+         b.o_orderdate AS prev_date, b.bkey AS prev_key
+  FROM p ASOF LEFT JOIN bb b
+    ON p.o_custkey = b.o_custkey AND b.o_orderdate < p.o_orderdate
+),
+pf AS (
+  SELECT p.o_orderkey, f.o_orderdate AS next_date, f.fkey AS next_key
+  FROM p ASOF LEFT JOIN fb f
+    ON p.o_custkey = f.o_custkey AND f.o_orderdate > p.o_orderdate
+)
+SELECT pb.o_orderkey, pb.o_custkey, pb.o_orderdate,
+       CASE
+         WHEN prev_date IS NULL AND next_date IS NULL THEN NULL
+         WHEN next_date IS NULL THEN 'prev'
+         WHEN prev_date IS NULL THEN 'next'
+         WHEN DATE_DIFF('day', prev_date, pb.o_orderdate)
+              <= DATE_DIFF('day', pb.o_orderdate, next_date) THEN 'prev'
+         ELSE 'next' END AS nearest_dir,
+       CASE
+         WHEN prev_date IS NULL AND next_date IS NULL THEN NULL
+         WHEN next_date IS NULL THEN prev_key
+         WHEN prev_date IS NULL THEN next_key
+         WHEN DATE_DIFF('day', prev_date, pb.o_orderdate)
+              <= DATE_DIFF('day', pb.o_orderdate, next_date) THEN prev_key
+         ELSE next_key END AS nearest_key,
+       CAST(LEAST(DATE_DIFF('day', prev_date, pb.o_orderdate),
+                  DATE_DIFF('day', pb.o_orderdate, next_date)) AS BIGINT)
+         AS gap_days
+FROM pb JOIN pf USING (o_orderkey)
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (either direction, strict): each order finds the
+    customer's closest OTHER order day, backward or forward, ties to
+    backward — the direction='nearest' mode of pandas merge_asof,
+    completing the backward (join_asof) / forward (join_asof_forward)
+    family. One union, ONE hash exchange on the key, and two window
+    passes whose tie-orders differ (probes-first vs builds-first at
+    equal time) so 'strictly earlier' and 'strictly later' both fall out
+    of frame bounds — no second shuffle, the same partitioning serves
+    both sorts."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    bb = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("bkey"), F.min("o_orderkey").alias("fkey")
+    )
+    probe = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("tag"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("bkey"),
+        F.lit(None).cast("long").alias("fkey"),
+    )
+    build = bb.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "bkey",
+        "fkey",
+    )
+    u = probe.unionByName(build)
+    # backward-strict: probes sort BEFORE same-t builds (tag desc), frame
+    # (-inf, -1] then contains only strictly-earlier builds.
+    wb = (
+        W.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("tag").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # forward-strict: builds sort BEFORE same-t probes (tag asc), frame
+    # [1, +inf) then contains only strictly-later builds.
+    wf = (
+        W.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("tag").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    bt = F.when(F.col("tag") == 0, F.col("t"))
+    m = u.select(
+        "tag",
+        "o_orderkey",
+        F.col("k").alias("o_custkey"),
+        F.col("t").alias("o_orderdate"),
+        F.last(bt, ignorenulls=True).over(wb).alias("prev_date"),
+        F.last(F.when(F.col("tag") == 0, F.col("bkey")), ignorenulls=True)
+        .over(wb)
+        .alias("prev_key"),
+        F.first(bt, ignorenulls=True).over(wf).alias("next_date"),
+        F.first(F.when(F.col("tag") == 0, F.col("fkey")), ignorenulls=True)
+        .over(wf)
+        .alias("next_key"),
+    ).filter(F.col("tag") == 1)
+    prev_gap = F.datediff(F.col("o_orderdate"), F.col("prev_date"))
+    next_gap = F.datediff(F.col("next_date"), F.col("o_orderdate"))
+    prefer_prev = F.col("next_date").isNull() | (
+        F.col("prev_date").isNotNull() & (prev_gap <= next_gap)
+    )
+    no_match = F.col("prev_date").isNull() & F.col("next_date").isNull()
+    return m.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.when(no_match, F.lit(None).cast("string"))
+        .when(prefer_prev, F.lit("prev"))
+        .otherwise(F.lit("next"))
+        .alias("nearest_dir"),
+        F.when(no_match, F.lit(None).cast("long"))
+        .when(prefer_prev, F.col("prev_key"))
+        .otherwise(F.col("next_key"))
+        .alias("nearest_key"),
+        F.least(prev_gap, next_gap).cast("long").alias("gap_days"),
+    )

@@ -393,3 +393,10 @@ def test_total_order_single_range_exchange(spark):
     assert len(real) == 1, plan  # second consumer must be a ReusedExchange
     assert "ReusedExchange" in plan, plan
     assert "hashpartitioning(_w0" not in plan, plan
+
+
+def test_asof_nearest_single_exchange_two_sorts(spark):
+    """Both direction passes must share ONE hash exchange on the key —
+    differing tie-orders cost a re-sort, never a re-shuffle."""
+    plan = _plan(spark, "join_asof_nearest").split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning(k") == 1, plan
