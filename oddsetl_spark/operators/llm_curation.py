@@ -1083,3 +1083,90 @@ def curate_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.sum("ntok")).cast("double")
         ).alias("gini"),
     )
+
+
+@register(
+    "curate_url_canonical_dedup",
+    category="curation",
+    oracle="""
+WITH raw AS (
+  SELECT c_custkey,
+         unnest([
+           concat('https://', lower(c_mktsegment), '.example.org/c/',
+                  c_custkey, '?id=', c_custkey),
+           concat('HTTPS://', upper(lower(c_mktsegment)), '.EXAMPLE.ORG/c/',
+                  c_custkey, '?id=', c_custkey, '&utm_source=feed#section-2'),
+           concat('https://', lower(c_mktsegment), '.example.org/c/',
+                  c_custkey, '/?id=', c_custkey)
+         ]) AS url
+  FROM customer WHERE c_custkey <= 1000
+),
+canon AS (
+  SELECT c_custkey, url,
+         regexp_replace(
+           regexp_replace(
+             concat(
+               lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                                    '^[a-zA-Z]+://[^/?]+')),
+               substr(regexp_replace(url, '#.*', ''),
+                      length(regexp_extract(regexp_replace(url, '#.*', ''),
+                                            '^[a-zA-Z]+://[^/?]+')) + 1)
+             ),
+             '&utm_[a-z_]+=[^&#]*', '', 'g'),
+           '/\\?', '?') AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+       COUNT(*) AS n_raw,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+       MIN(c_custkey) AS keep_key
+FROM canon GROUP BY canonical_url
+""",
+)
+def curate_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — step 1 of every web-crawl corpus
+    pipeline: scheme/host lowercased (path case preserved), fragment
+    dropped, utm_* tracking params stripped, trailing slash before the
+    query removed; then keep-one per canonical form. Three deterministic
+    raw variants per key (mixed case, tracking+fragment, trailing slash)
+    must collapse to ONE canonical URL each — the groupBy proves the
+    chain. Pure regexp/codegen row work then one shuffle on the
+    canonical key. Regex subtleties pinned: DuckDB regexp_replace needs
+    the 'g' flag where multiple matches are possible, and RE2 has no
+    lookahead, so the trailing-slash rule is the literal '/?' -> '?'
+    rewrite."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    seg = F.lower(F.col("c_mktsegment"))
+    key = F.col("c_custkey").cast("string")
+    v0 = F.concat(
+        F.lit("https://"), seg, F.lit(".example.org/c/"), key, F.lit("?id="), key
+    )
+    v1 = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(seg),
+        F.lit(".EXAMPLE.ORG/c/"),
+        key,
+        F.lit("?id="),
+        key,
+        F.lit("&utm_source=feed#section-2"),
+    )
+    v2 = F.concat(
+        F.lit("https://"), seg, F.lit(".example.org/c/"), key, F.lit("/?id="), key
+    )
+    raw = c.select(
+        "c_custkey", F.explode(F.array(v0, v1, v2)).alias("url")
+    )
+    no_frag = F.regexp_replace(F.col("url"), "#.*", "")
+    head = F.regexp_extract(no_frag, "^[a-zA-Z]+://[^/?]+", 0)
+    rebuilt = F.concat(
+        F.lower(head), F.substring(no_frag, F.length(head) + 1, F.lit(1 << 20))
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(rebuilt, "&utm_[a-z_]+=[^&#]*", ""), "/\\?", "?"
+    )
+    canon = raw.select("c_custkey", "url", canonical.alias("canonical_url"))
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.countDistinct("url").alias("n_distinct_raw"),
+        F.min("c_custkey").alias("keep_key"),
+    )
