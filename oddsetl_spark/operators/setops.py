@@ -137,3 +137,30 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return op.exceptAll(f)
+
+
+@register(
+    "set_symmetric_diff",
+    category="setops",
+    oracle="""
+(SELECT user_id FROM events WHERE event_type = 'click' AND value > 95
+ EXCEPT
+ SELECT user_id FROM events WHERE event_type = 'view' AND value > 95)
+UNION ALL
+(SELECT user_id FROM events WHERE event_type = 'view' AND value > 95
+ EXCEPT
+ SELECT user_id FROM events WHERE event_type = 'click' AND value > 95)
+""",
+)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference (users in exactly one of two cohorts) as the
+    union of the two directed EXCEPTs — the cohort-drift set a monitoring
+    job diffs between snapshots. High-value cohorts (value > 95) keep the
+    memberships sparse enough to actually differ at every fixture scale. The two halves are disjoint by
+    construction, so UNION ALL (no final distinct shuffle) is correct;
+    each EXCEPT hash-aggregates to distinct cardinality before its
+    exchange."""
+    e = table(spark, sf_dir, "events").filter(F.col("value") > 95)
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "view").select("user_id")
+    return a.subtract(b).unionAll(b.subtract(a))
