@@ -289,7 +289,82 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_phash_dedup", category="multimodal", oracle=None, heavy=True)
+_PHASH_SQL = """
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS L
+  FROM documents
+),
+pre AS (
+  SELECT doc_id,
+         CASE WHEN L >= 64
+              THEN list_transform(range(1, L + 1), i -> ord(text[i]))
+              ELSE list_concat(
+                     list_transform(range(1, L + 1), i -> ord(text[i])),
+                     list_transform(range(1, 64 - L + 1), i -> 0))
+         END AS b,
+         greatest(L, 64) // 64 AS q,
+         greatest(L, 64) % 64 AS r
+  FROM base
+),
+sums AS (
+  SELECT doc_id, q, r,
+         list_transform(range(0, 64), i ->
+           list_aggregate(
+             b[i * q + least(i, r) + 1 :
+               i * q + least(i, r) + q + CASE WHEN i < r THEN 1 ELSE 0 END],
+             'sum')) AS bs
+  FROM pre
+),
+scored AS (
+  SELECT doc_id, q, r, bs,
+         list_aggregate(
+           list_transform(range(0, 64), j ->
+             bs[j + 1] * (q + CASE WHEN j < r THEN 0 ELSE 1 END)), 'sum') AS S
+  FROM sums
+),
+bits AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), i ->
+           CASE WHEN bs[i + 1] * 64 * q * (q + 1)
+                     > S * (q + CASE WHEN i < r THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END) AS bv
+  FROM scored
+),
+ph AS (
+  SELECT doc_id,
+         CAST(-bv[1] * CAST(9223372036854775808 AS HUGEINT)
+              + list_aggregate(
+                  list_transform(range(1, 64), i ->
+                    CAST(bv[i + 1] AS HUGEINT)
+                    * (CAST(1 AS HUGEINT) << (63 - i))), 'sum')
+              AS BIGINT) AS phash
+  FROM bits
+),
+u AS (
+  SELECT doc_id, phash,
+         CAST(phash AS HUGEINT) + CAST(9223372036854775808 AS HUGEINT) AS uh
+  FROM ph
+),
+bands AS (
+  SELECT doc_id, phash, t.i AS band,
+         CAST((uh // (CASE t.i WHEN 0 THEN 1 WHEN 1 THEN 65536
+                      WHEN 2 THEN 4294967296
+                      ELSE 281474976710656 END)) % 65536 AS BIGINT) AS key
+  FROM u, UNNEST(range(0, 4)) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.phash AS pa, b.phash AS pb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+"""
+
+
+@register("mm_phash_dedup", category="multimodal", oracle=_PHASH_SQL, heavy=True)
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate candidates over the media table: a
     64-bit pHash-style signature from the decoded sample stream (block
@@ -300,29 +375,40 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: signature extraction is one Arrow-batched pass (no
     shuffle); candidates come from 4 equi-joins on (band, 16-bit key) —
-    only same-bucket payloads ever meet. Rows-only (binary pHash is
-    implementation-specific); the pytest invariant asserts every reported
-    pair is truly hamming<=3 and that identical payloads always pair.
+    only same-bucket payloads ever meet. Upgraded from rows-only to a
+    full SQL oracle in round 3: the bit test is EXACT integer arithmetic
+    (sum_i * 64q(q+1) > S * size_i over the common denominator instead of
+    float block means), so DuckDB replays the identical signature,
+    banding, and hamming refine end to end.
     """
-    import numpy as np
-
     m = media_table(spark, sf_dir).select("doc_id", "payload")
 
     def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_h = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
-                if len(s) < 64:
-                    s = np.pad(s, (0, 64 - len(s)))
-                blocks = np.array_split(s, 64)
-                means = np.array([b.mean() if len(b) else 0.0 for b in blocks])
-                bits = (means > means.mean()).astype(np.uint64)
-                h = np.uint64(0)
-                for b in bits:
-                    h = np.uint64(h << np.uint64(1)) | b
+                data = bytes(payload)
+                if len(data) < 64:
+                    data = data + b"\x00" * (64 - len(data))
+                L2 = len(data)
+                q, r = L2 // 64, L2 % 64
+                sums, pos = [], 0
+                for i in range(64):
+                    size = q + (1 if i < r else 0)
+                    sums.append(sum(data[pos : pos + size]))
+                    pos += size
+                # S = sum_j block_mean_j scaled by the common denominator
+                # q(q+1): mean_j = sums[j]/size_j -> factor q(q+1)/size_j
+                S = sum(
+                    sums[j] * (q if j < r else q + 1) for j in range(64)
+                )
+                h = 0
+                for i in range(64):
+                    size = q + (1 if i < r else 0)
+                    bit = 1 if sums[i] * 64 * q * (q + 1) > S * size else 0
+                    h = (h << 1) | bit
                 out_ids.append(doc_id)
-                out_h.append(int(h) - (1 << 63))  # to signed long
+                out_h.append(h - (1 << 63))  # to signed long
             yield pd.DataFrame({"doc_id": out_ids, "phash": out_h})
 
     sigs = m.mapInPandas(phash, schema="doc_id long, phash long").localCheckpoint()
@@ -349,7 +435,7 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)

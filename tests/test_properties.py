@@ -533,8 +533,6 @@ def test_phash_dedup_matches_bruteforce(spark):
     nothing beyond the threshold."""
     import itertools
 
-    import numpy as np
-
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in _q(spark, "mm_phash_dedup").collect()
@@ -542,15 +540,22 @@ def test_phash_dedup_matches_bruteforce(spark):
     docs = table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
 
     def sig(text):
-        s = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.float64)
-        if len(s) < 64:
-            s = np.pad(s, (0, 64 - len(s)))
-        blocks = np.array_split(s, 64)
-        means = np.array([b.mean() if len(b) else 0.0 for b in blocks])
-        bits = (means > means.mean()).astype(np.uint64)
+        # integer-exact aHash: block mean vs global mean compared over the
+        # common denominator (mirrors the operator's rational arithmetic)
+        data = text.encode("utf-8")
+        if len(data) < 64:
+            data = data + b"\x00" * (64 - len(data))
+        q, r = len(data) // 64, len(data) % 64
+        sums, pos = [], 0
+        for i in range(64):
+            size = q + (1 if i < r else 0)
+            sums.append(sum(data[pos : pos + size]))
+            pos += size
+        S = sum(sums[j] * (q if j < r else q + 1) for j in range(64))
         h = 0
-        for b in bits:
-            h = (h << 1) | int(b)
+        for i in range(64):
+            size = q + (1 if i < r else 0)
+            h = (h << 1) | (1 if sums[i] * 64 * q * (q + 1) > S * size else 0)
         return h
 
     sigs = {r["doc_id"]: sig(r["text"]) for r in docs}
