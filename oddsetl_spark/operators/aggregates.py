@@ -897,3 +897,33 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("p_min"),
         F.max("l_extendedprice").alias("p_max"),
     )
+
+
+@register(
+    "agg_bitmap_bucket_distinct",
+    category="agg",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_custs
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_bitmap_bucket_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct over an UNBOUNDED key domain via Spark 3.5's
+    bucketed bitmaps: keys hash to (bucket, bit-position), per-bucket
+    bitmaps build with a mergeable bitmap_construct_agg (map-side OR
+    partials, fixed 4KB state per bucket), and distinct = sum of
+    bitmap_count over buckets. Generalizes agg_bitmap_distinct's
+    single-long trick (domain < 64) to any domain — the exact-distinct
+    formulation that survives incremental 100 TB rollups, because bucket
+    bitmaps OR associatively where COUNT(DISTINCT) partials cannot
+    merge. Verified against plain COUNT(DISTINCT)."""
+    o = table(spark, sf_dir, "orders")
+    per_bucket = o.groupBy(
+        "o_orderstatus", F.expr("bitmap_bucket_number(o_custkey)").alias("bucket")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm")
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_custs")
+    )
