@@ -792,3 +792,54 @@ def test_maxsim_matches_numpy(spark):
         for qv in sorted(docs[q]):
             s += max(float(np.dot(vecs[qv], vecs[dv])) for dv in docs[d])
         assert abs(score - s) < 1e-9, (q, d, score, s)
+
+
+def test_rolling_corr_matches_numpy(spark):
+    """win_rolling_corr (decimal co-moment formulation) must agree with
+    numpy's corrcoef on each trailing frame within rounding tolerance."""
+    import numpy as np
+
+    got = {
+        r["event_id"]: r["corr20"] for r in _q(spark, "win_rolling_corr").collect()
+    }
+    assert got
+    pdf = _events_pdf()
+    pdf = pdf[pdf.user_id < 150]
+    checked = 0
+    for _, grp in pdf.groupby("user_id"):
+        vals = list(grp.value)
+        ids = list(grp.event_id)
+        x = vals[1:]  # value
+        y = vals[:-1]  # prev
+        for j in range(len(x)):
+            eid = ids[j + 1]
+            if eid not in got:
+                continue
+            lo = max(0, j - 19)
+            fx, fy = np.array(x[lo : j + 1]), np.array(y[lo : j + 1])
+            ref = float(np.corrcoef(fx, fy)[0, 1])
+            assert abs(got[eid] - ref) < 1e-5, (eid, got[eid], ref)
+            checked += 1
+    assert checked == len(got)
+
+
+def test_pearson_corr_matches_numpy(spark):
+    """agg_pearson_corr must agree with numpy corrcoef per group."""
+    import duckdb
+    import numpy as np
+
+    got = {
+        r["l_returnflag"]: r["corr_qty_price"]
+        for r in _q(spark, "agg_pearson_corr").collect()
+    }
+    con = duckdb.connect()
+    try:
+        pdf = con.execute(
+            f"SELECT l_returnflag, l_quantity, l_extendedprice "
+            f"FROM '{SF_DIR}/lineitem.parquet'"
+        ).df()
+    finally:
+        con.close()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        ref = float(np.corrcoef(grp.l_quantity, grp.l_extendedprice)[0, 1])
+        assert abs(got[flag] - ref) < 1e-7, (flag, got[flag], ref)
