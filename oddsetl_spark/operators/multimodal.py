@@ -23,7 +23,6 @@ sampled frames, not payload size.
 from __future__ import annotations
 
 import hashlib
-import zlib
 from typing import Iterator
 
 import pandas as pd
