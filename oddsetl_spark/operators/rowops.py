@@ -361,3 +361,56 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 250000.0, "status": "O"},
     )
+
+
+@register(
+    "sql_date_spine",
+    category="rowops",
+    oracle="""
+WITH months AS (
+  SELECT unnest(generate_series(DATE '1995-01-01', DATE '1996-12-01',
+                                INTERVAL 1 MONTH))::DATE AS month_start
+)
+SELECT m.month_start,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_rows_joined
+FROM months m
+LEFT JOIN orders o
+  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.month_start
+GROUP BY m.month_start
+""",
+)
+def sql_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine via sequence() + explode — the SCALABLE spine
+    generator (a pure narrow expression evaluated in parallel), joined
+    with monthly order counts so empty months surface as zero rows.
+    Complements sql_recursive_cte, which builds the same spine with
+    engine recursion: recursion iterates on the driver-side loop state,
+    sequence() is data-parallel from the first task — at 100 TB you
+    generate spines with sequence, and keep recursion for genuinely
+    recursive structure (hierarchies, reachability)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1996-12-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    j = months.join(
+        o,
+        F.date_trunc("month", F.col("o_orderdate")).cast("date")
+        == F.col("month_start"),
+        "left",
+    )
+    return j.groupBy("month_start").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderkey").isNotNull(), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_rows_joined"),
+    )
