@@ -33,6 +33,16 @@ TABLES = (
 FIXED_DIMS = ("region", "nation")
 
 
+# Analyzed-DataFrame cache: spark.read.parquet re-reads the file footer for
+# schema on EVERY call (~80 ms/table via py4j), so a 6-table star query spent
+# as long building its plan as executing it. Fixture tables are immutable and
+# DataFrames are immutable plan handles, so reusing one per (session, dir,
+# table) is pure catalog-metadata caching — no shuffle/result reuse, exactly
+# what a real engine's catalog does. Keyed by applicationId so an external
+# driver session gets its own entries.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; pins session confs first.
 
@@ -43,6 +53,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     wherever events.ts is compared or output.
     """
     pin_session(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     if name == "events" and dtypes.get("ts") == "bigint":
@@ -59,6 +73,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumns(
             {c: F.col(c).cast("timestamp") for c in ntz_cols}
         )
+    _TABLE_CACHE[key] = df
     return df
 
 
