@@ -774,3 +774,358 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("n_members").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic cross-engine MinHash / SimHash.
+#
+# dedup_minhash_lsh / dedup_simhash hash with xxhash64, which only Spark
+# implements — the driver can check them rows-only. These twins swap the
+# base hash for md5 (identical in every engine: Spark conv(substr(md5,1,15),
+# 16,10) == DuckDB ('0x'||substr(md5,1,15))::BIGINT, probed bit-equal) and
+# keep everything else — one string hash per shingle, arithmetic permutation
+# family, LSH banding equi-join, candidate-only exact refine — so the ENTIRE
+# approximate pipeline (signatures, banding, candidate generation, estimated
+# similarity, refined Jaccard) hash-matches a full SQL oracle. md5 costs
+# roughly 2x xxhash64 per shingle; at scale you would run the xxhash64
+# variant and keep this one as the cross-engine conformance harness.
+# ---------------------------------------------------------------------------
+
+_DET_P = 1_000_000_007  # 30-bit prime: a*h < 2^60 stays in int64 everywhere
+_DET_BANDS = 8
+_DET_ROWS = 2
+_DET_K = _DET_BANDS * _DET_ROWS
+
+
+def _det_seeds() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _DET_P), rng.randrange(0, _DET_P))
+        for _ in range(_DET_K)
+    ]
+
+
+_DET_AB = _det_seeds()
+
+
+def _minhash_det_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_DET_P}) AS s{i}"
+        for i, (a, b) in enumerate(_DET_AB)
+    )
+    band_vals = ", ".join(f"({b})" for b in range(_DET_BANDS))
+    band_key = "CASE band_id " + " ".join(
+        f"WHEN {b} THEN concat(s{2 * b}, '|', s{2 * b + 1})"
+        for b in range(_DET_BANDS)
+    ) + " END"
+    eq_sum = " + ".join(
+        f"CAST(sa.s{i} = sb.s{i} AS INT)" for i in range(_DET_K)
+    )
+    return f"""
+WITH {_SQL_CORPUS},
+hp AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_DET_P} AS h
+  FROM shingled
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hp GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band_id, {band_key} AS band_key
+  FROM sig CROSS JOIN (VALUES {band_vals}) AS t(band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ({eq_sum}) / 16.0 AS est_sim,
+       round(j.jaccard, 9) AS jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= {_JACCARD_TAU}
+"""
+
+
+@register(
+    "dedup_minhash_det",
+    category="llm_dedup",
+    oracle=_minhash_det_oracle(),
+    heavy=True,
+)
+def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with an ENGINE-AGNOSTIC hash family —
+    the fully-oracle-checked twin of dedup_minhash_lsh.
+
+    Same plan shape as the xxhash64 variant: per-doc shingle SET as an
+    array expression (no explode for signatures), ONE md5 per shingle
+    reduced mod p, 16 signature mins derived arithmetically
+    (g_i = (a_i*h + b_i) mod p, p = 1e9+7 so every product < 2^60),
+    8 bands x 2 rows banding equi-join for candidates, exact-Jaccard
+    refine touching only candidates. Every stage is deterministic and
+    identical in DuckDB, so signatures, band collisions, estimated
+    similarity (matching-signature fraction) and refined Jaccard all
+    hash-match. est_sim divides by 16 (dyadic) — exact in IEEE double."""
+    k = 3
+    tc = F.col("toks")
+    sh_set = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tc) - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tc, i + j) for j in range(k)]
+            ),
+        )
+    )
+    base_h = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _DET_P
+    )
+    per_doc = (
+        _corpus(spark, sf_dir)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size(tc) >= k)
+        .select("doc_id", sh_set.alias("sh_set"))
+        .withColumn("hp", F.transform("sh_set", base_h))
+        .withColumn("n_sh", F.size("sh_set"))
+        .localCheckpoint()
+    )
+    def _perm(a: int, b: int):
+        # closure factory: default-arg lambdas change the visible arity and
+        # break pyspark's higher-order-function binding
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_DET_P)
+
+    sig = per_doc.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hp", _perm(a, b))).alias(f"s{i}")
+            for i, (a, b) in enumerate(_DET_AB)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|", F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")
+                        ).alias("band_key"),
+                    )
+                    for b in range(_DET_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(_DET_K)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(_DET_K)],
+    )
+    est = sum(
+        [
+            F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
+            for i in range(_DET_K)
+        ],
+        F.lit(0),
+    ) / F.lit(16.0)
+    sets_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sets_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_sim", est)
+        .join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", "est_sim", F.round("jaccard", 9).alias("jaccard"))
+    )
+
+
+_SIM_BITS = 60  # 15 hex chars of md5 -> 60 usable bits, int64-safe
+_SIM_BAND_BITS = 15  # 4 bands x 15 bits: hamming<=3 pigeonholes into >=1 band
+
+
+def _simhash_det_oracle() -> str:
+    bitsums = ",\n         ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SIM_BITS)
+    )
+    band_exprs = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN b{_SIM_BAND_BITS * band + j} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(_SIM_BAND_BITS)
+        )
+        + f") AS sh{band}"
+        for band in range(4)
+    )
+    band_vals = ", ".join(f"({b})" for b in range(4))
+    band_val = "CASE band_id " + " ".join(
+        f"WHEN {b} THEN sh{b}" for b in range(4)
+    ) + " END"
+    hamming = " + ".join(
+        f"bit_count(xor(a.sh{b}::BIGINT, b.sh{b}::BIGINT))" for b in range(4)
+    )
+    return f"""
+WITH {_SQL_CORPUS},
+toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM corpus
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+bitsums AS MATERIALIZED (
+  SELECT doc_id,
+         {bitsums}
+  FROM hashed GROUP BY doc_id
+),
+fp AS MATERIALIZED (
+  SELECT doc_id,
+         {band_exprs}
+  FROM bitsums
+),
+keyed AS (
+  SELECT doc_id, sh0, sh1, sh2, sh3, band_id, {band_val} AS band_val
+  FROM fp CROSS JOIN (VALUES {band_vals}) AS t(band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {hamming} AS hamming
+  FROM keyed a JOIN keyed b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 3
+"""
+
+
+@register(
+    "dedup_simhash_det",
+    category="llm_dedup",
+    oracle=_simhash_det_oracle(),
+    heavy=True,
+)
+def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (hamming <= 3) with an engine-agnostic
+    hash — the fully-oracle-checked twin of dedup_simhash.
+
+    60-bit signature (15 md5 hex chars — int64-safe, no sign-bit games):
+    each DISTINCT token contributes +/-1 per bit position; signature bit =
+    sign of the sum (ties -> 0, same rule both engines). Kept as FOUR
+    15-bit band columns; hamming <= 3 pairs must agree on >= 1 band
+    (pigeonhole), so candidate generation is an equi-join over a 32,768-key
+    band space. hamming = sum of per-band popcounts of XOR — bit_count and
+    xor are exact in both engines, so the whole report hash-matches."""
+    c = _corpus(spark, sf_dir)
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    exploded = c.select("doc_id", F.explode(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    bitsums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(_SIM_BITS)
+        ]
+    )
+    bands = bitsums.select(
+        "doc_id",
+        *[
+            sum(
+                [
+                    F.when(
+                        F.col(f"b{_SIM_BAND_BITS * band + j}") > 0,
+                        F.lit(1 << j),
+                    ).otherwise(F.lit(0))
+                    for j in range(_SIM_BAND_BITS)
+                ],
+                F.lit(0),
+            ).alias(f"sh{band}")
+            for band in range(4)
+        ],
+    )
+    keyed = bands.select(
+        "doc_id",
+        "sh0",
+        "sh1",
+        "sh2",
+        "sh3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.col(f"sh{band}").alias("band_val"),
+                    )
+                    for band in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh0", "sh1", "sh2", "sh3", "band.band_id", "band.band_val")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    hamming = sum(
+        [
+            F.bit_count(
+                F.col(f"a.sh{band}").bitwiseXOR(F.col(f"b.sh{band}")).cast("long")
+            )
+            for band in range(4)
+        ],
+        F.lit(0),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
