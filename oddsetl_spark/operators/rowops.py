@@ -414,3 +414,39 @@ def sql_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rows_joined"),
     )
+
+
+@register(
+    "sample_hash_bucket",
+    category="rowops",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+            % 100 AS BIGINT) AS bucket
+FROM orders
+WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+      % 100 < 5
+""",
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% hash-bucket sample — the reproducible twin of
+    sample_deterministic (whose Bernoulli RNG is engine-specific and thus
+    rows-only). Bucketing on md5(key) % 100 gives the properties a training
+    pipeline actually wants from a sample: stable across runs, engines and
+    cluster sizes; growable (bucket < 10 is a strict superset of
+    bucket < 5); and join-consistent (the same keys are sampled in every
+    table that hashes the same key). Pure narrow map — no shuffle, fully
+    pushable; md5 parity with DuckDB is bit-exact (same primitive as
+    dedup_minhash_det)."""
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        bucket.alias("bucket"),
+    ).filter(F.col("bucket") < 5)
