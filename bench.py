@@ -52,15 +52,22 @@ def main() -> None:
     names = [n for n in HEADLINE if n in available]
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        fn = available[name].fn
-        fn(spark, sf_dir).collect()  # warm-up: JIT, code cache, file listing
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()  # fresh plan: no shuffle/result reuse
-            runs.append(time.perf_counter() - t0)
-        times[name] = round(sorted(runs)[1], 4)  # median-of-3 warm
+        # One failing query must not zero the whole bench record (round 2
+        # lost its BENCH file to a single AnalysisException): isolate each
+        # query, report the rest, and surface the error in the JSON.
+        try:
+            fn = available[name].fn
+            fn(spark, sf_dir).collect()  # warm-up: JIT, code cache, listing
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()  # fresh plan: no result reuse
+                runs.append(time.perf_counter() - t0)
+            times[name] = round(sorted(runs)[1], 4)  # median-of-3 warm
+        except Exception as exc:  # noqa: BLE001 — bench must always emit
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     out = {
         "metric": "headline query wall time (warm), sum over queries",
@@ -69,6 +76,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 
