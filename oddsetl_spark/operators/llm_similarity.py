@@ -1019,3 +1019,107 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_hit"),
         (F.count("hit") / F.lit(10.0)).alias("recall_at_10"),
     )
+
+
+_MAT_DIMS = 16  # truncated prefix length (of 64) under evaluation
+
+
+@register(
+    "emb_matryoshka_eval",
+    category="llm_sim",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+t AS (
+  SELECT vec_id, list_slice(emb, 1, {_MAT_DIMS}) AS temb,
+         sqrt({_SQL_DOT.format(a="list_slice(emb, 1, " + str(_MAT_DIMS) + ")",
+                               b="list_slice(emb, 1, " + str(_MAT_DIMS) + ")")})
+           AS tnorm
+  FROM e
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+qt AS (SELECT vec_id AS q_id, temb AS q_temb, tnorm AS q_tnorm
+       FROM t WHERE vec_id < 10),
+full_rank AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+           AS rn
+  FROM (SELECT q.q_id, e.vec_id,
+               {_SQL_DOT.format(a='q.q_emb', b='e.emb')} AS cosine
+        FROM q JOIN e ON e.vec_id <> q.q_id)
+),
+trunc_rank AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+           AS rn
+  FROM (SELECT qt.q_id, t.vec_id,
+               {_SQL_DOT.format(a='qt.q_temb', b='t.temb')}
+                 / (qt.q_tnorm * t.tnorm) AS cosine
+        FROM qt JOIN t ON t.vec_id <> qt.q_id)
+)
+SELECT f.q_id,
+       CAST(COUNT(tr.vec_id) AS BIGINT) AS n_overlap,
+       COUNT(tr.vec_id) / 10.0 AS recall_at_10
+FROM (SELECT * FROM full_rank WHERE rn <= 10) f
+LEFT JOIN (SELECT * FROM trunc_rank WHERE rn <= 10) tr
+  ON tr.q_id = f.q_id AND tr.vec_id = f.vec_id
+GROUP BY f.q_id
+""",
+)
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation: recall@10 of cosine
+    top-10 under a {16}-dim prefix of the 64-dim embedding vs the
+    full-dim top-10 — the measurement that decides whether an embedding
+    column can be stored/scanned at 1/4 width (a 4x scan-volume saving at
+    100 TB). Full-dim vectors are L2-normalized so cosine == dot; the
+    truncated prefix is NOT normalized, so its cosine divides by both
+    fold-computed norms (sqrt and divide are single IEEE ops — exact
+    cross-engine). Both rankings and the overlap report hash-match;
+    recall divides by 10 only after integer counting. Plan shape is two
+    broadcast-query corpus scans + windows + a q_id-grouped join —
+    identical scale behavior to sim_cosine_topk."""
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    temb = F.slice(F.col("emb"), 1, _MAT_DIMS)
+    t = e.select(
+        "vec_id",
+        temb.alias("temb"),
+        F.sqrt(_dot(temb, temb)).alias("tnorm"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    qt = t.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("temb").alias("q_temb"),
+        F.col("tnorm").alias("q_tnorm"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    full_top = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _dot(F.col("q_emb"), F.col("emb")).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    trunc_top = (
+        t.join(F.broadcast(qt), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                _dot(F.col("q_temb"), F.col("temb"))
+                / (F.col("q_tnorm") * F.col("tnorm"))
+            ).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", F.col("vec_id").alias("t_vec"))
+    )
+    joined = full_top.join(
+        trunc_top,
+        (full_top.q_id == trunc_top.q_id) & (full_top.vec_id == trunc_top.t_vec),
+        "left",
+    ).select(full_top.q_id, "t_vec")
+    return joined.groupBy("q_id").agg(
+        F.count("t_vec").cast("long").alias("n_overlap"),
+        (F.count("t_vec") / F.lit(10.0)).alias("recall_at_10"),
+    )
