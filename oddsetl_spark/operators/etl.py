@@ -653,3 +653,70 @@ def etl_backfill_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
     return agg.join(F.broadcast(untouched), "day").select(
         "day", "n_rows", "sum_value", "files_untouched"
     )
+
+
+def _temporal_scd2_oracle() -> str:
+    from ..registry import get as _get
+
+    return f"""
+WITH dim AS ({_get("etl_scd2").oracle}),
+facts AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS event_date
+  FROM events WHERE user_id < 200
+)
+SELECT f.event_id, f.user_id, f.event_date,
+       d.o_orderpriority AS prio_at_event, d.version
+FROM facts f
+LEFT JOIN dim d
+  ON d.o_custkey = f.user_id
+ AND d.effective_from <= f.event_date
+ AND (d.effective_to IS NULL OR f.event_date < d.effective_to)
+"""
+
+
+@register(
+    "join_temporal_scd2",
+    category="etl",
+    oracle=_temporal_scd2_oracle(),
+)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join: enrich each event with the SCD2
+    dimension version valid AT the event's date — the lookup every
+    warehouse does when late-arriving facts must see the dimension as it
+    was, not as it is. Composes etl_scd2's versioned output (its oracle is
+    inlined verbatim, so validity ranges are hash-checked end to end)
+    with a half-open [effective_from, effective_to) range predicate.
+
+    Scale: the dimension side is versions-per-key — orders of magnitude
+    smaller than the fact stream — so it is BROADCAST and the range
+    predicate evaluates map-side with zero fact shuffle. For a dimension
+    too big to broadcast, bin the validity intervals by date the way
+    join_range_binned does and equi-join on (key, bin). Left join keeps
+    facts that precede the first version (NULL dimension columns) —
+    dropping them silently is the classic temporal-join bug."""
+    from ..registry import get as _get
+
+    dim = _get("etl_scd2").fn(spark, sf_dir)
+    facts = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 200)
+        .select("event_id", "user_id", F.col("ts").cast("date").alias("event_date"))
+    )
+    d = F.broadcast(dim).alias("d")
+    f_ = facts.alias("f")
+    return f_.join(
+        d,
+        (F.col("d.o_custkey") == F.col("f.user_id"))
+        & (F.col("d.effective_from") <= F.col("f.event_date"))
+        & (
+            F.col("d.effective_to").isNull()
+            | (F.col("f.event_date") < F.col("d.effective_to"))
+        ),
+        "left",
+    ).select(
+        "f.event_id",
+        "f.user_id",
+        "f.event_date",
+        F.col("d.o_orderpriority").alias("prio_at_event"),
+        "d.version",
+    )
