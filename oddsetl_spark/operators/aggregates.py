@@ -927,3 +927,57 @@ def agg_bitmap_bucket_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderstatus").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_custs")
     )
+
+
+@register(
+    "obs_metrics_audit",
+    category="agg",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+""",
+)
+def obs_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via df.observe(): named metrics (row count,
+    exact-decimal quantity sum, returned-row count) are accumulated ON the
+    executors DURING the pass — the production pattern for ETL audit
+    counters (row-count reconciliation, dq thresholds) without a second
+    scan of the input. The observed values are then surfaced as a 1-row
+    DataFrame so the audit itself is hash-checked against an SQL twin.
+
+    Scale: observe() piggybacks on whatever action runs anyway — its
+    metrics are AccumulatorV2-style partial aggregates merged at the
+    driver, adding zero shuffles and zero extra scans (the count() here IS
+    the pipeline's action). The 1-row createDataFrame is a scalar driver
+    product, same class as a count."""
+    from pyspark.sql import Observation
+    from pyspark.sql import types as T
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
+    )
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "n_returned"
+        ),
+    )
+    observed.count()  # the pipeline's action; metrics ride along
+    m = obs.get
+    schema = T.StructType(
+        [
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("sum_qty", T.DoubleType()),
+            T.StructField("n_returned", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["n_returned"])], schema
+    )
