@@ -1170,3 +1170,198 @@ def curate_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").alias("n_distinct_raw"),
         F.min("c_custkey").alias("keep_key"),
     )
+
+
+_FUNNEL_ORACLE = """
+WITH base AS (SELECT doc_id, lower(text) AS text, lang FROM documents),
+corpus AS (
+  SELECT doc_id, text, lang FROM base
+  UNION ALL
+  SELECT doc_id + 300000, text, lang FROM base WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_slice(string_split(text, ' '), 3,
+                         len(string_split(text, ' '))), ' '),
+         lang
+  FROM base
+),
+q AS (SELECT * FROM corpus WHERE len(string_split(text, ' ')) >= 25),
+l AS (SELECT * FROM q WHERE lang = 'en'),
+ex AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM l
+  ) WHERE doc_id = keep_id
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> concat(string_split(text, ' ')[i], ' ',
+                       string_split(text, ' ')[i+1], ' ',
+                       string_split(text, ' ')[i+2])))) AS shingle
+  FROM ex
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS nc
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+drops AS (
+  SELECT DISTINCT p.db AS doc_id
+  FROM p JOIN sizes sa ON sa.doc_id = p.da
+         JOIN sizes sb ON sb.doc_id = p.db
+  WHERE p.nc * 1.0 / (sa.n_sh + sb.n_sh - p.nc) >= 0.8
+),
+nd AS MATERIALIZED (
+  SELECT ex.doc_id, ex.text FROM ex
+  WHERE ex.doc_id NOT IN (SELECT doc_id FROM drops)
+),
+bsh AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> concat(string_split(text, ' ')[i], ' ',
+                       string_split(text, ' ')[i+1], ' ',
+                       string_split(text, ' ')[i+2])))) AS shingle
+  FROM base WHERE doc_id % 23 = 0
+),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_hit
+  FROM sh s JOIN bsh b ON s.shingle = b.shingle
+  WHERE s.doc_id IN (SELECT doc_id FROM nd)
+  GROUP BY s.doc_id
+),
+dc AS (
+  SELECT nd.doc_id FROM nd
+  JOIN sizes z ON z.doc_id = nd.doc_id
+  LEFT JOIN hits h ON h.doc_id = nd.doc_id
+  WHERE COALESCE(h.n_hit, 0) * 1.0 / z.n_sh < 0.5
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM (
+  SELECT 0 AS stage_idx, 'ingest' AS stage,
+         (SELECT COUNT(*) FROM corpus) AS n_docs
+  UNION ALL SELECT 1, 'quality_wc', (SELECT COUNT(*) FROM q)
+  UNION ALL SELECT 2, 'lang_en', (SELECT COUNT(*) FROM l)
+  UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM ex)
+  UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM nd)
+  UNION ALL SELECT 5, 'decontam', (SELECT COUNT(*) FROM dc)
+)
+"""
+
+
+@register(
+    "curate_pipeline_funnel",
+    category="curation",
+    oracle=_FUNNEL_ORACLE,
+    heavy=True,
+)
+def curate_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline, end to end, as ONE hash-checked query:
+    ingest (docs + manufactured exact copies + near-dup twins) -> quality
+    gate (word-count floor) -> language filter -> exact dedup (keep-min
+    per md5) -> near-dup removal (3-shingle Jaccard >= 0.8, drop the
+    higher doc_id of each pair) -> benchmark decontamination (drop docs
+    sharing >= 50% of shingles with the doc_id%23 eval slice). Returns the
+    survivor count after every stage — the funnel report a data-curation
+    run publishes.
+
+    Stage order matters and is the cheap-first production order: per-row
+    gates (quality, lang) cut the corpus BEFORE any pairwise work, the
+    hash dedup's single uniform shuffle runs before the shingle join, and
+    decontamination broadcasts the small benchmark shingle set against
+    only the surviving docs. The near-dup stage here is the EXACT
+    inverted-index formulation so the funnel is fully SQL-checkable; at
+    100 TB swap in the minhash stage (dedup_minhash_det) — the keep rule
+    (drop higher id of each qualifying pair) is identical. Exact dedup
+    uses a window min per hash, not a join. All six counts are computed
+    in one DataFrame union — no driver-side counting."""
+    from .llm_dedup import _shingles
+
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text"), "lang"
+    )
+    toks = F.split(F.col("text"), " ")
+    corpus = (
+        base.unionByName(
+            base.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), "text", "lang"
+            )
+        ).unionByName(
+            base.select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.array_join(F.slice(toks, 3, F.size(toks)), " ").alias("text"),
+                "lang",
+            )
+        )
+    )
+    q = corpus.filter(F.size(F.split(F.col("text"), " ")) >= 25)
+    l_en = q.filter(F.col("lang") == "en")
+    w_hash = W.partitionBy(F.md5(F.col("text")))
+    ex = (
+        l_en.withColumn("keep_id", F.min("doc_id").over(w_hash))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    sh = _shingles(ex)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    drops = (
+        pairs.join(sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")), "db")
+        .filter(
+            F.col("nc") * 1.0 / (F.col("na") + F.col("nb") - F.col("nc")) >= 0.8
+        )
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    nd = ex.join(drops, "doc_id", "left_anti").localCheckpoint()
+    bench_sh = (
+        _shingles(base.filter(F.col("doc_id") % 23 == 0).select("doc_id", "text"))
+        .select("shingle")
+        .distinct()
+    )
+    nd_sh = sh.join(nd.select("doc_id"), "doc_id", "left_semi")
+    hits = (
+        nd_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    dc = (
+        nd.join(sizes, "doc_id")
+        .join(hits, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("n_hit"), F.lit(0)) * 1.0 / F.col("n_sh") < 0.5
+        )
+        .select("doc_id")
+    )
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs"),
+        )
+
+    return (
+        stage(0, "ingest", corpus)
+        .unionByName(stage(1, "quality_wc", q))
+        .unionByName(stage(2, "lang_en", l_en))
+        .unionByName(stage(3, "exact_dedup", ex))
+        .unionByName(stage(4, "near_dedup", nd))
+        .unionByName(stage(5, "decontam", dc))
+    )
