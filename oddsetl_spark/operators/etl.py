@@ -720,3 +720,113 @@ def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.o_orderpriority").alias("prio_at_event"),
         "d.version",
     )
+
+
+@register(
+    "etl_expectations_quarantine",
+    category="etl",
+    oracle="""
+WITH dirty AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 3 = 1 THEN TIMESTAMP '2099-01-01 00:00:00'
+              ELSE CAST(o_orderdate AS TIMESTAMP) END AS o_orderdate,
+         CASE WHEN o_orderkey % 3 = 2 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus2
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus2, o_totalprice, o_orderdate
+  FROM dirty
+),
+checked AS (
+  SELECT *,
+         CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END AS v_price,
+         CASE WHEN o_orderdate >= TIMESTAMP '2002-01-01 00:00:00'
+              THEN 1 ELSE 0 END AS v_date,
+         CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END
+           AS v_status
+  FROM unioned
+)
+SELECT o_orderkey,
+       concat_ws('|',
+         CASE WHEN v_price = 1 THEN 'positive_price' END,
+         CASE WHEN v_date = 1 THEN 'date_in_range' END,
+         CASE WHEN v_status = 1 THEN 'valid_status' END) AS violated,
+       CAST(v_price + v_date + v_status AS BIGINT) AS n_violated
+FROM checked
+WHERE v_price + v_date + v_status > 0
+""",
+)
+def etl_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-expectations gate with quarantine: a rule stack (price > 0,
+    date in range, status in domain) evaluates per row and violating rows
+    land in a quarantine table carrying the '|'-joined list of failed
+    rules — the auditable reject-reason contract of dbt tests / DLT
+    expectations. The fixture orders are clean, so a deterministic dirty
+    batch is manufactured (1 in 97 orders re-keyed +1e9 with one of three
+    corruptions by key mod 3) — same manufactured-defect pattern the
+    dedup family uses.
+
+    Scale: rules are pure per-row expressions — zero shuffles, evaluated
+    in one whole-stage-codegen pass at scan time; at 100 TB the pass/
+    quarantine split writes two partitioned sinks from one scan. Rule
+    verdicts compare raw values (no rounding edge): violations are
+    structural, not numeric-tolerance."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    k = F.col("o_orderkey")
+    dirty = o.filter(k % 97 == 0).select(
+        (k + 1000000000).alias("o_orderkey"),
+        "o_custkey",
+        F.when(k % 3 == 2, "X").otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(k % 3 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(k % 3 == 1, F.lit("2099-01-01 00:00:00").cast("timestamp"))
+        .otherwise(F.col("o_orderdate"))
+        .alias("o_orderdate"),
+    )
+    unioned = o.unionByName(dirty)
+    v_price = F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+    v_date = F.when(
+        F.col("o_orderdate") >= F.lit("2002-01-01 00:00:00").cast("timestamp"), 1
+    ).otherwise(0)
+    v_status = F.when(
+        ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+    ).otherwise(0)
+    checked = unioned.select(
+        "o_orderkey",
+        v_price.alias("v_price"),
+        v_date.alias("v_date"),
+        v_status.alias("v_status"),
+    )
+    return (
+        checked.filter(
+            F.col("v_price") + F.col("v_date") + F.col("v_status") > 0
+        )
+        .select(
+            "o_orderkey",
+            F.concat_ws(
+                "|",
+                F.when(F.col("v_price") == 1, "positive_price"),
+                F.when(F.col("v_date") == 1, "date_in_range"),
+                F.when(F.col("v_status") == 1, "valid_status"),
+            ).alias("violated"),
+            (F.col("v_price") + F.col("v_date") + F.col("v_status"))
+            .cast("long")
+            .alias("n_violated"),
+        )
+    )
