@@ -84,9 +84,14 @@ def pin_session(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # conf not settable on this build — keep going
     # Shuffle width: ~cores locally; AQE coalesces small shuffles anyway.
+    # ODDSETL_SHUFFLE_PARTITIONS overrides — used by the partition-
+    # invariance tests to prove results don't depend on parallelism.
     try:
+        override = os.environ.get("ODDSETL_SHUFFLE_PARTITIONS")
         cores = spark.sparkContext.defaultParallelism
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", override or str(max(cores, 8))
+        )
     except Exception:
         pass
     return spark

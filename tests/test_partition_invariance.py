@@ -1,0 +1,69 @@
+"""Partition-count invariance: a distributed query's RESULT must not
+depend on how the data is split.
+
+This is the correctness property that actually matters at 100 TB: on a
+1000-executor cluster every knob below differs from local[32] — shuffle
+width, input split sizes, AQE coalescing decisions — and any query whose
+output drifts under those knobs (order-sensitive double sums, first()
+without ordering, limit without sort) is silently wrong at scale even
+though its single-configuration oracle diff passes. Here a representative
+query per shuffle-using family runs under the default layout and again
+under a deliberately hostile one (5 shuffle partitions via the
+ODDSETL_SHUFFLE_PARTITIONS pin override + 64 KB input splits so every
+scan fans out into many tiny tasks), asserting bit-identical canonical
+results.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import oddsetl_spark  # noqa: F401 — populates the registry
+from oddsetl_spark import registry
+
+from .harness import SF_DIRS, _rows_canon
+
+SF_DIR = SF_DIRS[os.environ.get("ODDSETL_TEST_SF", "0.001")]
+
+# One representative per shuffle-shape family: hash agg, window, join+topk,
+# iterative dedup, multi-stage funnel, broadcast+window similarity,
+# window-chain SCD, set op with duplicate accounting, explode+join TF-IDF,
+# exact percentiles (full sort).
+INVARIANCE_SET = [
+    "agg_groupby_multi",
+    "win_sessionize_stats",
+    "join3_topk_revenue",
+    "dedup_minhash_det",
+    "curate_pipeline_funnel",
+    "sim_cosine_topk",
+    "etl_scd2",
+    "set_except_all",
+    "text_tfidf_topterms",
+    "agg_percentiles",
+]
+
+
+def _canon_result(spark, name: str):
+    df = registry.get(name).fn(spark, SF_DIR)
+    return df.columns, _rows_canon(df.collect(), df.columns)
+
+
+@pytest.mark.parametrize("name", INVARIANCE_SET)
+def test_partition_invariance(spark, name):
+    baseline_cols, baseline = _canon_result(spark, name)
+    old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    os.environ["ODDSETL_SHUFFLE_PARTITIONS"] = "5"
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        hostile_cols, hostile = _canon_result(spark, name)
+    finally:
+        del os.environ["ODDSETL_SHUFFLE_PARTITIONS"]
+        if old_split is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+    assert sorted(hostile_cols) == sorted(baseline_cols)
+    assert hostile == baseline, (
+        f"{name}: result depends on partitioning "
+        f"({len(baseline)} vs {len(hostile)} rows)"
+    )
