@@ -597,3 +597,37 @@ def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("xml")
         .load(out)
     )
+
+
+@register(
+    "scan_file_lineage",
+    category="sources",
+    oracle="""
+SELECT 'orders.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+""",
+)
+def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level lineage via the hidden `_metadata` scan column: per input
+    file, its row count and key min/max — the zone-map / small-files /
+    provenance report every table-maintenance job starts from (compaction
+    targets, skipped-file debugging, "which file produced this bad row").
+    `_metadata.file_name` is populated by the scan itself — no filesystem
+    listing round-trip, no UDF — so at 100 TB this is one normal scan with
+    a tiny (n_files-row) aggregate behind it. The DuckDB twin exploits the
+    fixture layout invariant (one file per table, pinned by
+    test_fixture_contract) to name the file literally; on a multi-file
+    table it would read with filename=true + parse_filename."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
