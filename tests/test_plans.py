@@ -400,3 +400,42 @@ def test_asof_nearest_single_exchange_two_sorts(spark):
     differing tie-orders cost a re-sort, never a re-shuffle."""
     plan = _plan(spark, "join_asof_nearest").split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning(k") == 1, plan
+
+
+def test_temporal_scd2_dim_broadcast_facts_unshuffled(spark):
+    """The SCD2 dimension must broadcast; the fact side must not shuffle —
+    the range predicate evaluates map-side on the fact scan."""
+    plan = _plan(spark, "join_temporal_scd2")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # the only exchanges allowed belong to the dim-side window build
+    fact_section = plan.split("events.parquet")[0]
+    assert "Exchange hashpartitioning(user_id" not in fact_section, plan
+
+
+def test_expectations_quarantine_zero_exchanges(spark):
+    """The whole rule stack is per-row projection + filter over a union —
+    a shuffle anywhere means the gate isn't a single codegen pass."""
+    plan = _plan(spark, "etl_expectations_quarantine")
+    assert "Exchange" not in plan, plan
+
+
+def test_minhash_det_banding_is_equi_join(spark):
+    """The deterministic twin must keep the LSH contract: candidate
+    generation via hash equi-join on band keys, never an all-pairs
+    nested loop."""
+    plan = _plan(spark, "dedup_minhash_det")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_matryoshka_query_sides_broadcast(spark):
+    """Both ranking subtrees broadcast the tiny query side; the corpus
+    never shuffles at full width."""
+    plan = _plan(spark, "emb_matryoshka_eval")
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_file_lineage_uses_metadata_column(spark):
+    plan = _plan(spark, "scan_file_lineage")
+    assert "_metadata" in plan or "file_name" in plan, plan

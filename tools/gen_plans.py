@@ -18,7 +18,10 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "text_bigram_lm", "win_funnel_stages", "sim_ann_pq",
             "curate_semdedup", "graph_triangle_count", "text_heavy_hitters",
             "sim_maxsim_multivec", "win_ewma", "graph_link_prediction",
-            "text_chunk_sliding", "sort_total_order_range"]
+            "text_chunk_sliding", "sort_total_order_range",
+            "dedup_minhash_det", "curate_pipeline_funnel",
+            "join_temporal_scd2", "emb_matryoshka_eval",
+            "etl_expectations_quarantine", "scan_file_lineage"]
 
 NOTES = {
     "agg_groupby_multi": "Q1 flagship: pushed shipdate filter, 7-col ReadSchema, "
@@ -95,6 +98,25 @@ NOTES = {
     "sort_total_order_range": "distributed ORDER BY: ONE full-table "
         "rangepartitioning exchange (second consumer is a ReusedExchange); "
         "local ranks are a monotonic-id projection, offsets broadcast.",
+    "dedup_minhash_det": "conformance twin of dedup_minhash_lsh: same "
+        "per-doc array signatures (no explode), same banding equi-join — "
+        "only the hash expressions differ (md5-derived, engine-agnostic), "
+        "so the plan shape must match the xxhash64 variant's.",
+    "curate_pipeline_funnel": "per-row gates (wc, lang) run inside the "
+        "scan's codegen stage; exact dedup is a window min (one hash "
+        "exchange, no join); the shingle self-join sees only gated "
+        "survivors; benchmark shingles BROADCAST; all six stage counts "
+        "union into one job.",
+    "join_temporal_scd2": "SCD2 dim = two same-key windows over ONE "
+        "exchange, then BROADCAST into the fact side: the range predicate "
+        "evaluates map-side and facts never shuffle.",
+    "emb_matryoshka_eval": "both rankings broadcast the 10-vector query "
+        "side; the corpus scans twice (full-dim, prefix) without ever "
+        "shuffling; the overlap join carries only (q_id, vec_id) pairs.",
+    "etl_expectations_quarantine": "the whole rule stack is codegen "
+        "projection + filter over the union — ZERO exchanges.",
+    "scan_file_lineage": "_metadata.file_name comes from the scan itself; "
+        "the only exchange carries n_files rows.",
 }
 
 out = ["# PLANS — final physical plans of the headline queries (sf0.1, AQE final)",
