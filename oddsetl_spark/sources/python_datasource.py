@@ -18,7 +18,12 @@ connector needs (split by shard/page/offset-range).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from ..registry import register
 
@@ -99,3 +104,145 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_parts", _N_PARTS)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource (Spark 4): the live-feed half of the connector
+# story. A production REST/queue poller implements exactly this contract —
+# initialOffset/latestOffset describe the feed cursor, partitions() shards
+# the uncommitted range, read() pulls one shard. The demo feed is
+# deterministic (every field a pure function of the global row id), so the
+# windowed aggregation over it is hash-checked against a DuckDB twin — a
+# from-scratch custom STREAMING connector with a full SQL oracle.
+# ---------------------------------------------------------------------------
+
+_TICKS_TOTAL = 10000
+_TICKS_CHUNK = 2000  # rows released per microbatch -> 5-batch replay
+
+
+class _TickPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class TickStreamReader(DataSourceStreamReader):
+    """DataSourceStreamReader for the deterministic tick feed.
+
+    Offsets are {"offset": n} cursors over the global row id. latestOffset
+    releases _TICKS_CHUNK more rows per trigger until the feed is drained,
+    so processAllAvailable() sees a genuine multi-batch stream (5 batches),
+    not one bulk load. State lives in the streaming engine, not here — the
+    reader is a cursor, which is what makes the pattern restartable: after
+    a crash Spark replays from the last committed offset."""
+
+    def __init__(self, options):
+        self.total = int(options.get("n_rows", _TICKS_TOTAL))
+        self.chunk = int(options.get("chunk", _TICKS_CHUNK))
+        self.current = 0
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        self.current = min(self.current + self.chunk, self.total)
+        return {"offset": self.current}
+
+    def partitions(self, start, end):
+        lo, hi = start["offset"], end["offset"]
+        mid = (lo + hi) // 2
+        parts = [_TickPartition(lo, mid), _TickPartition(mid, hi)]
+        return [p for p in parts if p.end > p.start]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield (i, i % 50, i * 15, ((i * _MULT) % 1000000) / 1000.0)
+
+    def commit(self, end):
+        pass
+
+
+class TickStreamDataSource(DataSource):
+    """`spark.readStream.format("oddsetl_ticks")` — deterministic feed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "oddsetl_ticks"
+
+    def schema(self) -> str:
+        return "tick_id bigint, sensor_id int, ts_offset_s bigint, reading double"
+
+    def streamReader(self, schema):
+        return TickStreamReader(self.options)
+
+
+@register(
+    "stream_python_datasource",
+    category="streaming",
+    heavy=True,
+    oracle=f"""
+SELECT epoch_ms((i * 15 // 3600) * 3600 * 1000) AS window_start,
+       CAST(i % 50 AS INT) AS sensor_id,
+       COUNT(*) AS n_ticks,
+       CAST(SUM(CAST(((i * {_MULT}) % 1000000) / 1000.0
+                AS DECIMAL(30,6))) AS DOUBLE) AS sum_reading
+FROM generate_series(0, {_TICKS_TOTAL - 1}) AS t(i)
+GROUP BY 1, 2
+""",
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python DataSource end to end: the tick feed is
+    read through readStream, event time derives from the feed's offset
+    clock, and a watermarked 1-hour tumbling count/sum per sensor runs in
+    complete mode until the feed drains (5 microbatches via
+    processAllAvailable — latestOffset releases 2000 rows per trigger).
+    This is the architecture slot for the reference's live REST feeds:
+    swap read() for an HTTP page fetch and the offset cursor for the API's
+    page token; everything downstream (watermark, windows, sink) is
+    unchanged. Deterministic feed => full SQL oracle, unlike typical
+    connector demos."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..session import pin_session
+
+    pin_session(spark)
+    spark.dataSource.register(TickStreamDataSource)
+    s = (
+        spark.readStream.format("oddsetl_ticks")
+        .load()
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_offset_s")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "sensor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col("reading").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_reading"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "sensor_id",
+            "n_ticks",
+            "sum_reading",
+        )
+    )
+    out = tempfile.mkdtemp(prefix="oddsetl_ticks_out_")
+    ckpt = tempfile.mkdtemp(prefix="oddsetl_ticks_ckpt_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)
