@@ -1008,7 +1008,7 @@ def _simhash_det_oracle() -> str:
     return f"""
 WITH {_SQL_CORPUS},
 toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
   FROM corpus
 ),
 hashed AS (
@@ -1051,14 +1051,17 @@ def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — the fully-oracle-checked twin of dedup_simhash.
 
     60-bit signature (15 md5 hex chars — int64-safe, no sign-bit games):
-    each DISTINCT token contributes +/-1 per bit position; signature bit =
-    sign of the sum (ties -> 0, same rule both engines). Kept as FOUR
+    each token OCCURRENCE contributes +/-1 per bit position (multiset
+    weighting, like dedup_simhash — a distinct-token variant collapsed on
+    the fixtures' shared vocabulary and emitted 150x more candidate
+    pairs); signature bit = sign of the sum (ties -> 0, same rule both
+    engines). Kept as FOUR
     15-bit band columns; hamming <= 3 pairs must agree on >= 1 band
     (pigeonhole), so candidate generation is an equi-join over a 32,768-key
     band space. hamming = sum of per-band popcounts of XOR — bit_count and
     xor are exact in both engines, so the whole report hash-matches."""
     c = _corpus(spark, sf_dir)
-    toks = F.array_distinct(F.split(F.col("text"), " "))
+    toks = F.split(F.col("text"), " ")
     exploded = c.select("doc_id", F.explode(toks).alias("tok"))
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     bitsums = exploded.groupBy("doc_id").agg(
