@@ -49,6 +49,13 @@ QUERIES = [
     "win_topk_per_group",
     "win_sessionize_stats",
     "text_token_count",
+    # round-3 additions: the bucketed dedup paths and the end-to-end
+    # funnel are exactly the operators whose scale behavior needs proof
+    "dedup_minhash_det",
+    "dedup_simhash_det",
+    "curate_pipeline_funnel",
+    "sim_cosine_topk",
+    "emb_matryoshka_eval",
 ]
 
 
