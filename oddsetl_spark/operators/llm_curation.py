@@ -1365,3 +1365,64 @@ def curate_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(4, "near_dedup", nd))
         .unionByName(stage(5, "decontam", dc))
     )
+
+
+@register(
+    "curate_dataset_card",
+    category="curation",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*) AS mean_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+         / COUNT(*) AS pct_en,
+       1.0 - CAST(COUNT(DISTINCT md5(text)) AS BIGINT) * 1.0 / COUNT(*)
+         AS dup_rate
+FROM (SELECT source, text, lang FROM documents
+      UNION ALL
+      SELECT source, text, lang FROM documents WHERE doc_id % 11 = 0)
+GROUP BY source
+""",
+)
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the datasheet table a curation run
+    publishes alongside the data: document and token counts, mean length,
+    language spread, English share, and exact-duplicate rate
+    (1 - distinct-hash/docs; a 1-in-11 duplicated slice is unioned in so
+    the rate is nonzero and checkable). Every ratio is an IEEE division of
+    exact integers — no order-sensitive float aggregation anywhere, so the
+    card hash-matches.
+
+    Scale: one pass, one shuffle on the (low-cardinality) source key;
+    token counts are size(split()) projections computed map-side, and
+    the two COUNT(DISTINCT)s rewrite to expand + two-level aggregation
+    under the same key — no per-group state beyond the distinct sets.
+    At 100 TB, swap exact COUNT(DISTINCT md5) for approx_count_distinct
+    and the card costs one scan."""
+    d = table(spark, sf_dir, "documents").select("source", "text", "lang")
+    dup = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("source", "text", "lang")
+    )
+    u = d.unionByName(dup)
+    wc = F.size(F.split(F.col("text"), " "))
+    n = F.count(F.lit(1))
+    return (
+        u.select("source", "lang", F.md5(F.col("text")).alias("h"), wc.alias("wc"))
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("wc").alias("n_tokens"),
+            (F.sum("wc") * 1.0 / n).alias("mean_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            (
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long")
+                * 1.0
+                / n
+            ).alias("pct_en"),
+            (1.0 - F.countDistinct("h").cast("long") * 1.0 / n).alias("dup_rate"),
+        )
+    )
