@@ -901,8 +901,13 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         # break pyspark's higher-order-function binding
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_DET_P)
 
+    # signatures, shingle set and size in ONE row per doc: the refine then
+    # touches candidates with two doc_id joins (est_sim + exact Jaccard
+    # from the same build rows), not four
     sig = per_doc.select(
         "doc_id",
+        "sh_set",
+        "n_sh",
         *[
             F.array_min(F.transform("hp", _perm(a, b))).alias(f"s{i}")
             for i, (a, b) in enumerate(_DET_AB)
@@ -940,10 +945,14 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig_a = sig.select(
         F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("sh_a"),
+        F.col("n_sh").alias("na"),
         *[F.col(f"s{i}").alias(f"sa{i}") for i in range(_DET_K)],
     )
     sig_b = sig.select(
         F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
         *[F.col(f"s{i}").alias(f"sb{i}") for i in range(_DET_K)],
     )
     est = sum(
@@ -953,22 +962,10 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(0),
     ) / F.lit(16.0)
-    sets_a = per_doc.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh_set").alias("sh_a"),
-        F.col("n_sh").alias("na"),
-    )
-    sets_b = per_doc.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh_set").alias("sh_b"),
-        F.col("n_sh").alias("nb"),
-    )
     return (
         cand.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")
         .withColumn("est_sim", est)
-        .join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
