@@ -119,6 +119,17 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TICKS_TOTAL = 10000
 _TICKS_CHUNK = 2000  # rows released per microbatch -> 5-batch replay
 
+# The simulated EXTERNAL feed tail lives in a FILE under feed_id (a
+# directory the query owns). It must live outside the reader instance AND
+# outside this Python process: pyspark runs streaming offset management in
+# a dedicated worker process per query, so on restart a fresh process
+# re-imports this module — a per-instance cursor (or even a module-global
+# dict) restarts at 0, hands Spark latestOffset < committed offset, and
+# double-processes the early feed (measured: 16k rows consumed of a 10k
+# feed, tests/test_stream_recovery.py). A real connector gets monotonicity
+# for free because the queue/API tail only moves forward; the tail file is
+# that external system for the synthetic feed.
+
 
 class _TickPartition(InputPartition):
     def __init__(self, start: int, end: int):
@@ -129,24 +140,38 @@ class _TickPartition(InputPartition):
 class TickStreamReader(DataSourceStreamReader):
     """DataSourceStreamReader for the deterministic tick feed.
 
-    Offsets are {"offset": n} cursors over the global row id. latestOffset
-    releases _TICKS_CHUNK more rows per trigger until the feed is drained,
-    so processAllAvailable() sees a genuine multi-batch stream (5 batches),
-    not one bulk load. State lives in the streaming engine, not here — the
-    reader is a cursor, which is what makes the pattern restartable: after
-    a crash Spark replays from the last committed offset."""
+    Offsets are {"offset": n} cursors over the global row id. Each
+    latestOffset() call releases _TICKS_CHUNK more rows of the feed (via
+    the process-global tail above) until it is drained, so
+    processAllAvailable() sees a genuine multi-batch stream (5 batches),
+    not one bulk load — and a stop/restart against the same checkpoint
+    and feed_id resumes exactly at the committed offset
+    (tests/test_stream_recovery.py asserts no loss and no reprocessing)."""
 
     def __init__(self, options):
         self.total = int(options.get("n_rows", _TICKS_TOTAL))
         self.chunk = int(options.get("chunk", _TICKS_CHUNK))
-        self.current = 0
+        self.feed_id = options.get("feed_id", "default")
 
     def initialOffset(self):
         return {"offset": 0}
 
     def latestOffset(self):
-        self.current = min(self.current + self.chunk, self.total)
-        return {"offset": self.current}
+        import os
+
+        os.makedirs(self.feed_id, exist_ok=True)
+        path = os.path.join(self.feed_id, "feed_tail")
+        try:
+            with open(path) as f:
+                cur = int(f.read())
+        except (OSError, ValueError):
+            cur = 0
+        cur = min(cur + self.chunk, self.total)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(cur))
+        os.replace(tmp, path)
+        return {"offset": cur}
 
     def partitions(self, start, end):
         lo, hi = start["offset"], end["offset"]
@@ -223,8 +248,13 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pin_session(spark)
     spark.dataSource.register(TickStreamDataSource)
+    out = tempfile.mkdtemp(prefix="oddsetl_ticks_out_")
+    # fresh feed per invocation (keyed by this run's checkpoint dir) so
+    # every run replays the full 5-batch stream from tick 0
+    ckpt = tempfile.mkdtemp(prefix="oddsetl_ticks_ckpt_")
     s = (
         spark.readStream.format("oddsetl_ticks")
+        .option("feed_id", ckpt)
         .load()
         .withColumn("ts", F.timestamp_seconds(F.col("ts_offset_s")))
         .withWatermark("ts", "1 hour")
@@ -242,9 +272,6 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_reading",
         )
     )
-    out = tempfile.mkdtemp(prefix="oddsetl_ticks_out_")
-    ckpt = tempfile.mkdtemp(prefix="oddsetl_ticks_ckpt_")
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out)
 
