@@ -816,14 +816,14 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))
-                * CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))
-                * CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))
-                * CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))
+                * CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+                * CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))
+                * CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy
   FROM lineitem
   GROUP BY l_returnflag
 )
@@ -841,10 +841,13 @@ def agg_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimals (mergeable, order-insensitive) and the coefficient is
     a scalar double chain — deterministic on any partitioning, which is
     what an incremental/cluster-reordered 100 TB aggregation needs. One
-    shuffle, map-side partials."""
+    shuffle, map-side partials. Co-moment scale is 6: the inputs carry at
+    most cents, and scale 12 made the squared-term sums overflow DuckDB's
+    HUGEINT accumulator at sf0.1 (38-digit cap; scale 6 leaves ~10 digits
+    of row-count headroom — enough for 10^10 rows per group)."""
     li = table(spark, sf_dir, "lineitem")
-    dx = F.col("l_quantity").cast("decimal(30,12)")
-    dy = F.col("l_extendedprice").cast("decimal(30,12)")
+    dx = F.col("l_quantity").cast("decimal(30,6)")
+    dy = F.col("l_extendedprice").cast("decimal(30,6)")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dx).cast("double").alias("sx"),
