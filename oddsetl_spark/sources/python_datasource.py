@@ -131,88 +131,103 @@ _TICKS_CHUNK = 2000  # rows released per microbatch -> 5-batch replay
 # that external system for the synthetic feed.
 
 
-class _TickPartition(InputPartition):
-    def __init__(self, start: int, end: int):
-        self.start = start
-        self.end = end
+def make_tick_source():
+    """Build the streaming tick DataSource class DYNAMICALLY so cloudpickle
+    serializes it BY VALUE. Spark runs streaming offset management in a
+    dedicated python worker (python_streaming_source_runner) that does NOT
+    see sc.addPyFile includes — a module-level class is pickled by
+    reference to `oddsetl_spark` and dies there with ModuleNotFoundError
+    when the driver process imported the package from a non-sys.path repo
+    dir (the external driver does exactly that). Locally-defined classes
+    carry their code in the pickle; every constant below is a closure
+    literal, so nothing references this module at unpickle time."""
+    total_default = 10000
+    chunk_default = 2000  # rows released per microbatch -> 5-batch replay
+    mult = 2654435761
 
+    class _TickPartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
 
-class TickStreamReader(DataSourceStreamReader):
-    """DataSourceStreamReader for the deterministic tick feed.
+    class TickStreamReader(DataSourceStreamReader):
+        """Offsets are {"offset": n} cursors over the global row id. Each
+        latestOffset() call releases `chunk` more rows of the feed (via
+        the tail file above) until it is drained, so
+        processAllAvailable() sees a genuine multi-batch stream (5
+        batches), not one bulk load — and a stop/restart against the same
+        checkpoint and feed_id resumes exactly at the committed offset
+        (tests/test_stream_recovery.py asserts no loss, no reprocessing)."""
 
-    Offsets are {"offset": n} cursors over the global row id. Each
-    latestOffset() call releases _TICKS_CHUNK more rows of the feed (via
-    the process-global tail above) until it is drained, so
-    processAllAvailable() sees a genuine multi-batch stream (5 batches),
-    not one bulk load — and a stop/restart against the same checkpoint
-    and feed_id resumes exactly at the committed offset
-    (tests/test_stream_recovery.py asserts no loss and no reprocessing)."""
+        def __init__(self, options):
+            self.total = int(options.get("n_rows", total_default))
+            self.chunk = int(options.get("chunk", chunk_default))
+            self.feed_id = options.get("feed_id", "default")
 
-    def __init__(self, options):
-        self.total = int(options.get("n_rows", _TICKS_TOTAL))
-        self.chunk = int(options.get("chunk", _TICKS_CHUNK))
-        self.feed_id = options.get("feed_id", "default")
+        def initialOffset(self):
+            return {"offset": 0}
 
-    def initialOffset(self):
-        return {"offset": 0}
+        def latestOffset(self):
+            import os
 
-    def latestOffset(self):
-        import os
+            os.makedirs(self.feed_id, exist_ok=True)
+            path = os.path.join(self.feed_id, "feed_tail")
+            try:
+                with open(path) as f:
+                    cur = int(f.read())
+            except (OSError, ValueError):
+                cur = 0
+            cur = min(cur + self.chunk, self.total)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(cur))
+            os.replace(tmp, path)
+            return {"offset": cur}
 
-        os.makedirs(self.feed_id, exist_ok=True)
-        path = os.path.join(self.feed_id, "feed_tail")
-        try:
-            with open(path) as f:
-                cur = int(f.read())
-        except (OSError, ValueError):
-            cur = 0
-        cur = min(cur + self.chunk, self.total)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(cur))
-        os.replace(tmp, path)
-        return {"offset": cur}
+        def partitions(self, start, end):
+            lo, hi = start["offset"], end["offset"]
+            mid = (lo + hi) // 2
+            parts = [_TickPartition(lo, mid), _TickPartition(mid, hi)]
+            return [p for p in parts if p.end > p.start]
 
-    def partitions(self, start, end):
-        lo, hi = start["offset"], end["offset"]
-        mid = (lo + hi) // 2
-        parts = [_TickPartition(lo, mid), _TickPartition(mid, hi)]
-        return [p for p in parts if p.end > p.start]
+        def read(self, partition):
+            # Arrow batch, same as the batch reader: the per-row tuple
+            # path crosses the Python boundary per record and tripled the
+            # replay's wall time.
+            import numpy as np
+            import pyarrow as pa
 
-    def read(self, partition):
-        # Arrow batch, same as the batch reader: the per-row tuple path
-        # crosses the Python boundary per record and tripled the replay's
-        # wall time.
-        import numpy as np
-        import pyarrow as pa
+            i = np.arange(partition.start, partition.end, dtype=np.int64)
+            yield pa.record_batch(
+                [
+                    pa.array(i),
+                    pa.array((i % 50).astype(np.int32)),
+                    pa.array(i * 15),
+                    pa.array(((i * mult) % 1000000) / 1000.0),
+                ],
+                names=["tick_id", "sensor_id", "ts_offset_s", "reading"],
+            )
 
-        i = np.arange(partition.start, partition.end, dtype=np.int64)
-        yield pa.record_batch(
-            [
-                pa.array(i),
-                pa.array((i % 50).astype(np.int32)),
-                pa.array(i * 15),
-                pa.array(((i * _MULT) % 1000000) / 1000.0),
-            ],
-            names=["tick_id", "sensor_id", "ts_offset_s", "reading"],
-        )
+        def commit(self, end):
+            pass
 
-    def commit(self, end):
-        pass
+    class TickStreamDataSource(DataSource):
+        """`spark.readStream.format("oddsetl_ticks")` — deterministic feed."""
 
+        @classmethod
+        def name(cls) -> str:
+            return "oddsetl_ticks"
 
-class TickStreamDataSource(DataSource):
-    """`spark.readStream.format("oddsetl_ticks")` — deterministic feed."""
+        def schema(self) -> str:
+            return (
+                "tick_id bigint, sensor_id int, "
+                "ts_offset_s bigint, reading double"
+            )
 
-    @classmethod
-    def name(cls) -> str:
-        return "oddsetl_ticks"
+        def streamReader(self, schema):
+            return TickStreamReader(self.options)
 
-    def schema(self) -> str:
-        return "tick_id bigint, sensor_id int, ts_offset_s bigint, reading double"
-
-    def streamReader(self, schema):
-        return TickStreamReader(self.options)
+    return TickStreamDataSource
 
 
 @register(
@@ -247,7 +262,7 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import pin_session
 
     pin_session(spark)
-    spark.dataSource.register(TickStreamDataSource)
+    spark.dataSource.register(make_tick_source())
     out = tempfile.mkdtemp(prefix="oddsetl_ticks_out_")
     # fresh feed per invocation (keyed by this run's checkpoint dir) so
     # every run replays the full 5-batch stream from tick 0

@@ -17,7 +17,7 @@ import time
 from pyspark.sql import functions as F
 
 import oddsetl_spark  # noqa: F401
-from oddsetl_spark.sources.python_datasource import TickStreamDataSource
+from oddsetl_spark.sources.python_datasource import make_tick_source
 
 _TOTAL = 10000
 
@@ -33,7 +33,7 @@ def _build(spark, feed_id: str):
 
 
 def test_restart_resumes_at_committed_offset(spark):
-    spark.dataSource.register(TickStreamDataSource)
+    spark.dataSource.register(make_tick_source())
     out = tempfile.mkdtemp(prefix="oddsetl_restart_out_")
     ckpt = tempfile.mkdtemp(prefix="oddsetl_restart_ckpt_")
 
