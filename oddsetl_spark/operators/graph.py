@@ -316,3 +316,103 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_score"),
         )
     )
+
+
+_BFS_ROUNDS = 3
+_BFS_SEED_MAX = 10  # customers with c_custkey < 10 are the seed set
+
+
+def _bfs_oracle() -> str:
+    prev = "d0"
+    blocks = []
+    for i in range(1, _BFS_ROUNDS + 1):
+        blocks.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM edges e JOIN {prev} d ON e.src = d.node
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    chain = ",\n".join(blocks)
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS MATERIALIZED (
+  SELECT c AS src, s + {_SUPP_OFFSET} AS dst FROM pairs
+  UNION ALL
+  SELECT s + {_SUPP_OFFSET} AS src, c AS dst FROM pairs
+), d0 AS (
+  SELECT DISTINCT c AS node, 0 AS dist FROM pairs WHERE c < {_BFS_SEED_MAX}
+),
+{chain}
+SELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}
+"""
+
+
+@register(
+    "graph_bfs_distance",
+    category="graph",
+    oracle=_bfs_oracle(),
+    heavy=True,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: hop distance from a seed set (customers with key
+    < 10) over the symmetrized trade graph, {_BFS_ROUNDS} fixed rounds of
+    min-distance propagation — the reachability/why-is-this-here query a
+    graph-shaped warehouse answers (supply-chain blast radius, fraud-ring
+    hops). Same iterative contract as dedup_components/graph_pagerank:
+    per round, one edges-join-frontier shuffle + a min rollup;
+    localCheckpoint cuts lineage per round; the DuckDB oracle unrolls the
+    identical rounds so every intermediate distance is hash-checked.
+
+    Scale: the edge list shuffles onto src once and stays co-located for
+    every round; what moves per round is the distance vector (one row per
+    reached node). The production optimization — propagate only the
+    DELTA frontier (nodes whose dist improved this round) instead of the
+    full vector — changes the per-round join input, not the result;
+    fixed-round full propagation is kept here because the oracle can
+    mirror it row for row. All-integer arithmetic: nothing to round."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"), "o_orderkey"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_suppkey").alias("s")
+    )
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("c", "s")
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), (F.col("s") + _SUPP_OFFSET).alias("dst"))
+        .unionByName(
+            pairs.select(
+                (F.col("s") + _SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    dist = (
+        pairs.filter(F.col("c") < _BFS_SEED_MAX)
+        .select(F.col("c").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    for _ in range(_BFS_ROUNDS):
+        stepped = (
+            edges.join(dist, edges.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(stepped)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))
