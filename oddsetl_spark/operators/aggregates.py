@@ -984,3 +984,112 @@ def obs_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(m["n_rows"], m["sum_qty"], m["n_returned"])], schema
     )
+
+
+def _ols2_oracle() -> str:
+    det = (
+        "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s12 - s11 * s2))"
+    )
+    det0 = (
+        "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+        " + s2 * (s1y * s12 - s11 * s2y))"
+    )
+    det1 = (
+        "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s2y - s1y * s2))"
+    )
+    det2 = (
+        "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+        " + sy * (s1 * s12 - s11 * s2))"
+    )
+    return f"""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))
+                * CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(l_discount AS DECIMAL(30,6))
+                * CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))
+                * CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))
+                * CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(l_discount AS DECIMAL(30,6))
+                * CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS s2y
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND({det0} / {det}, 6) AS intercept,
+       ROUND({det1} / {det}, 6) AS beta_qty,
+       ROUND({det2} / {det}, 6) AS beta_discount
+FROM s
+""".replace("{det}", det)
+
+
+@register(
+    "agg_multivar_regression",
+    category="agg",
+    oracle=_ols2_oracle(),
+)
+def agg_multivar_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (price ~ quantity + discount) fit in CLOSED FORM
+    from mergeable sufficient statistics — the distributed-ML pattern
+    that generalizes: nine exact-decimal moment sums (one shuffle,
+    map-side partials, incremental-merge safe) feed Cramer's rule on the
+    3x3 normal equations as a scalar double chain. No iteration, no
+    driver-side solver, no MLlib — at 100 TB the fit costs exactly one
+    aggregation pass, and partial sums from yesterday's data merge with
+    today's delta for free. Co-moment scale 6 per the agg_pearson_corr
+    overflow analysis. Identical expression trees on both engines =>
+    identical IEEE doubles; ROUND(6) guards the division chain's last
+    ulp."""
+    li = table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(30,6)")  # noqa: E731
+    x1, x2, y = d("l_quantity"), d("l_discount"), d("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+    )
+    n = F.col("n")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y = F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(det0 / det, 6).alias("intercept"),
+        F.round(det1 / det, 6).alias("beta_qty"),
+        F.round(det2 / det, 6).alias("beta_discount"),
+    )

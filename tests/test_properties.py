@@ -843,3 +843,31 @@ def test_pearson_corr_matches_numpy(spark):
     for flag, grp in pdf.groupby("l_returnflag"):
         ref = float(np.corrcoef(grp.l_quantity, grp.l_extendedprice)[0, 1])
         assert abs(got[flag] - ref) < 1e-7, (flag, got[flag], ref)
+
+
+def test_multivar_regression_matches_numpy_lstsq(spark):
+    """agg_multivar_regression coefficients == numpy least-squares on the
+    raw fixture columns — a third implementation, so the shared Cramer
+    formula can't be consistently wrong on both engines."""
+    import duckdb
+    import numpy as np
+
+    got = {
+        r["l_returnflag"]: (r["intercept"], r["beta_qty"], r["beta_discount"])
+        for r in _q(spark, "agg_multivar_regression").collect()
+    }
+    con = duckdb.connect()
+    try:
+        pdf = con.execute(
+            f"SELECT l_returnflag, l_quantity, l_discount, l_extendedprice "
+            f"FROM '{SF_DIR}/lineitem.parquet'"
+        ).df()
+    finally:
+        con.close()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        X = np.column_stack(
+            [np.ones(len(grp)), grp.l_quantity, grp.l_discount]
+        )
+        ref, *_ = np.linalg.lstsq(X, grp.l_extendedprice.to_numpy(), rcond=None)
+        for got_c, ref_c in zip(got[flag], ref):
+            assert abs(got_c - ref_c) < 1e-4, (flag, got[flag], ref)
