@@ -830,3 +830,76 @@ def etl_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_violated"),
         )
     )
+
+
+@register(
+    "etl_referential_integrity",
+    category="etl",
+    oracle="""
+SELECT relationship, n_child_rows, n_orphans
+FROM (
+  SELECT 'lineitem->orders' AS relationship,
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT) AS n_orphans
+  UNION ALL
+  SELECT 'orders->customer',
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem->part',
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey))
+              AS BIGINT)
+)
+""",
+)
+def etl_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: per FK
+    relationship, child row count and orphan count (children whose parent
+    key has no match) — the load-validation report every warehouse runs
+    after ingest, and the one that catches partial loads and
+    out-of-order arrivals. Each orphan count is a LEFT ANTI join: the
+    parent key column (only) is the build side, so small dims broadcast
+    and the fact-side scans stay map-side; counts are tiny aggregates
+    unioned into one result. Zero rows expected on the clean fixtures —
+    the audit proving a negative IS the artifact."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+
+    def audit(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        total = child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        orphans = (
+            child.join(
+                parent.select(pk), child[ck] == parent[pk], "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("relationship"), "n_child_rows", "n_orphans"
+        )
+
+    return (
+        audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(audit("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(
+            audit("lineitem->supplier", li, "l_suppkey", s, "s_suppkey")
+        )
+    )
