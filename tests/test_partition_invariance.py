@@ -42,6 +42,13 @@ INVARIANCE_SET = [
     "set_except_all",
     "text_tfidf_topterms",
     "agg_percentiles",
+    # iterative propagation, closed-form sufficient statistics, broadcast
+    # range join, and executor-side observe() counters each have their own
+    # ways to depend on layout — pin them too
+    "graph_bfs_distance",
+    "agg_multivar_regression",
+    "join_temporal_scd2",
+    "obs_metrics_audit",
 ]
 
 
