@@ -175,19 +175,47 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(s, mode="complete", tag="sess")
 
 
-@register("stream_watermark_late", category="streaming", oracle=None)
+@register(
+    "stream_watermark_late",
+    category="streaming",
+    oracle="""
+WITH b AS (SELECT MIN(CAST(ts AS TIMESTAMP)) AS lo,
+                  MAX(CAST(ts AS TIMESTAMP)) AS hi FROM events),
+cfg AS (SELECT make_timestamp(epoch_us(lo)
+                              + (epoch_us(hi) - epoch_us(lo)) // 2) AS split,
+               hi - INTERVAL 1 HOUR AS wm FROM b)
+SELECT window_start, window_end, n FROM (
+  SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS window_start,
+         date_trunc('hour', CAST(e.ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+           AS window_end,
+         COUNT(*) AS n
+  FROM events e, cfg WHERE CAST(e.ts AS TIMESTAMP) >= cfg.split
+  GROUP BY 1, 2
+) w WHERE window_end <= (SELECT wm FROM cfg)
+""",
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data drop semantics across a restart: run 1 drains the SECOND
     half of the timeline (watermark advances to max(ts)-1h and is
     persisted in the commit log); run 2 restarts from the same checkpoint
     with the first half staged — every one of those rows is now late and
-    must be dropped by the append-mode aggregation. Engine-asserted
-    (rows check): no emitted window may predate the split point, and the
-    emitted total is bounded by the on-time row count."""
+    must be dropped by the append-mode aggregation.
+
+    Full SQL oracle (upgraded from rows-only): the staged replay is
+    deterministic, so the CUMULATIVE append-mode output after run 2 is
+    exactly the hourly windows of the on-time half whose window_end <=
+    the final watermark (max ts - 1h) — late rows neither create windows
+    nor advance the watermark, and the held-back last-hour windows are
+    never emitted. (wm lands mid-window on this data, so the <= boundary
+    is unambiguous.) The in-engine assertions below stay as defense in
+    depth. Split uses floor-micros so both engines bisect identically."""
     pin_session(spark)
     e = table(spark, sf_dir, "events")
     bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    split = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    import datetime as _dt
+
+    half_us = ((bounds["hi"] - bounds["lo"]) // _dt.timedelta(microseconds=1)) // 2
+    split = bounds["lo"] + _dt.timedelta(microseconds=half_us)
 
     staged = tempfile.mkdtemp(prefix="oddsetl_late_in_")
     out_dir = tempfile.mkdtemp(prefix="oddsetl_late_out_")
