@@ -871,3 +871,31 @@ def test_multivar_regression_matches_numpy_lstsq(spark):
         ref, *_ = np.linalg.lstsq(X, grp.l_extendedprice.to_numpy(), rcond=None)
         for got_c, ref_c in zip(got[flag], ref):
             assert abs(got_c - ref_c) < 1e-4, (flag, got[flag], ref)
+
+
+def test_minhash_det_recall(spark):
+    """The engine-agnostic md5 variant (8 bands x 2) must also recover
+    >=90% of true Jaccard>=0.8 pairs — the hash family changed, not the
+    S-curve. Precision is exact by construction (Jaccard refine)."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q(spark, "dedup_ngram_jaccard").collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"]) for r in _q(spark, "dedup_minhash_det").collect()
+    }
+    assert truth, "truth set empty — augmented corpus broken"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"det-LSH recall {recall:.3f} < 0.9"
+    assert found <= truth, "refine leaked a sub-threshold pair"
+
+
+def test_simhash_det_selectivity(spark):
+    """The md5 simhash twin must stay in the same candidate regime as the
+    xxhash64 variant — the distinct-token formulation regressed to 150x
+    more pairs before multiset weighting, and this pin catches any such
+    collapse structurally (pair count within 4x of the original's)."""
+    n_orig = _q(spark, "dedup_simhash").count()
+    n_det = _q(spark, "dedup_simhash_det").count()
+    assert n_orig > 0
+    assert n_det <= 4 * n_orig, (n_det, n_orig)
