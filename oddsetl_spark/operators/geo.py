@@ -399,3 +399,89 @@ def geo_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("leg_km").cast("decimal(30,6)")).cast("double").alias("total_km"),
         F.max("leg_km").alias("max_leg_km"),
     )
+
+
+_DBSCAN_EPS_KM = 50.0
+_DBSCAN_MINPTS = 4
+
+
+@register(
+    "geo_dbscan_core",
+    category="geo",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         {_SQL_LAT.format(k='c_custkey')} AS lat,
+         {_SQL_LON.format(k='c_custkey')} AS lon
+  FROM customer WHERE c_custkey < 2000
+),
+nb AS (
+  SELECT a.id, COUNT(*) AS n_neighbors
+  FROM pts a JOIN pts b
+    ON floor(b.lat) BETWEEN floor(a.lat) - 1 AND floor(a.lat) + 1
+   AND floor(b.lon) BETWEEN floor(a.lon) - 1 AND floor(a.lon) + 1
+   AND {_SQL_HAVERSINE.format(lat1='a.lat', lon1='a.lon',
+                              lat2='b.lat', lon2='b.lon')}
+       <= {_DBSCAN_EPS_KM}
+  GROUP BY a.id
+)
+SELECT id AS c_custkey,
+       CAST(n_neighbors AS BIGINT) AS n_neighbors,
+       n_neighbors >= {_DBSCAN_MINPTS} AS is_core
+FROM nb
+""",
+)
+def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point detection (eps = 50 km, minPts = 4): per site,
+    the count of sites within eps (self included, per the standard
+    definition) and the core verdict — the density primitive under
+    density-based incident clustering (full DBSCAN = flag cores, then
+    connect core-reachable points with the dedup_components min-label
+    loop). The self-proximity join uses the grid pattern: one side
+    explodes into its 3x3 ring of 1-degree cells (1 deg latitude =
+    111 km >= eps, and >= eps in longitude everywhere in the lat<=48
+    box), the other equi-joins on its own cell — work tracks per-cell
+    density, never |sites|^2. Distances use the shared rounded haversine
+    so the eps comparison is identical on both engines; neighbor counts
+    are exact integers."""
+    pts = (
+        _sites(spark, sf_dir)
+        .filter(F.col("c_custkey") < 2000)
+        .select(F.col("c_custkey").alias("id"), "lat", "lon")
+    )
+    a = pts.select(
+        F.col("id").alias("a_id"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        F.floor("lat").alias("cell_lat"),
+        F.floor("lon").alias("cell_lon"),
+    )
+    ring = (
+        pts.withColumn(
+            "dlat_off", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)]))
+        )
+        .withColumn(
+            "dlon_off", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)]))
+        )
+        .select(
+            F.col("id").alias("b_id"),
+            F.col("lat").alias("b_lat"),
+            F.col("lon").alias("b_lon"),
+            (F.floor("b_lat") + F.col("dlat_off")).alias("cell_lat"),
+            (F.floor("b_lon") + F.col("dlon_off")).alias("cell_lon"),
+        )
+    )
+    dist = _haversine_km(
+        F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon")
+    )
+    return (
+        a.join(ring, ["cell_lat", "cell_lon"])
+        .filter(dist <= _DBSCAN_EPS_KM)
+        .groupBy(F.col("a_id").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+        .select(
+            "c_custkey",
+            "n_neighbors",
+            (F.col("n_neighbors") >= _DBSCAN_MINPTS).alias("is_core"),
+        )
+    )
