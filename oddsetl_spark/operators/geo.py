@@ -485,3 +485,165 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_neighbors") >= _DBSCAN_MINPTS).alias("is_core"),
         )
     )
+
+
+_DBSCAN_ROUNDS = 8
+
+
+def _dbscan_cluster_oracle() -> str:
+    hav = _SQL_HAVERSINE.format(
+        lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon"
+    )
+    prev = "l0"
+    blocks = []
+    for i in range(1, _DBSCAN_ROUNDS + 1):
+        blocks.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, MIN(lbl) AS lbl FROM (
+    SELECT node, lbl FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, l.lbl FROM core_edges e
+    JOIN {prev} l ON e.src = l.node
+  ) GROUP BY node
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(blocks)
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT c_custkey AS id,
+         {_SQL_LAT.format(k='c_custkey')} AS lat,
+         {_SQL_LON.format(k='c_custkey')} AS lon
+  FROM customer WHERE c_custkey < 2000
+),
+pairs AS MATERIALIZED (
+  SELECT a.id AS src, b.id AS dst
+  FROM pts a JOIN pts b
+    ON floor(b.lat) BETWEEN floor(a.lat) - 1 AND floor(a.lat) + 1
+   AND floor(b.lon) BETWEEN floor(a.lon) - 1 AND floor(a.lon) + 1
+   AND {hav} <= {_DBSCAN_EPS_KM}
+),
+core AS MATERIALIZED (
+  SELECT src AS id FROM pairs GROUP BY src
+  HAVING COUNT(*) >= {_DBSCAN_MINPTS}
+),
+core_edges AS MATERIALIZED (
+  SELECT p.src, p.dst FROM pairs p
+  JOIN core ca ON ca.id = p.src
+  JOIN core cb ON cb.id = p.dst
+  WHERE p.src <> p.dst
+),
+l0 AS (SELECT id AS node, id AS lbl FROM core),
+{chain},
+core_out AS (
+  SELECT node AS c_custkey, lbl AS cluster_label, TRUE AS is_core
+  FROM {prev}
+),
+border_out AS (
+  SELECT p.src AS c_custkey, MIN(l.lbl) AS cluster_label, FALSE AS is_core
+  FROM pairs p
+  JOIN {prev} l ON l.node = p.dst
+  WHERE p.src NOT IN (SELECT id FROM core) AND p.src <> p.dst
+  GROUP BY p.src
+)
+SELECT c_custkey, CAST(cluster_label AS BIGINT) AS cluster_label, is_core
+FROM (SELECT * FROM core_out UNION ALL SELECT * FROM border_out)
+"""
+
+
+@register(
+    "geo_dbscan_cluster",
+    category="geo",
+    oracle=_dbscan_cluster_oracle(),
+    heavy=True,
+)
+def geo_dbscan_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full density-based clustering, hash-checked end to end: core
+    points (geo_dbscan_core's grid self-join), min-label propagation over
+    the core-core eps graph ({_DBSCAN_ROUNDS} fixed rounds, the
+    dedup_components contract), then border points (non-core within eps
+    of >=1 core) assigned the MINIMUM final core label — DBSCAN's
+    border-assignment ambiguity determinized so both engines agree. Noise
+    points (no core in reach) are excluded, as DBSCAN defines. The eps
+    graph never materializes beyond per-cell candidate pairs; the labels
+    that move per round are one row per core. The oracle unrolls the
+    identical rounds, so this is the same fixed-point-prefix discipline
+    as dedup_components/graph_pagerank/graph_bfs_distance."""
+    pts = (
+        _sites(spark, sf_dir)
+        .filter(F.col("c_custkey") < 2000)
+        .select(F.col("c_custkey").alias("id"), "lat", "lon")
+    )
+    a = pts.select(
+        F.col("id").alias("src"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        F.floor("lat").alias("cell_lat"),
+        F.floor("lon").alias("cell_lon"),
+    )
+    ring = (
+        pts.withColumn(
+            "dlat_off", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)]))
+        )
+        .withColumn(
+            "dlon_off", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)]))
+        )
+        .select(
+            F.col("id").alias("dst"),
+            F.col("lat").alias("b_lat"),
+            F.col("lon").alias("b_lon"),
+            (F.floor("b_lat") + F.col("dlat_off")).alias("cell_lat"),
+            (F.floor("b_lon") + F.col("dlon_off")).alias("cell_lon"),
+        )
+    )
+    dist = _haversine_km(
+        F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon")
+    )
+    pairs = (
+        a.join(ring, ["cell_lat", "cell_lon"])
+        .filter(dist <= _DBSCAN_EPS_KM)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    core = (
+        pairs.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _DBSCAN_MINPTS)
+        .select(F.col("src").alias("id"))
+        .localCheckpoint()
+    )
+    core_edges = (
+        pairs.join(core.select(F.col("id").alias("src")), "src")
+        .join(core.select(F.col("id").alias("dst")), "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    labels = core.select(F.col("id").alias("node"), F.col("id").alias("lbl"))
+    for _ in range(_DBSCAN_ROUNDS):
+        stepped = (
+            core_edges.join(labels, core_edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        labels = (
+            labels.unionByName(stepped)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    core_out = labels.select(
+        F.col("node").alias("c_custkey"),
+        F.col("lbl").alias("cluster_label"),
+        F.lit(True).alias("is_core"),
+    )
+    border_out = (
+        pairs.join(core.select(F.col("id").alias("src")), "src", "left_anti")
+        .filter(F.col("src") != F.col("dst"))
+        .join(labels, pairs.dst == labels.node)
+        .groupBy(F.col("src").alias("c_custkey"))
+        .agg(F.min("lbl").alias("cluster_label"))
+        .select("c_custkey", "cluster_label", F.lit(False).alias("is_core"))
+    )
+    return core_out.unionByName(border_out).select(
+        "c_custkey", F.col("cluster_label").cast("long").alias("cluster_label"), "is_core"
+    )
