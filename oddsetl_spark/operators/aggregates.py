@@ -1093,3 +1093,46 @@ def agg_multivar_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(det1 / det, 6).alias("beta_qty"),
         F.round(det2 / det, 6).alias("beta_discount"),
     )
+
+
+@register(
+    "agg_histogram_equidepth",
+    category="agg",
+    oracle="""
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(l_extendedprice) AS lo,
+       MAX(l_extendedprice) AS hi
+FROM (
+  SELECT l_extendedprice,
+         NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS bucket
+  FROM lineitem
+)
+GROUP BY bucket
+""",
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of extendedprice: 10 buckets of
+    equal row count with their [lo, hi] value bounds — the histogram
+    shape a cost-based optimizer keeps for selectivity estimation
+    (agg_histogram's width_bucket twin covers the equi-WIDTH shape; skew
+    makes equi-width useless on heavy-tailed money columns, which is why
+    CBO stats use equi-depth). NTILE is determinized with the full unique
+    key in the ORDER BY so equal prices split identically on both
+    engines. One total-order sort (rangepartitioning exchange) + one
+    small rollup; at 100 TB the approximate twin is
+    approx_percentile's mergeable sketch at the 10 cut points."""
+    li = table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )

@@ -903,3 +903,41 @@ def etl_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             audit("lineitem->supplier", li, "l_suppkey", s, "s_suppkey")
         )
     )
+
+
+@register(
+    "etl_surrogate_keys",
+    category="etl",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) AS BIGINT) AS segment_sk,
+       CAST(ROW_NUMBER() OVER (ORDER BY c_mktsegment, c_custkey) AS BIGINT)
+         AS customer_sk
+FROM customer WHERE c_custkey < 500
+""",
+)
+def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key assignment — the dimension-load step
+    that replaces business keys with dense integers: DENSE_RANK over the
+    sorted dimension value for the segment SK, ROW_NUMBER over the full
+    unique ordering for the row SK. Determinism is the whole point:
+    monotonically_increasing_id() (the tempting shortcut) is
+    partition-layout-dependent and changes across runs and engines; a
+    rank over a total order is reproducible anywhere, which is what makes
+    reloads idempotent and cross-system joins stable. Cost is one
+    range-partitioned sort; at 100 TB assign SKs per partition with
+    zipWithIndex-style offset composition (sort_total_order_range shows
+    the distributed total-order machinery this builds on)."""
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(W.orderBy("c_mktsegment")).cast("long").alias("segment_sk"),
+        F.row_number()
+        .over(W.orderBy("c_mktsegment", "c_custkey"))
+        .cast("long")
+        .alias("customer_sk"),
+    )
