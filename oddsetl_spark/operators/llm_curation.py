@@ -1426,3 +1426,95 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1.0 - F.countDistinct("h").cast("long") * 1.0 / n).alias("dup_rate"),
         )
     )
+
+
+def _leakage_safe_split_oracle() -> str:
+    from .llm_dedup import (
+        _CC_ROUNDS,
+        _JACCARD_TAU,
+        _SQL_CORPUS,
+        _min_label_rounds_sql,
+    )
+
+    return f"""
+WITH {_SQL_CORPUS},
+edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= {_JACCARD_TAU}
+  UNION ALL
+  SELECT doc_b, doc_a FROM jac WHERE jaccard >= {_JACCARD_TAU}
+),
+lab0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM edges)
+{_min_label_rounds_sql(_CC_ROUNDS)}
+SELECT c.doc_id,
+       COALESCE(l.lbl, c.doc_id) AS cluster_label,
+       CASE WHEN ('0x' || substr(md5(CAST(COALESCE(l.lbl, c.doc_id)
+                                         AS VARCHAR)), 1, 15))::BIGINT
+                 % 10 < 9
+            THEN 'train' ELSE 'test' END AS split
+FROM corpus c LEFT JOIN lab{_CC_ROUNDS} l ON l.node = c.doc_id
+"""
+
+
+@register(
+    "curate_leakage_safe_split",
+    category="curation",
+    oracle=_leakage_safe_split_oracle(),
+    heavy=True,
+)
+def curate_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the split unit is the NEAR-DUP
+    CLUSTER (connected component of Jaccard>=tau pairs), never the
+    document — a doc-level random split puts one twin in train and the
+    other in test, silently inflating eval scores (the classic benchmark
+    contamination-by-duplication bug). Singleton docs are their own
+    cluster; the 90/10 assignment hashes the CLUSTER label through the
+    deterministic md5 bucket (same cross-engine primitive as
+    sample_hash_bucket), so every member of a cluster lands on the same
+    side by construction, and the split is reproducible on any engine or
+    cluster layout. Composes the components machinery (same rounds, same
+    update rule) with one md5 per cluster — at 100 TB the split costs
+    one broadcast-join of cluster labels after the dedup you were
+    already running."""
+    from pyspark.sql import functions as _F
+
+    from .llm_dedup import (
+        _CC_ROUNDS,
+        _JACCARD_TAU,
+        _corpus,
+        _jaccard_pairs,
+        _propagate_min_labels,
+    )
+
+    edges_half = (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(_F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = (
+        edges_half.select(_F.col("doc_a").alias("a"), _F.col("doc_b").alias("b"))
+        .unionByName(
+            edges_half.select(_F.col("doc_b").alias("a"), _F.col("doc_a").alias("b"))
+        )
+        .coalesce(8)
+        .localCheckpoint()
+    )
+    labels = edges.select(_F.col("a").alias("node")).distinct().select(
+        "node", _F.col("node").alias("lbl")
+    )
+    labels = _propagate_min_labels(edges, labels, _CC_ROUNDS)
+    docs = _corpus(spark, sf_dir).select("doc_id")
+    lbl = _F.coalesce(_F.col("lbl"), _F.col("doc_id"))
+    bucket = (
+        _F.conv(_F.substring(_F.md5(lbl.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            lbl.alias("cluster_label"),
+            _F.when(bucket < 9, "train").otherwise("test").alias("split"),
+        )
+    )

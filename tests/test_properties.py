@@ -899,3 +899,19 @@ def test_simhash_det_selectivity(spark):
     n_det = _q(spark, "dedup_simhash_det").count()
     assert n_orig > 0
     assert n_det <= 4 * n_orig, (n_det, n_orig)
+
+
+def test_leakage_safe_split_no_cluster_straddles(spark):
+    """The invariant the operator exists for: every near-dup cluster lies
+    entirely in train or entirely in test, and the split covers the full
+    corpus exactly once."""
+    rows = _q(spark, "curate_leakage_safe_split").collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_label"], set()).add(r["split"])
+    straddlers = {c for c, s in by_cluster.items() if len(s) > 1}
+    assert not straddlers, f"clusters in both splits: {sorted(straddlers)[:5]}"
+    n_docs = len({r["doc_id"] for r in rows})
+    assert n_docs == len(rows), "duplicate doc assignment"
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "test"}, splits
