@@ -692,3 +692,43 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall(F.col("toks"), lambda x: F.length(x) > 0).alias("all_nonempty"),
         F.array_position(F.col("toks"), "table").cast("long").alias("table_pos"),
     )
+
+
+@register(
+    "fn_deterministic_uuid",
+    category="functions",
+    oracle="""
+SELECT o_orderkey,
+       concat(
+         substr(h, 1, 8), '-', substr(h, 9, 4), '-',
+         '5', substr(h, 14, 3), '-',
+         '8', substr(h, 18, 3), '-',
+         substr(h, 21, 12)
+       ) AS order_uuid
+FROM (
+  SELECT o_orderkey,
+         md5(concat('oddsetl:order:', CAST(o_orderkey AS VARCHAR))) AS h
+  FROM orders WHERE o_orderkey < 2000
+)
+""",
+)
+def fn_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UUIDv5-style identifiers minted from a namespaced
+    business key: md5('namespace:key') folded into the 8-4-4-4-12 shape
+    with the version/variant nibbles pinned ('5'/'8'). This is the
+    idempotent-ingestion pattern — re-running a load re-mints the SAME id
+    (so upserts converge), unlike uuid()/rand-based ids which differ per
+    run, per engine, and per retry. Pure projection, codegen-resident,
+    identical hex on both engines."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    h = F.md5(F.concat(F.lit("oddsetl:order:"), F.col("o_orderkey").cast("string")))
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.substring(h, 1, 8), F.lit("-"),
+            F.substring(h, 9, 4), F.lit("-"),
+            F.lit("5"), F.substring(h, 14, 3), F.lit("-"),
+            F.lit("8"), F.substring(h, 18, 3), F.lit("-"),
+            F.substring(h, 21, 12),
+        ).alias("order_uuid"),
+    )

@@ -674,3 +674,46 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= F.col("total") / F.lit(256.0))
         .select("token", "n", "total")
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    category="llm_text",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+       CAST(SUM(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_tokens,
+       SUM(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 1.0
+         / SUM(len(string_split(text, ' '))) AS fertility
+FROM documents
+GROUP BY lang
+""",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: tokens emitted per whitespace
+    word under the BPE-ish regex segmentation — the metric multilingual
+    pipelines track because a high-fertility language pays more
+    compute/context per word (and signals the tokenizer under-serves it).
+    The ratio is an IEEE division of two exact integer sums, so the
+    per-language report hash-matches. One explode-free pass (sizes of
+    split/extract arrays), one shuffle on the tiny lang key."""
+    d = table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " "))
+    toks = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+        )
+    )
+    return (
+        d.select("lang", words.alias("w"), toks.alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("t").alias("n_tokens"),
+            (F.sum("t") * 1.0 / F.sum("w")).alias("fertility"),
+        )
+    )
