@@ -1136,3 +1136,55 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("hi"),
         )
     )
+
+
+@register(
+    "agg_benford_first_digit",
+    category="agg",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+counted AS (
+  SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+),
+tot AS (SELECT SUM(n_obs) AS n FROM counted)
+SELECT c.digit,
+       CAST(c.n_obs AS BIGINT) AS n_obs,
+       round(log10(1.0 + 1.0 / c.digit), 9) AS benford_p,
+       round(c.n_obs * 1.0 / t.n - log10(1.0 + 1.0 / c.digit), 9)
+         AS deviation
+FROM counted c, tot t
+""",
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed share per
+    leading digit vs Benford's log10(1 + 1/d) expectation — the
+    fabricated-amounts screen financial DQ pipelines run (organic
+    multiplicative amounts follow Benford; invented ones don't). First
+    digit comes from floor -> BIGINT -> string, never log10-of-value
+    (log10(1000) can land a hair under 3 and misbin an entire decade);
+    the expectation/deviation chain is scalar IEEE rounded to 9. One
+    narrow pass + a 9-row aggregate, with the total via a tiny
+    cross-joined scalar."""
+    o = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counted = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = counted.agg(F.sum("n_obs").alias("n"))
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 9)
+    return counted.crossJoin(tot).select(
+        "digit",
+        "n_obs",
+        benford.alias("benford_p"),
+        F.round(
+            F.col("n_obs") * 1.0 / F.col("n")
+            - F.log10(1.0 + 1.0 / F.col("digit")),
+            9,
+        ).alias("deviation"),
+    )
