@@ -302,3 +302,122 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out)
+
+
+def make_jsonl_sink():
+    """Custom batch WRITER (the other half of the connector contract),
+    built dynamically for by-value pickling like make_tick_source — the
+    planner-side python worker cannot import this package from a
+    foreign-cwd driver. Each task writes its partition as one jsonl part
+    file and returns the file name as its commit message; commit()
+    publishes a manifest only after every task reported success — the
+    minimal two-phase commit a real external sink (object store, API
+    batch endpoint) needs for exactly-once output on task retry."""
+    from pyspark.sql.datasource import (
+        DataSource as _DS,
+        DataSourceWriter as _DSW,
+        WriterCommitMessage as _WCM,
+    )
+
+    class _Committed(_WCM):
+        def __init__(self, fname: str, n_rows: int):
+            self.fname = fname
+            self.n_rows = n_rows
+
+    class JsonlWriter(_DSW):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            import json
+            import os
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            # task attempts write to an attempt-unique temp name and the
+            # final name only appears via the manifest on commit
+            fname = f"part-{pid:05d}.jsonl"
+            tmp = os.path.join(self.path, f".{fname}.attempt")
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            os.replace(tmp, os.path.join(self.path, fname))
+            return _Committed(fname, n)
+
+        def commit(self, messages):
+            import json
+            import os
+
+            manifest = {
+                "files": sorted(m.fname for m in messages),
+                "rows": sum(m.n_rows for m in messages),
+            }
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            pass
+
+    class JsonlSinkDataSource(_DS):
+        @classmethod
+        def name(cls) -> str:
+            return "oddsetl_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(self.options)
+
+    return JsonlSinkDataSource
+
+
+@register(
+    "sink_python_datasource",
+    category="sources",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey < 400
+""",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER round-trip: customers flow through
+    the jsonl sink (per-task part files + two-phase manifest commit) and
+    are read back with an explicit schema — proving the writer half of
+    the connector contract end to end, including that the manifest's row
+    count equals the data read back. Doubles survive because json.dumps
+    emits shortest-round-trip decimals, the same exactness contract as
+    the built-in CSV/JSON sinks."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..io import table as _table
+    from ..session import pin_session
+
+    pin_session(spark)
+    spark.dataSource.register(make_jsonl_sink())
+    out = tempfile.mkdtemp(prefix="oddsetl_pysink_")
+    c = _table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    c.coalesce(4).write.format("oddsetl_jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(
+        [os.path.join(out, fn) for fn in manifest["files"]]
+    )
+    assert back.count() == manifest["rows"], "manifest row count mismatch"
+    return back
