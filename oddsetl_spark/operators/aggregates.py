@@ -1188,3 +1188,57 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("deviation"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    category="agg",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(30,6)))
+           OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cum_w,
+         SUM(CAST(l_quantity AS DECIMAL(30,6)))
+           OVER (PARTITION BY l_returnflag) AS tot_w
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS weighted_median,
+       CAST(MIN(tot_w) AS DOUBLE) AS total_weight
+FROM w
+WHERE cum_w * 2 >= tot_w
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per flag: the smallest value whose
+    cumulative weight reaches half the total — the robust center under
+    sample weights (plain median treats a 50-unit line like a 1-unit
+    line). Weights accumulate in exact DECIMAL over a fully-tiebroken
+    ordering, and the `cum*2 >= tot` comparison is integer-exact in
+    decimal — no floating threshold to straddle. One partitioned sort +
+    one rollup; the 100 TB approximate twin is a weighted
+    approx_percentile (replicate-by-rounded-weight into the sketch)."""
+    li = table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    qty = F.col("l_quantity").cast("decimal(30,6)")
+    w_cum = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_all = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qty).over(w_cum).alias("cum_w"),
+        F.sum(qty).over(w_all).alias("tot_w"),
+    )
+    return (
+        ranked.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.min("tot_w").cast("double").alias("total_weight"),
+        )
+    )

@@ -935,3 +935,52 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak").alias("max_peak"),
         F.max(F.col("peak") - F.col("value")).alias("max_drawdown"),
     )
+
+
+@register(
+    "win_ohlc_resample",
+    category="windows",
+    oracle="""
+SELECT user_id,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       arg_min(value, lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+                           20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+         AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+                           20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+         AS close
+FROM events
+WHERE user_id < 50
+GROUP BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
+""",
+)
+def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: per user per hour, the open (first value by
+    time), high, low, and close (last value by time) — the canonical
+    timeseries downsample (candlesticks, sensor rollups). open/close use
+    min_by/max_by over a zero-padded (epoch-micros, event_id) string key
+    (lexicographic == numeric; DuckDB's arg_min rejects struct keys), so
+    ties at the same microsecond resolve identically on both engines. One shuffle on the
+    (user, bar) key with mergeable partials — min_by/max_by carry a
+    single (key, value) pair per partial, so the bar never needs the
+    row stream sorted (contrast the window formulation, which would
+    total-sort every partition)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    tkey = F.format_string(
+        "%020d%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("bar_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", tkey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", tkey).alias("close"),
+        )
+    )
