@@ -984,3 +984,55 @@ def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", tkey).alias("close"),
         )
     )
+
+
+@register(
+    "win_markov_transitions",
+    category="windows",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (
+  SELECT prev_type, SUM(n) AS n_from FROM pairs GROUP BY prev_type
+)
+SELECT p.prev_type, p.next_type,
+       CAST(p.n AS BIGINT) AS n,
+       round(p.n * 1.0 / t.n_from, 9) AS p_transition
+FROM pairs p JOIN tot t ON t.prev_type = p.prev_type
+""",
+)
+def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the user-journey model
+    behind churn prediction and anomalous-session scoring. One lag over
+    the (user, time, id) ordering — the same single user_id exchange the
+    sessionize family reuses — then two tiny keyed rollups; probabilities
+    are IEEE divisions of exact counts, rounded once at the edge. The
+    matrix is |types|^2 rows regardless of data volume, so the result is
+    broadcastable back onto the stream for per-transition surprise
+    scoring at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("n_from"), 9).alias("p_transition"),
+    )
