@@ -1518,3 +1518,54 @@ def curate_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             _F.when(bucket < 9, "train").otherwise("test").alias("split"),
         )
     )
+
+
+@register(
+    "curate_survival_curve",
+    category="curation",
+    oracle="""
+WITH life AS (
+  SELECT user_id,
+         date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+           AS lifetime_days
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT COUNT(*) AS n_users FROM life)
+SELECT k.k AS day_offset,
+       CAST(COUNT(l.user_id) AS BIGINT) AS n_surviving,
+       round(COUNT(l.user_id) * 1.0 / (SELECT n_users FROM tot), 9)
+         AS survival
+FROM generate_series(0, 14) AS k(k)
+LEFT JOIN life l ON l.lifetime_days >= k.k
+GROUP BY k.k
+""",
+)
+def curate_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve S(k): the share of users still active
+    k or more days after their first event (lifetime = last minus first
+    activity date) for k = 0..14 — the retention summary behind churn
+    dashboards, here as one hash-checked query. Lifetimes are integer day
+    differences (no timezone/rounding edge with the session pinned UTC);
+    the survival share is an IEEE division of exact counts. Plan: one
+    user_id rollup for lifetimes, then a 15-row spine joined with an
+    inequality — the spine side is constant-size, so the join broadcasts
+    and the curve costs one aggregation pass regardless of user count."""
+    e = table(spark, sf_dir, "events")
+    life = e.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).alias("lifetime_days")
+    )
+    total = life.count()
+    spine = spark.range(0, 15).select(F.col("id").alias("day_offset"))
+    return (
+        F.broadcast(spine)
+        .join(life, life.lifetime_days >= spine.day_offset, "left")
+        .groupBy("day_offset")
+        .agg(
+            F.count("user_id").alias("n_surviving"),
+            F.round(F.count("user_id") * 1.0 / F.lit(total), 9).alias(
+                "survival"
+            ),
+        )
+    )
