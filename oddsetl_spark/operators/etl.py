@@ -941,3 +941,68 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("customer_sk"),
     )
+
+
+@register(
+    "etl_scd3",
+    category="etl",
+    oracle="""
+WITH src AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+  FROM orders WHERE o_custkey < 200
+),
+changed AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+           LAG(o_orderpriority) OVER w AS prev_prio
+    FROM src
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  ) WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
+)
+SELECT o_custkey,
+       o_orderpriority AS current_priority,
+       prev_prio AS previous_priority,
+       CAST(o_orderdate AS DATE) AS changed_on
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC)
+              AS rn
+  FROM changed
+) WHERE rn = 1
+""",
+)
+def etl_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 3: ONE row per key carrying the
+    current attribute value, the immediately-previous value, and when it
+    changed — the limited-history variant used when only 'what was it
+    before' matters (vs type 2's full version history in etl_scd2 and
+    type 1's overwrite in etl_merge_upsert; this completes the SCD
+    family). Change detection reuses the type-2 lag-over-key pass; the
+    dimension row is then the LAST change per key (row_number desc).
+    Both windows share the o_custkey exchange — one shuffle total, same
+    as etl_scd2."""
+    from pyspark.sql import Window as W
+
+    src = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w_log = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = (
+        src.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+        .withColumn("prev_prio", F.lag("o_orderpriority").over(w_log))
+        .filter(
+            F.col("prev_prio").isNull()
+            | (F.col("prev_prio") != F.col("o_orderpriority"))
+        )
+    )
+    w_last = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        changed.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("current_priority"),
+            F.col("prev_prio").alias("previous_priority"),
+            F.col("o_orderdate").cast("date").alias("changed_on"),
+        )
+    )
