@@ -1242,3 +1242,81 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tot_w").cast("double").alias("total_weight"),
         )
     )
+
+
+@register(
+    "agg_abtest_ztest",
+    category="agg",
+    oracle="""
+WITH assign AS (
+  SELECT user_id, user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arm AS (
+  SELECT variant, COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted,
+         SUM(converted) * 1.0 / COUNT(*) AS rate
+  FROM assign GROUP BY variant
+),
+wide AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+         MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+  FROM arm
+)
+SELECT a.variant, CAST(a.n_users AS BIGINT) AS n_users, a.n_converted,
+       round(a.rate, 9) AS rate,
+       round((w.c1 * 1.0 / w.n1 - w.c0 * 1.0 / w.n0)
+             / nullif(sqrt(((w.c0 + w.c1) * 1.0 / (w.n0 + w.n1))
+                           * (1.0 - (w.c0 + w.c1) * 1.0 / (w.n0 + w.n1))
+                           * (1.0 / w.n0 + 1.0 / w.n1)), 0.0), 6) AS z_stat
+FROM arm a, wide w
+""",
+)
+def agg_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per variant (user_id % 2 as the stand-in
+    assignment), users, conversions (any purchase event) and rate, plus
+    the pooled two-proportion z-statistic — the whole experimentation
+    dashboard row in one query. Every input to the z formula is an exact
+    integer count; the statistic is a scalar IEEE chain rounded once at
+    the edge, so it hash-matches. Plan: one user_id rollup (conversion is
+    MAX over the user's events — mergeable), one 2-row arm aggregate, and
+    a 1-row cross join carrying the pooled terms; at 100 TB the cost is
+    the single user rollup you already pay for any per-user metric."""
+    e = table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    arm = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        (F.sum("converted") * 1.0 / F.count(F.lit(1))).alias("rate"),
+    )
+    wide = arm.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    pooled = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    # nullif guards the degenerate 0%/100% arms (pooled variance 0): the
+    # statistic is undefined there, and ANSI mode rightly refuses 0/0
+    z = (
+        F.col("c1") * 1.0 / F.col("n1") - F.col("c0") * 1.0 / F.col("n0")
+    ) / F.nullif(
+        F.sqrt(
+            pooled * (1.0 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+        ),
+        F.lit(0.0),
+    )
+    return arm.crossJoin(wide).select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.round("rate", 9).alias("rate"),
+        F.round(z, 6).alias("z_stat"),
+    )
