@@ -1320,3 +1320,59 @@ def agg_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rate", 9).alias("rate"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@register(
+    "agg_chi2_independence",
+    category="agg",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, dayofweek(CAST(ts AS TIMESTAMP)) + 1
+),
+margins AS (
+  SELECT o.event_type, o.dow, o.n,
+         SUM(o.n) OVER (PARTITION BY o.event_type) AS row_n,
+         SUM(o.n) OVER (PARTITION BY o.dow) AS col_n,
+         SUM(o.n) OVER () AS tot_n
+  FROM obs o
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+       round(row_n * 1.0 * col_n / tot_n, 9) AS expected,
+       round(pow(n - row_n * 1.0 * col_n / tot_n, 2)
+             / (row_n * 1.0 * col_n / tot_n), 9) AS chi2_term
+FROM margins
+""",
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen for event type vs day-of-week: per
+    contingency cell, observed count, expected count under independence
+    (row x col / total) and the cell's chi2 contribution — the
+    seasonality/independence check behind "is this metric shifted on
+    weekends" questions; summing chi2_term gives the test statistic. All
+    margins come from windows over the TINY contingency table (|types| x
+    7 rows), so the only real work is the one groupBy over the events —
+    everything after operates on a broadcast-size result. Expected/chi2
+    are IEEE chains over exact integer counts, rounded at the edge.
+    DuckDB's dayofweek is 0-based (Sunday=0) vs Spark's 1-based — the
+    oracle shifts by one, same as fn_datetime."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    obs = e.groupBy(
+        "event_type", F.dayofweek(F.col("ts")).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_n = F.sum("n").over(W.partitionBy("event_type"))
+    col_n = F.sum("n").over(W.partitionBy("dow"))
+    tot_n = F.sum("n").over(W.partitionBy())
+    expected = row_n * 1.0 * col_n / tot_n
+    return obs.select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        "n",
+        F.round(expected, 9).alias("expected"),
+        F.round(F.pow(F.col("n") - expected, 2) / expected, 9).alias(
+            "chi2_term"
+        ),
+    )
