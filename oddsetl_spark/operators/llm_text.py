@@ -717,3 +717,71 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("t") * 1.0 / F.sum("w")).alias("fertility"),
         )
     )
+
+
+@register(
+    "text_oov_rate",
+    category="llm_text",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+    FROM toks GROUP BY tok
+  ) WHERE rn <= 1000
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 9) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.source
+""",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage per source: the share of token occurrences
+    falling outside the corpus's top-1000 vocabulary (frequency-ranked,
+    token-string tiebreak so the cut is deterministic) — the OOV metric
+    that decides whether a tokenizer/vocab under-serves a source before
+    training on it. Two passes over the exploded tokens: a token-count
+    rollup to build the (tiny, bounded) vocab, then a BROADCAST left
+    join tagging membership with a per-source rollup — the corpus never
+    shuffles on the token key for the tagging pass. The rate is an IEEE
+    division of exact counts."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    from pyspark.sql import Window as W
+
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("n"), F.asc("tok")))
+        )
+        .filter(F.col("rn") <= 1000)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                9,
+            ).alias("oov_rate"),
+        )
+    )
