@@ -1006,3 +1006,93 @@ def etl_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("changed_on"),
         )
     )
+
+
+@register(
+    "etl_drift_psi",
+    category="etl",
+    oracle="""
+WITH b AS (SELECT MIN(CAST(ts AS TIMESTAMP)) AS lo,
+                  MAX(CAST(ts AS TIMESTAMP)) AS hi FROM events),
+cfg AS (SELECT make_timestamp(epoch_us(lo)
+                              + (epoch_us(hi) - epoch_us(lo)) // 2) AS split
+        FROM b),
+binned AS (
+  SELECT CASE WHEN CAST(ts AS TIMESTAMP) < (SELECT split FROM cfg)
+              THEN 'baseline' ELSE 'current' END AS period,
+         LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+  FROM events
+),
+counts AS (
+  SELECT bin,
+         SUM(CASE WHEN period = 'baseline' THEN 1 ELSE 0 END) AS n_base,
+         SUM(CASE WHEN period = 'current' THEN 1 ELSE 0 END) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM counts)
+SELECT c.bin,
+       CAST(c.n_base AS BIGINT) AS n_base,
+       CAST(c.n_cur AS BIGINT) AS n_cur,
+       CASE WHEN c.n_base > 0 AND c.n_cur > 0
+            THEN round((c.n_cur * 1.0 / t.tc - c.n_base * 1.0 / t.tb)
+                       * ln((c.n_cur * 1.0 / t.tc)
+                            / (c.n_base * 1.0 / t.tb)), 9)
+       END AS psi_term
+FROM counts c, tot t
+""",
+)
+def etl_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index for the event value distribution,
+    baseline (first half of the timeline) vs current (second half): per
+    fixed-width bin, both counts and the PSI term
+    (p_cur - p_base) * ln(p_cur / p_base) — summing gives the drift
+    score monitoring pipelines alarm on (rule of thumb: > 0.2 = shifted).
+    Fixed bins (floor(value/50), capped at 9) keep the binning
+    deterministic and mergeable — no quantile estimation inside the
+    monitor; the time split reuses stream_watermark_late's floor-micros
+    bisection. One narrow pass + a 10-row rollup; the scalar total ride
+    along as a cross-joined 1-row aggregate."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("timestamp")).alias("lo"),
+        F.max(F.col("ts").cast("timestamp")).alias("hi"),
+    ).collect()[0]
+    import datetime as _dt
+
+    half_us = (
+        (bounds["hi"] - bounds["lo"]) // _dt.timedelta(microseconds=1)
+    ) // 2
+    split = bounds["lo"] + _dt.timedelta(microseconds=half_us)
+    period = F.when(
+        F.col("ts").cast("timestamp") < F.lit(split), "baseline"
+    ).otherwise("current")
+    bin_ = F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9))
+    counts = (
+        e.select(period.alias("period"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("period") == "baseline", 1).otherwise(0)).alias(
+                "n_base"
+            ),
+            F.sum(F.when(F.col("period") == "current", 1).otherwise(0)).alias(
+                "n_cur"
+            ),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    p_base = F.col("n_base") * 1.0 / F.col("tb")
+    p_cur = F.col("n_cur") * 1.0 / F.col("tc")
+    # empty-bin terms are undefined (ln 0): NULL them out, matching the
+    # standard skip-or-smooth practice, identically on both engines
+    term = F.when(
+        (F.col("n_base") > 0) & (F.col("n_cur") > 0),
+        F.round((p_cur - p_base) * F.log(p_cur / p_base), 9),
+    )
+    return counts.crossJoin(tot).select(
+        "bin",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        term.alias("psi_term"),
+    )
