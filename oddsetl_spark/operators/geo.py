@@ -401,8 +401,13 @@ def geo_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DBSCAN_EPS_KM = 50.0
-_DBSCAN_MINPTS = 4
+# eps must stay under the worst-case 1-degree cell width (111*cos(48deg)
+# = 74.3 km at the lattice's max latitude) so the +/-1-cell ring join is
+# a complete neighbor search; minPts=3 (self + 2) is the smallest value
+# that yields border points on the fixture lattice, so both the core
+# and the border assignment paths carry real rows at sf>=0.01.
+_DBSCAN_EPS_KM = 70.0
+_DBSCAN_MINPTS = 3
 
 
 @register(
@@ -432,7 +437,7 @@ FROM nb
 """,
 )
 def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DBSCAN core-point detection (eps = 50 km, minPts = 4): per site,
+    """DBSCAN core-point detection (eps = 70 km, minPts = 3): per site,
     the count of sites within eps (self included, per the standard
     definition) and the core verdict — the density primitive under
     density-based incident clustering (full DBSCAN = flag cores, then
