@@ -112,13 +112,20 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id FROM events WHERE event_type = 'view'
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'purchase'
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 80
 """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewers with no high-value purchase. The right side is narrowed to
+    value > 80 because on the fixtures every user has every event type —
+    a bare viewers-minus-purchasers EXCEPT is empty at all SFs, which
+    would make the differential check trivially true (2/13/84 rows at
+    sf0.001/0.01/0.1 with the narrowing)."""
     e = table(spark, sf_dir, "events")
     v = e.filter(F.col("event_type") == "view").select("user_id")
-    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    p = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 80)
+    ).select("user_id")
     return v.subtract(p)
 
 
