@@ -18,6 +18,7 @@ from ..registry import register
 from ._helpers import (
     davg,
     dsum,
+    lng,
     scaled_group_sums,
     sql_davg,
     sql_dsum,
@@ -1375,4 +1376,124 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(F.col("n") - expected, 2) / expected, 9).alias(
             "chi2_term"
         ),
+    )
+
+
+@register(
+    "agg_seasonal_decompose",
+    category="agg",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice*1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS y_l
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT day, y_l,
+         CAST(SUM(y_l) OVER w AS BIGINT) AS t7,
+         COUNT(*) OVER w AS cnt
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT day, y_l, t7, cnt,
+         CASE WHEN cnt = 7 THEN 7*y_l - t7 END AS detr7,
+         dayofweek(day) + 1 AS dow
+  FROM win
+),
+season AS (
+  SELECT dow, CAST(SUM(detr7) AS BIGINT) AS s_l,
+         CAST(COUNT(detr7) AS BIGINT) AS n_dow
+  FROM detr WHERE detr7 IS NOT NULL GROUP BY dow
+),
+grid AS (
+  SELECT d.day, d.y_l, d.cnt,
+         (d.t7 - ((d.t7 % 7) + 7) % 7) / 7 AS trend_l,
+         (s.s_l - ((s.s_l % (7*s.n_dow)) + 7*s.n_dow) % (7*s.n_dow))
+           / (7*s.n_dow) AS seasonal_l
+  FROM detr d LEFT JOIN season s ON s.dow = d.dow
+)
+SELECT day,
+       CAST(y_l AS DOUBLE)/1000000 AS y,
+       CASE WHEN cnt = 7 THEN CAST(trend_l AS DOUBLE)/1000000 END AS trend,
+       CAST(seasonal_l AS DOUBLE)/1000000 AS seasonal,
+       CASE WHEN cnt = 7
+            THEN CAST(y_l - trend_l - seasonal_l AS DOUBLE)/1000000
+       END AS resid
+FROM grid
+""",
+)
+def agg_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of daily order revenue:
+    trend = centered 7-row moving average (NULL where the window is not
+    full, i.e. the 3 edge days), seasonal = per-day-of-week mean of the
+    detrended series, residual = y - trend - seasonal. The standard
+    pre-forecasting / anomaly-baseline readout.
+
+    Exactness: daily revenue is an exact scaled-long sum; the windowed
+    trend numerator (t7) and the detrended values (7*y - t7) stay in
+    exact LONG arithmetic, and the trend/seasonal divisions are FLOOR
+    divisions on the micro-unit grid (portable positive-modulo floor —
+    Spark's div truncates while DuckDB's // floors on negatives), so
+    every output is an exact 6-decimal dyadic value and no double is
+    ever rounded. (round(double) itself diverges between engines:
+    Spark rounds the shortest decimal repr, DuckDB the exact binary
+    expansion — measured on this very query at 1/7 multiples.)
+
+    Scale shape: the one real pass is the daily groupBy over orders
+    (map-side combined). Everything after — the 7-row window, the
+    7-group seasonal mean, the dow join — operates on the daily series,
+    whose length is bounded by the CALENDAR (~2.5k rows for 7 years),
+    not by the data; the single-partition window over it is free, and
+    the 7-row seasonal table broadcasts."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(lng(F.col("o_totalprice"))).alias("y_l"))
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "y_l",
+        F.sum("y_l").over(w).alias("t7"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    detr = win.select(
+        "day",
+        "y_l",
+        "t7",
+        "cnt",
+        F.when(F.col("cnt") == 7, 7 * F.col("y_l") - F.col("t7")).alias(
+            "detr7"
+        ),
+        F.dayofweek("day").alias("dow"),
+    )
+    season = (
+        detr.filter(F.col("detr7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum("detr7").alias("s_l"),
+            F.count("detr7").alias("n_dow"),
+        )
+    )
+    def floor_div(x, d):
+        # portable floor division for signed longs: both engines' native
+        # integer ops disagree on negatives (Spark div truncates, DuckDB
+        # // floors), so the floor is spelled out via the positive modulo
+        return (x - ((x % d) + d) % d) / d
+
+    t_l = floor_div(F.col("t7"), F.lit(7))
+    s_den = 7 * F.col("n_dow")
+    s_l = floor_div(F.col("s_l"), s_den)
+    full = F.col("cnt") == 7
+    return detr.join(F.broadcast(season), "dow", "left").select(
+        "day",
+        (F.col("y_l").cast("double") / 1000000).alias("y"),
+        F.when(full, t_l.cast("double") / 1000000).alias("trend"),
+        (s_l.cast("double") / 1000000).alias("seasonal"),
+        F.when(
+            full, (F.col("y_l") - t_l - s_l).cast("double") / 1000000
+        ).alias("resid"),
     )
