@@ -1096,3 +1096,63 @@ def etl_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cur").cast("long").alias("n_cur"),
         term.alias("psi_term"),
     )
+
+
+@register(
+    "etl_data_vault",
+    category="etl",
+    oracle="""
+SELECT o_orderkey,
+       md5('O|' || CAST(o_orderkey AS VARCHAR)) AS hub_order_hk,
+       md5('C|' || CAST(o_custkey AS VARCHAR)) AS hub_customer_hk,
+       md5('L|' || CAST(o_orderkey AS VARCHAR) || '|'
+                || CAST(o_custkey AS VARCHAR)) AS link_hk,
+       md5(o_orderstatus || '|' || o_orderpriority || '|'
+           || CAST(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                   AS VARCHAR)) AS sat_hashdiff,
+       o_custkey % 10 >= 7 AS hub_customer_is_new
+FROM orders
+WHERE o_orderkey % 5 = 0
+""",
+)
+def etl_data_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault 2.0 key minting for the order feed: deterministic hash
+    keys for the order hub, customer hub and order-customer link
+    (md5 over a type-tagged business key — the DV discipline that makes
+    keys stable across sources, loads and clusters, no sequence
+    generator anywhere), plus the satellite HASHDIFF over the
+    descriptive payload (status, priority, price-in-cents) that drives
+    change detection on subsequent loads. hub_customer_is_new stands in
+    for the anti-join against the existing hub (a deterministic 30%
+    modulo slice plays the not-yet-loaded set on the static fixture).
+
+    The price enters the hashdiff as exact integer cents (floor half-up
+    on the 2-decimal money grid) — hashing a raw double's string repr
+    would couple the key to engine float formatting.
+
+    Scale shape: pure narrow per-row expressions — zero shuffles, whole
+    stage codegen, pushdown-friendly; at 100 TB each structure writes
+    from the same single scan, and incremental loads anti-join on the
+    hash key, which is uniform by construction (no skew)."""
+    o = table(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey").cast("string")
+    ck = F.col("o_custkey").cast("string")
+    cents = (
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string")
+    )
+    return o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.md5(F.concat(F.lit("O|"), ok)).alias("hub_order_hk"),
+        F.md5(F.concat(F.lit("C|"), ck)).alias("hub_customer_hk"),
+        F.md5(F.concat(F.lit("L|"), ok, F.lit("|"), ck)).alias("link_hk"),
+        F.md5(
+            F.concat(
+                F.col("o_orderstatus"),
+                F.lit("|"),
+                F.col("o_orderpriority"),
+                F.lit("|"),
+                cents,
+            )
+        ).alias("sat_hashdiff"),
+        (F.col("o_custkey") % 10 >= 7).alias("hub_customer_is_new"),
+    )
