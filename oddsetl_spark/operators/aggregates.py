@@ -1497,3 +1497,108 @@ def agg_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             full, (F.col("y_l") - t_l - s_l).cast("double") / 1000000
         ).alias("resid"),
     )
+
+
+@register(
+    "agg_welch_ttest",
+    category="agg",
+    oracle="""
+WITH assign AS (
+  SELECT user_id % 2 AS variant, value FROM events
+),
+arm AS (
+  SELECT variant, COUNT(*) AS n,
+         CAST(SUM(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST((value*value) AS DECIMAL(30,6))) AS DOUBLE) AS s2
+  FROM assign GROUP BY variant
+),
+wide AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN s END) AS s0,
+         MAX(CASE WHEN variant = 0 THEN s2 END) AS s20,
+         MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN s END) AS s1,
+         MAX(CASE WHEN variant = 1 THEN s2 END) AS s21
+  FROM arm
+),
+terms AS (
+  SELECT n0, n1,
+         ((s20 - s0*s0/n0)/(n0-1))/n0 AS se0,
+         ((s21 - s1*s1/n1)/(n1-1))/n1 AS se1,
+         s1/n1 - s0/n0 AS diff
+  FROM wide
+)
+SELECT a.variant, CAST(a.n AS BIGINT) AS n_events,
+       round(a.s/a.n, 9) AS mean_value,
+       round((a.s2 - a.s*a.s/a.n)/(a.n-1), 6) AS var_value,
+       round(t.diff / sqrt(t.se0 + t.se1), 6) AS t_stat,
+       round(pow(t.se0 + t.se1, 2)
+             / (pow(t.se0, 2)/(t.n0-1) + pow(t.se1, 2)/(t.n1-1)), 3)
+         AS welch_df
+FROM arm a, terms t
+""",
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on mean event value between the
+    two experiment arms (user_id % 2): per arm n/mean/sample-variance,
+    plus the t-statistic and the Welch-Satterthwaite effective degrees
+    of freedom — the continuous-metric companion to agg_abtest_ztest's
+    proportion test. Sums and sums-of-squares are exact decimal
+    aggregations (order-insensitive), so t and df are scalar IEEE chains
+    over identical doubles, written in the same operation order on both
+    engines and rounded once at the edge.
+
+    Scale shape: one groupBy over events producing two partial-merged
+    rows; the wide pivot and the test arithmetic run on a 2-row/1-row
+    frame. The same mergeable (n, sum, sumsq) triple serves any number
+    of arms or metrics at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    assign = e.select(
+        (F.col("user_id") % 2).alias("variant"), F.col("value")
+    )
+    v = F.col("value")
+    arm = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(v).alias("s"),
+        dsum(v * v).alias("s2"),
+    )
+    wide = arm.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("variant") == 0, F.col("s2"))).alias("s20"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("variant") == 1, F.col("s2"))).alias("s21"),
+    )
+    se0 = (
+        (F.col("s20") - F.col("s0") * F.col("s0") / F.col("n0"))
+        / (F.col("n0") - 1)
+    ) / F.col("n0")
+    se1 = (
+        (F.col("s21") - F.col("s1") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+    ) / F.col("n1")
+    terms = wide.select(
+        "n0",
+        "n1",
+        se0.alias("se0"),
+        se1.alias("se1"),
+        (F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")).alias("diff"),
+    )
+    t_stat = F.col("diff") / F.sqrt(F.col("se0") + F.col("se1"))
+    welch_df = F.pow(F.col("se0") + F.col("se1"), 2) / (
+        F.pow(F.col("se0"), 2) / (F.col("n0") - 1)
+        + F.pow(F.col("se1"), 2) / (F.col("n1") - 1)
+    )
+    return arm.crossJoin(terms).select(
+        "variant",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("s") / F.col("n"), 9).alias("mean_value"),
+        F.round(
+            (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1),
+            6,
+        ).alias("var_value"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(welch_df, 3).alias("welch_df"),
+    )
