@@ -1602,3 +1602,105 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_stat, 6).alias("t_stat"),
         F.round(welch_df, 3).alias("welch_df"),
     )
+
+
+@register(
+    "agg_ks_test",
+    category="agg",
+    oracle="""
+WITH pts AS (
+  SELECT user_id % 2 AS variant,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+grid AS (
+  SELECT cents,
+         CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1
+  FROM pts GROUP BY cents
+),
+cum AS (
+  SELECT cents,
+         CAST(SUM(g0) OVER w AS BIGINT) AS c0,
+         CAST(SUM(g1) OVER w AS BIGINT) AS c1,
+         CAST(SUM(g0) OVER () AS BIGINT) AS n0,
+         CAST(SUM(g1) OVER () AS BIGINT) AS n1
+  FROM grid
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+scored AS (
+  SELECT cents, n0, n1, abs(c0*n1 - c1*n0) AS diff_l,
+         MAX(abs(c0*n1 - c1*n0)) OVER () AS max_l
+  FROM cum
+)
+SELECT n0, n1,
+       round(CAST(max_l AS DOUBLE) / n0 / n1, 9) AS d_stat,
+       CAST(MIN(cents) AS DOUBLE) / 100 AS ks_location
+FROM scored WHERE diff_l = max_l
+GROUP BY n0, n1, max_l
+""",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on event value between the
+    experiment arms (user_id % 2): D = max |F0(x) - F1(x)| plus the
+    location where the empirical CDFs diverge most (minimum such x for
+    determinism) — the distribution-level drift test that PSI
+    approximates with bins and the t-test reduces to means. The entire
+    comparison runs in INTEGER arithmetic: values snap to their exact
+    cent grid, CDF gaps compare as |c0*n1 - c1*n0| (cross-multiplied,
+    no division), and the single division happens once at the edge.
+
+    Scale shape: one groupBy onto the value grid (map-side combined),
+    then windows over the GRID (bounded by the value domain, ~56k cells,
+    not by row count) — the same support-not-data cardinality argument
+    as the histogram family. The cross-multiplied counts need longs up
+    to n0*n1; beyond ~3e9 rows per arm the comparison column upgrades
+    to DECIMAL(38,0) with identical semantics."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    pts = e.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    grid = pts.groupBy("cents").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("g0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("g1"),
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    cum = grid.select(
+        "cents",
+        F.sum("g0").over(w).alias("c0"),
+        F.sum("g1").over(w).alias("c1"),
+        F.sum("g0").over(wall).alias("n0"),
+        F.sum("g1").over(wall).alias("n1"),
+    )
+    diff_l = F.abs(F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))
+    scored = cum.select(
+        "cents",
+        "n0",
+        "n1",
+        diff_l.alias("diff_l"),
+        F.max(diff_l).over(wall).alias("max_l"),
+    )
+    return (
+        scored.filter(F.col("diff_l") == F.col("max_l"))
+        .groupBy("n0", "n1", "max_l")
+        .agg(
+            (F.min("cents").cast("double") / 100).alias("ks_location"),
+        )
+        .select(
+            "n0",
+            "n1",
+            F.round(
+                F.col("max_l").cast("double") / F.col("n0") / F.col("n1"), 9
+            ).alias("d_stat"),
+            "ks_location",
+        )
+    )
