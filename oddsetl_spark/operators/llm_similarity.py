@@ -894,6 +894,228 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+ex AS (
+  SELECT label, unnest(emb) AS val, unnest(range(len(emb))) AS pos FROM e
+),
+cent AS (
+  SELECT label AS c_label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+  FROM ex GROUP BY label, pos
+),
+vex AS (
+  SELECT vec_id, unnest(emb) AS val, unnest(range(len(emb))) AS pos FROM e
+),
+vdists AS (
+  SELECT v.vec_id, c.c_label,
+         CAST(SUM(CAST((v.val - c.cval) * (v.val - c.cval)
+                       AS DECIMAL(30,18))) AS DOUBLE) AS sqdist
+  FROM vex v JOIN cent c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.c_label
+),
+assign AS (
+  SELECT vec_id, c_label AS list_id
+  FROM (SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sqdist, c_label) AS rn
+        FROM vdists)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c_label AS list_id
+  FROM (SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sqdist, c_label) AS rn
+        FROM vdists WHERE vec_id < 5)
+  WHERE rn <= 2
+),
+sx AS (
+  SELECT vec_id, pos // {_PQ_D} AS sub, pos % {_PQ_D} AS spos, val
+  FROM vex
+),
+cb AS (
+  SELECT vec_id AS j, sub, spos, val AS cval FROM sx WHERE vec_id < {_PQ_K}
+),
+cdist AS (
+  SELECT s.vec_id, s.sub, c.j,
+         SUM(CAST(FLOOR((s.val - c.cval) * (s.val - c.cval) * 1000000000000
+                        + 0.5) AS BIGINT)) AS sqdist
+  FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
+  GROUP BY s.vec_id, s.sub, c.j
+),
+codes AS (
+  SELECT vec_id, sub, j AS code
+  FROM (SELECT vec_id, sub, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY sqdist, j) AS rn
+        FROM cdist)
+  WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS q_id, s.sub, c.j,
+         SUM(CAST(FLOOR(s.val * c.cval * 1000000000000 + 0.5)
+                  AS BIGINT)) AS part
+  FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
+  WHERE s.vec_id < 5
+  GROUP BY s.vec_id, s.sub, c.j
+),
+scored AS (
+  SELECT l.q_id, k.vec_id,
+         CAST(SUM(l.part) AS DOUBLE) / 1000000000000 AS adc_score
+  FROM codes k
+  JOIN assign a ON a.vec_id = k.vec_id
+  JOIN probes p ON p.list_id = a.list_id
+  JOIN lut l ON l.q_id = p.q_id AND l.sub = k.sub AND l.j = k.code
+  WHERE k.vec_id <> l.q_id
+  GROUP BY l.q_id, k.vec_id
+)
+SELECT q_id, vec_id, adc_score, rn
+FROM (SELECT q_id, vec_id, adc_score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY adc_score DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 10
+"""
+
+
+@register("sim_ivf_pq", category="llm_sim", oracle=_IVFPQ_SQL, heavy=True)
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite index (the FAISS IVFPQ production shape): the
+    coarse quantizer prunes WHICH vectors a query scores (nprobe=2 of
+    the per-label centroid lists, exactly sim_ann_ivf's build), and
+    product quantization compresses HOW each survivor is scored
+    (8x4-bit codes + per-query ADC lookup table, exactly sim_ann_pq's
+    build). Candidates = members of the probed lists only; score = sum
+    over subspaces of LUT[sub, code] — no full-corpus scan AND no
+    full-width float math on the scanned fraction.
+
+    At 100 TB: codes are partitioned by list_id at build time, a query
+    broadcasts its 128-entry LUT to the probed partitions only, and the
+    per-partition work is integer table adds + a partial top-k — the
+    two pruning levers (which partitions, how many bytes per row)
+    compose multiplicatively. Both sub-builds reuse the exactness
+    discipline their standalone operators established (decimal centroid
+    sums, 1e12 scaled-long ADC grid), so the composite still
+    hash-matches its full SQL oracle."""
+    e = _emb(spark, sf_dir)
+    # --- coarse quantizer (sim_ann_ivf build) ---
+    ex = e.select("label", F.posexplode("emb").alias("pos", "val"))
+    cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    vex = e.select("vec_id", F.posexplode("emb").alias("pos", "val"))
+    vdists = (
+        vex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.sum(
+                (
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).cast("decimal(30,18)")
+            )
+            .cast("double")
+            .alias("sqdist")
+        )
+        .localCheckpoint()  # reused by assignment AND query probing
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("sqdist"), F.asc("c_label"))
+    assign = (
+        vdists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("list_id"))
+    )
+    probes = (
+        vdists.filter(F.col("vec_id") < 5)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("c_label").alias("list_id")
+        )
+    )
+    # --- PQ codes + per-query LUTs (sim_ann_pq build) ---
+    sx = vex.select(
+        "vec_id",
+        (F.col("pos") / _PQ_D).cast("int").alias("sub"),
+        (F.col("pos") % _PQ_D).alias("spos"),
+        "val",
+    )
+    cb = sx.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("j"), "sub", "spos", F.col("val").alias("cval")
+    )
+    cdist = (
+        sx.join(F.broadcast(cb), ["sub", "spos"])
+        .groupBy("vec_id", "sub", "j")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                    * F.lit(1e12)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("sqdist")
+        )
+    )
+    codes = (
+        cdist.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id", "sub").orderBy("sqdist", "j")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("j").alias("code"))
+    )
+    lut = (
+        sx.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(cb), ["sub", "spos"])
+        .groupBy(F.col("vec_id").alias("q_id"), "sub", "j")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("val") * F.col("cval") * F.lit(1e12) + F.lit(0.5)
+                ).cast("long")
+            ).alias("part")
+        )
+    )
+    # --- probe-pruned ADC scoring ---
+    cand = (
+        assign.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    lut_r = lut.select(
+        F.col("q_id").alias("l_q_id"),
+        F.col("sub").alias("l_sub"),
+        F.col("j").alias("l_j"),
+        "part",
+    )
+    scored = (
+        codes.join(cand, "vec_id")
+        .join(
+            F.broadcast(lut_r),
+            (F.col("l_q_id") == F.col("q_id"))
+            & (F.col("l_sub") == F.col("sub"))
+            & (F.col("l_j") == F.col("code")),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(
+            (F.sum("part").cast("double") / F.lit(1e12)).alias("adc_score")
+        )
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("adc_score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "adc_score", "rn")
+    )
+
+
 @register(
     "sim_maxsim_multivec",
     category="llm_sim",

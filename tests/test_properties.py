@@ -915,3 +915,27 @@ def test_leakage_safe_split_no_cluster_straddles(spark):
     assert n_docs == len(rows), "duplicate doc assignment"
     splits = {r["split"] for r in rows}
     assert splits == {"train", "test"}, splits
+
+
+def test_ivfpq_consistency_with_full_pq(spark):
+    """IVF-PQ = full-PQ scoring restricted to probed lists, so (1) any
+    (q, vec) pair both return must carry the IDENTICAL adc_score (same
+    1e12 integer grid — exact equality, no tolerance), and (2) pruning
+    can never raise a query's best score above the full scan's best."""
+    from oddsetl_spark import registry
+
+    ivfpq = registry.get("sim_ivf_pq").fn(spark, SF_DIR).collect()
+    full = registry.get("sim_ann_pq").fn(spark, SF_DIR).collect()
+    f_scores = {(r["q_id"], r["vec_id"]): r["adc_score"] for r in full}
+    i_scores = {(r["q_id"], r["vec_id"]): r["adc_score"] for r in ivfpq}
+    assert i_scores, "IVF-PQ returned nothing"
+    overlap = set(f_scores) & set(i_scores)
+    for k in overlap:
+        assert f_scores[k] == i_scores[k], (k, f_scores[k], i_scores[k])
+    best_f, best_i = {}, {}
+    for (q, _), s in f_scores.items():
+        best_f[q] = max(best_f.get(q, float("-inf")), s)
+    for (q, _), s in i_scores.items():
+        best_i[q] = max(best_i.get(q, float("-inf")), s)
+    for q, s in best_i.items():
+        assert s <= best_f[q] + 1e-12, (q, s, best_f[q])
