@@ -732,3 +732,58 @@ def fn_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(h, 21, 12),
         ).alias("order_uuid"),
     )
+
+
+@register(
+    "fn_timezone_convert",
+    category="functions",
+    oracle="""
+SELECT o_orderkey,
+       timezone('America/New_York', timezone('UTC', o_orderdate))
+         AS ny_local,
+       timezone('Asia/Tokyo', timezone('UTC', o_orderdate)) AS tokyo_local,
+       CAST(date_diff('hour', o_orderdate,
+                      timezone('America/New_York',
+                               timezone('UTC', o_orderdate)))
+            AS BIGINT) AS ny_offset_hours,
+       CAST(hour(timezone('America/New_York', timezone('UTC', o_orderdate)))
+            AS BIGINT) AS ny_hour,
+       CAST(timezone('America/New_York', timezone('UTC', o_orderdate))
+            AS DATE) AS ny_date
+FROM orders
+WHERE o_orderkey < 1000
+""",
+)
+def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion discipline over the NTZ fixture timestamps:
+    interpret the stored (zoneless) order timestamp as UTC and convert
+    to a DST-observing zone (America/New_York, offset flips -5/-4
+    across the 7-year date range) and a fixed-offset zone (Asia/Tokyo),
+    plus the local-time derivations a "daily rollup in local time"
+    pipeline needs: the realized UTC offset, local hour and local date.
+    Everything stays NTZ at the edges — source-zone and target-zone are
+    EXPLICIT arguments (Spark convert_timezone, DuckDB's two-arg
+    timezone() pair), never the session timezone, so results are
+    independent of any engine/session TimeZone setting — the
+    discipline that keeps a 1000-executor cluster's output identical
+    to the driver's.
+
+    Scale: pure per-row expressions, zero shuffles; the IANA tz
+    database lookup is a JVM-side constant-folded zone rule, not a
+    join."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    ny = F.convert_timezone(
+        F.lit("UTC"), F.lit("America/New_York"), F.col("o_orderdate")
+    )
+    tokyo = F.convert_timezone(
+        F.lit("UTC"), F.lit("Asia/Tokyo"), F.col("o_orderdate")
+    )
+    offset = F.timestamp_diff("HOUR", F.col("o_orderdate"), ny).cast("long")
+    return o.select(
+        "o_orderkey",
+        ny.alias("ny_local"),
+        tokyo.alias("tokyo_local"),
+        offset.alias("ny_offset_hours"),
+        F.hour(ny).cast("long").alias("ny_hour"),
+        ny.cast("date").alias("ny_date"),
+    )
