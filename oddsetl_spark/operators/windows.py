@@ -1036,3 +1036,89 @@ def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.col("n_from"), 9).alias("p_transition"),
     )
+
+
+@register(
+    "win_cusum_changepoint",
+    category="windows",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y_c
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT day, y_c,
+         CAST(SUM(y_c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS run,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(SUM(y_c) OVER () AS BIGINT) AS total,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM daily
+),
+scored AS (
+  SELECT day, y_c, n, run*n - t*total AS c_l,
+         MAX(abs(run*n - t*total)) OVER () AS max_l
+  FROM cum
+)
+SELECT day,
+       CAST(y_c AS DOUBLE)/100 AS y,
+       CAST(c_l AS DOUBLE)/n/100 AS cusum,
+       abs(c_l) = max_l
+         AND day = MIN(CASE WHEN abs(c_l) = max_l THEN day END) OVER ()
+         AS is_changepoint
+FROM scored
+""",
+)
+def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily order revenue: the running
+    sum of deviations from the global mean, whose maximum absolute
+    excursion marks the most likely level-shift day (the classic
+    offline CUSUM estimator; the ops companion to etl_drift_psi and
+    agg_ks_test, which test WHETHER distributions moved — this locates
+    WHEN the level moved). Every comparison runs in integer arithmetic:
+    daily revenue in exact cents, and the mean-deviation cumsum
+    cross-multiplied by n (run*n - t*total) so no division happens
+    before the argmax; the two edge divisions produce the same double
+    on both engines by construction. Ties break to the earliest day.
+
+    Scale shape: identical to agg_seasonal_decompose — one map-combined
+    daily groupBy over orders, then windows over the calendar-bounded
+    series. The cross-multiplied longs hold to ~9e18 / (n * daily
+    cents), comfortable for decades of days; beyond that the compare
+    column upgrades to DECIMAL(38,0)."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("y_c")
+    )
+    wrun = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    cum = daily.select(
+        "day",
+        "y_c",
+        F.sum("y_c").over(wrun).alias("run"),
+        F.row_number().over(W.orderBy("day")).cast("long").alias("t"),
+        F.sum("y_c").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    c_l = F.col("run") * F.col("n") - F.col("t") * F.col("total")
+    scored = cum.select(
+        "day",
+        "y_c",
+        "n",
+        c_l.alias("c_l"),
+        F.max(F.abs(c_l)).over(wall).alias("max_l"),
+    )
+    at_max = F.abs(F.col("c_l")) == F.col("max_l")
+    first_max = F.min(F.when(at_max, F.col("day"))).over(wall)
+    return scored.select(
+        "day",
+        (F.col("y_c").cast("double") / 100).alias("y"),
+        (F.col("c_l").cast("double") / F.col("n") / 100).alias("cusum"),
+        (at_max & (F.col("day") == first_max)).alias("is_changepoint"),
+    )
