@@ -1704,3 +1704,107 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_location",
         )
     )
+
+
+@register(
+    "agg_mann_whitney",
+    category="agg",
+    oracle="""
+WITH pts AS (
+  SELECT user_id % 2 AS variant,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+grid AS (
+  SELECT cents,
+         CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1
+  FROM pts GROUP BY cents
+),
+ranked AS (
+  SELECT g0, g1, g0 + g1 AS g,
+         CAST(COALESCE(SUM(g0 + g1) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_prev
+  FROM grid
+),
+tot AS (
+  SELECT CAST(SUM(g0) AS BIGINT) AS n0, CAST(SUM(g1) AS BIGINT) AS n1,
+         CAST(SUM(g1*(2*cum_prev + g + 1)) AS BIGINT) AS r1_x2,
+         CAST(SUM(g*g*g - g) AS BIGINT) AS tie_term
+  FROM ranked
+)
+SELECT n0, n1,
+       (CAST(r1_x2 - n1*(n1+1) AS DOUBLE))/2 AS u_stat,
+       round(((CAST(r1_x2 - n1*(n1+1) AS DOUBLE))/2 - n0*n1/2.0)
+             / sqrt(n0*n1*((n0+n1+1)
+                           - CAST(tie_term AS DOUBLE)/(n0+n1)/(n0+n1-1))
+                    /12.0), 6) AS z_stat,
+       tie_term
+FROM tot
+""",
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test on event value between the experiment
+    arms — the nonparametric companion to agg_welch_ttest (no normality
+    assumption), with EXACT tie handling: values snap to the cent grid,
+    tied observations take average ranks carried as doubled integers
+    (2*rank is always whole), and the tie-corrected normal
+    approximation's variance uses the exact sum of (t^3 - t) over tie
+    groups. Everything before the final z chain is integer arithmetic.
+
+    Scale shape: one groupBy onto the value grid, a prefix-sum window
+    over the bounded grid (support-cardinality, not row count), and a
+    single total row — the same shape as agg_ks_test, sharing the grid
+    aggregation if both run."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    pts = e.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    grid = pts.groupBy("cents").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("g0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("g1"),
+    )
+    wprev = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    g = F.col("g0") + F.col("g1")
+    ranked = grid.select(
+        "g0",
+        "g1",
+        g.alias("g"),
+        F.coalesce(F.sum(g).over(wprev), F.lit(0)).alias("cum_prev"),
+    )
+    tot = ranked.agg(
+        F.sum("g0").alias("n0"),
+        F.sum("g1").alias("n1"),
+        F.sum(
+            F.col("g1") * (2 * F.col("cum_prev") + F.col("g") + 1)
+        ).alias("r1_x2"),
+        F.sum(
+            F.col("g") * F.col("g") * F.col("g") - F.col("g")
+        ).alias("tie_term"),
+    )
+    u = (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast(
+        "double"
+    ) / 2
+    n = F.col("n0") + F.col("n1")
+    var = (
+        F.col("n0")
+        * F.col("n1")
+        * ((n + 1) - F.col("tie_term").cast("double") / n / (n - 1))
+        / 12.0
+    )
+    z = (u - F.col("n0") * F.col("n1") / 2.0) / F.sqrt(var)
+    return tot.select(
+        "n0",
+        "n1",
+        u.alias("u_stat"),
+        F.round(z, 6).alias("z_stat"),
+        "tie_term",
+    )
