@@ -416,3 +416,94 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+_LP_ROUNDS = 3
+
+
+def _label_prop_oracle() -> str:
+    blocks = []
+    prev = "l0"
+    for i in range(1, _LP_ROUNDS + 1):
+        blocks.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT a.node, l.lbl,
+           ROW_NUMBER() OVER (PARTITION BY a.node
+                              ORDER BY COUNT(*) DESC, l.lbl) AS rn
+    FROM adj a JOIN {prev} l ON l.node = a.nbr
+    GROUP BY a.node, l.lbl
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(blocks)
+    return f"""
+WITH e AS MATERIALIZED ({_COPURCHASE_EDGE_SQL}),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM e
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM e
+),
+l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+{chain}
+SELECT node, lbl AS community,
+       CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM {prev}
+"""
+
+
+@register(
+    "graph_label_propagation",
+    category="graph",
+    oracle=_label_prop_oracle(),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-purchase graph: every node starts as its own community, and each
+    round adopts the most frequent label among its neighbors with a
+    fully deterministic tie-break (highest count, then lowest label) —
+    the asynchronous/random-order variants of LPA are irreproducible by
+    design, which is exactly what a verified pipeline cannot have.
+    {_LP_ROUNDS} fixed synchronous rounds, unrolled identically in the
+    oracle (the dedup_components / geo_dbscan fixed-point-prefix
+    discipline); output carries the final community plus its size.
+
+    Scale shape: each round is one shuffle — a join of the adjacency
+    list against the |V|-row label frame, a (node, lbl) count, and a
+    per-node argmax window. Adjacency and labels share the node key, so
+    pre-partitioning by node makes the per-round join co-located; the
+    label frame never exceeds one row per vertex."""
+    from pyspark.sql import Window as W
+
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    ).localCheckpoint()
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LP_ROUNDS):
+        freq = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("lbl")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = W.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    wsize = W.partitionBy("lbl")
+    return labels.select(
+        "node",
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(wsize).cast("long").alias("community_size"),
+    )
