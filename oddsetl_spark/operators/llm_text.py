@@ -785,3 +785,121 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+_RAKE_STOPS = "the|a|of|and|in|to|is|for|on|with"
+
+
+@register(
+    "text_rake_keywords",
+    category="llm_text",
+    oracle=f"""
+WITH ph AS (
+  SELECT doc_id, trim(p) AS phrase
+  FROM (SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(lower(text),
+                                '\\b({_RAKE_STOPS})\\b', '|', 'g'),
+                 '|')) AS p
+        FROM documents)
+  WHERE trim(p) <> ''
+),
+pw AS (
+  SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w,
+         len(string_split(phrase, ' ')) AS plen
+  FROM ph
+),
+ws AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg
+  FROM pw GROUP BY doc_id, w
+),
+dpw AS (
+  SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w
+  FROM (SELECT DISTINCT doc_id, phrase FROM ph)
+),
+scored AS (
+  SELECT d.doc_id, d.phrase,
+         CAST(SUM(CAST(FLOOR((s.deg * 1000000000) / s.freq) AS BIGINT))
+              AS DOUBLE) / 1000000000 AS rake_score
+  FROM dpw d JOIN ws s ON s.doc_id = d.doc_id AND s.w = d.w
+  GROUP BY d.doc_id, d.phrase
+)
+SELECT doc_id, phrase, rake_score, rn
+FROM (SELECT doc_id, phrase, rake_score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY rake_score DESC, phrase) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are the
+    maximal token runs between stopwords, each word scores
+    degree/frequency within its document (degree = summed length of the
+    phrases it appears in — words that ride in long phrases rank above
+    merely frequent ones), and a phrase scores the sum of its member
+    word scores; top-3 phrases per document. Word scores live on an
+    exact 1e-9 integer grid (floor of deg*1e9/freq — denominators are
+    small so the double division sits >=1/freq away from any integer
+    boundary, making the floor engine-identical), so the phrase sum is
+    a LONG sum and no double is ever rounded.
+
+    Scale shape: phrase splitting is a narrow regexp pass; the two
+    aggregations key on (doc_id, word) and (doc_id, phrase) — both
+    partition-local once documents are the partitioning unit, which
+    a repartition(doc_id) before the explodes guarantees at cluster
+    scale. No corpus-wide state at all (RAKE is per-document), so the
+    operator is embarrassingly parallel over documents."""
+    d = table(spark, sf_dir, "documents")
+    ph = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.lower(F.col("text")),
+                        f"\\b({_RAKE_STOPS})\\b",
+                        "|",
+                    ),
+                    "\\|",
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.trim(F.col("p")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    toks = F.split(F.col("phrase"), " ")
+    pw = ph.select(
+        "doc_id",
+        "phrase",
+        F.explode(toks).alias("w"),
+        F.size(toks).cast("long").alias("plen"),
+    )
+    ws = pw.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    dpw = ph.distinct().select(
+        "doc_id", "phrase", F.explode(toks).alias("w")
+    )
+    score_grid = F.floor(
+        (F.col("deg") * 1000000000) / F.col("freq")
+    ).cast("long")
+    scored = (
+        dpw.join(ws, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            (F.sum(score_grid).cast("double") / 1000000000).alias(
+                "rake_score"
+            )
+        )
+    )
+    wtop = W.partitionBy("doc_id").orderBy(
+        F.desc("rake_score"), F.asc("phrase")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "phrase", "rake_score", "rn")
+    )
