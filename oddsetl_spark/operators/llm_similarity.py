@@ -1345,3 +1345,62 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_vec").cast("long").alias("n_overlap"),
         (F.count("t_vec") / F.lit(10.0)).alias("recall_at_10"),
     )
+
+
+@register(
+    "sim_hard_negative_mining",
+    category="llm_sim",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label
+      FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label AS neg_label,
+         {_SQL_DOT.format(a='q.q_emb', b='e.emb')} AS cosine
+  FROM q JOIN e ON e.vec_id <> q.q_id AND e.label <> q.q_label
+)
+SELECT q_id, q_label, vec_id, neg_label, cosine, rn
+FROM (SELECT q_id, q_label, vec_id, neg_label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-5 most-similar vectors carrying a DIFFERENT label — the
+    near-misses that make embedding models actually learn, versus the
+    uninformative random negatives in-batch sampling yields. Exactly
+    sim_cosine_topk's broadcast-query / one-corpus-scan / window-rank
+    plan with the label anti-predicate pushed into the join, so the
+    corpus rows sharing the anchor's label are dropped BEFORE the dot
+    product is computed, not filtered after.
+
+    Scale shape: at 100 TB this composes with the ANN operators the
+    same way retrieval does (mine from the IVF-probed lists instead of
+    the full corpus); the exact formulation here is the recall oracle
+    for that composition."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = e.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("q_id"))
+        & (F.col("label") != F.col("q_label")),
+    ).select(
+        "q_id",
+        "q_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        _dot(F.col("q_emb"), F.col("emb")).alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "q_label", "vec_id", "neg_label", "cosine", "rn")
+    )
