@@ -1156,3 +1156,73 @@ def etl_data_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sat_hashdiff"),
         (F.col("o_custkey") % 10 >= 7).alias("hub_customer_is_new"),
     )
+
+
+@register(
+    "etl_late_arriving_dimension",
+    category="etl",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 13 <> 0
+),
+joined AS (
+  SELECT o.o_orderstatus,
+         COALESCE(d.c_custkey, -1) AS dim_key,
+         COALESCE(d.c_mktsegment, 'UNKNOWN') AS mktsegment,
+         d.c_custkey IS NULL AS is_late,
+         o.o_totalprice
+  FROM orders o LEFT JOIN dim d ON d.c_custkey = o.o_custkey
+)
+SELECT o_orderstatus, mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100 AS revenue
+FROM joined
+GROUP BY o_orderstatus, mktsegment
+""",
+)
+def etl_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handling: facts whose dimension member has
+    not landed yet (a deterministic 1-in-13 slice of customers plays the
+    not-yet-loaded set) are routed to the UNKNOWN member (-1 surrogate)
+    instead of being dropped or stalling the load — the inferred-member
+    pattern every warehouse needs under out-of-order ingestion. Output
+    is the reconciliation readout per (status, segment): order counts,
+    how many ride the unknown member awaiting re-pointing, and exact
+    cent-grid revenue — so the backfill job that later re-points
+    surrogates has its audit baseline.
+
+    Scale shape: one broadcast left join (dimension side is the small
+    one by definition) + one map-combined rollup; the unknown-member
+    routing is a COALESCE projection, costing nothing. The later
+    reconciliation pass is the same join filtered to is_late — at
+    100 TB that filter prunes to the quarantined fraction."""
+    dim = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 13 != 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    o = table(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(dim), F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        "o_orderstatus",
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+            "mktsegment"
+        ),
+        F.col("c_custkey").isNull().alias("is_late"),
+        "o_totalprice",
+    )
+    return joined.groupBy("o_orderstatus", "mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("revenue"),
+    )
