@@ -1122,3 +1122,109 @@ def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_l").cast("double") / F.col("n") / 100).alias("cusum"),
         (at_max & (F.col("day") == first_max)).alias("is_changepoint"),
     )
+
+
+@register(
+    "win_bollinger_bands",
+    category="windows",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y_c
+  FROM orders GROUP BY 1
+),
+grid AS (
+  SELECT day, y_c, CAST((y_c - y_c % 100)/100 AS BIGINT) AS y_d FROM daily
+),
+win AS (
+  SELECT day, y_c,
+         CAST(SUM(y_c) OVER w AS BIGINT) AS s,
+         CAST(SUM(y_d) OVER w AS BIGINT) AS sd_sum,
+         CAST(SUM(y_d*y_d) OVER w AS BIGINT) AS s2d,
+         COUNT(*) OVER w AS cnt
+  FROM grid
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+bands AS (
+  SELECT day, y_c, cnt,
+         CAST(s AS DOUBLE)/7/100 AS mid,
+         2*sqrt((CAST(s2d AS DOUBLE)
+                 - CAST(sd_sum AS DOUBLE)*CAST(sd_sum AS DOUBLE)/7)/6)
+           AS band_w
+  FROM win
+)
+SELECT day,
+       CAST(y_c AS DOUBLE)/100 AS y,
+       CASE WHEN cnt = 7 THEN mid END AS mid,
+       CASE WHEN cnt = 7 THEN mid + band_w END AS upper_band,
+       CASE WHEN cnt = 7 THEN mid - band_w END AS lower_band,
+       CASE WHEN cnt = 7 THEN
+         CAST(y_c AS DOUBLE)/100 > mid + band_w
+         OR CAST(y_c AS DOUBLE)/100 < mid - band_w
+       END AS is_breakout
+FROM bands
+""",
+)
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily revenue: trailing 7-row mean +/- 2
+    rolling standard deviations, with breakout flags where the day
+    pierces a band — the volatility-envelope anomaly monitor (the
+    rolling companion to win_zscore_outliers' global-stats z-scores).
+    The window sums (cents and squared cents) stay exact LONGS — at the
+    7-row frame the squared-cent sum holds to ~1e9-cent days, three
+    orders above the fixture — and mean/sd/bands are one scalar IEEE
+    chain written in the identical operation order on both engines;
+    the breakout comparison therefore compares identical doubles.
+    Bands are NULL until the frame fills (first 6 days).
+
+    Scale shape: the one real pass is the daily groupBy; the window
+    runs over the calendar-bounded series (agg_seasonal_decompose's
+    argument). Beyond long range the window sums upgrade to
+    DECIMAL(38,0) partials unchanged."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("y_c")
+    )
+    grid = daily.select(
+        "day",
+        "y_c",
+        ((F.col("y_c") - F.col("y_c") % 100) / 100)
+        .cast("long")
+        .alias("y_d"),
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    win = grid.select(
+        "day",
+        "y_c",
+        F.sum("y_c").over(w).alias("s"),
+        F.sum("y_d").over(w).alias("sd_sum"),
+        F.sum(F.col("y_d") * F.col("y_d")).over(w).alias("s2d"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    y = F.col("y_c").cast("double") / 100
+    mid = F.col("s").cast("double") / 7 / 100
+    band_w = 2 * F.sqrt(
+        (
+            F.col("s2d").cast("double")
+            - F.col("sd_sum").cast("double")
+            * F.col("sd_sum").cast("double")
+            / 7
+        )
+        / 6
+    )
+    full = F.col("cnt") == 7
+    return win.select(
+        "day",
+        y.alias("y"),
+        F.when(full, mid).alias("mid"),
+        F.when(full, mid + band_w).alias("upper_band"),
+        F.when(full, mid - band_w).alias("lower_band"),
+        F.when(full, (y > mid + band_w) | (y < mid - band_w)).alias(
+            "is_breakout"
+        ),
+    )
