@@ -652,3 +652,67 @@ def geo_dbscan_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_out.unionByName(border_out).select(
         "c_custkey", F.col("cluster_label").cast("long").alias("cluster_label"), "is_core"
     )
+
+
+# Convex CCW evacuation-zone polygon over the site lattice (lat, lon),
+# vertices on the exact 2-decimal grid the site generator uses.
+_ZONE = [
+    (33.0, -96.0),
+    (42.0, -100.0),
+    (42.0, -110.0),
+    (36.0, -114.0),
+    (30.0, -110.0),
+]
+
+
+def _zone_edges():
+    n = len(_ZONE)
+    return [(_ZONE[i], _ZONE[(i + 1) % n]) for i in range(n)]
+
+
+def _pip_oracle() -> str:
+    crosses = " AND ".join(
+        f"(({xj}) - ({xi})) * (lat - ({yi}))"
+        f" - (({yj}) - ({yi})) * (lon - ({xi})) >= 0"
+        for (yi, xi), (yj, xj) in _zone_edges()
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment,
+         {_SQL_LAT.format(k='c_custkey')} AS lat,
+         {_SQL_LON.format(k='c_custkey')} AS lon
+  FROM customer WHERE c_custkey < 2000
+)
+SELECT c_custkey, lat, lon, ({crosses}) AS in_zone
+FROM pts
+"""
+
+
+@register("geo_point_in_polygon", category="geo", oracle=_pip_oracle())
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment against a convex CCW evacuation-zone
+    polygon (5 vertices on the exact coordinate grid): a point is inside
+    iff every edge's 2-D cross product keeps the same sign — five
+    multiply-subtract-compare expressions, no division, no trig, so the
+    test is bit-deterministic on both engines (the generic ray-casting
+    parity test needs an x-intersection DIVISION per edge, which is why
+    the convex half-plane form is the verifiable one). Unrolled edges
+    keep the whole predicate inside whole-stage codegen.
+
+    Scale shape: a pure narrow projection — zero shuffles, fully
+    pushable; for concave/multi-polygon zones at 100 TB the same
+    pattern runs per convex piece of a decomposition, OR'd, and a
+    bounding-box pre-filter (geo_bbox_filter) prunes the scan first."""
+    pts = (
+        _sites(spark, sf_dir)
+        .filter(F.col("c_custkey") < 2000)
+        .select("c_custkey", "lat", "lon")
+    )
+    cond = None
+    for (yi, xi), (yj, xj) in _zone_edges():
+        edge = (
+            (F.lit(xj) - F.lit(xi)) * (F.col("lat") - F.lit(yi))
+            - (F.lit(yj) - F.lit(yi)) * (F.col("lon") - F.lit(xi))
+        ) >= 0
+        cond = edge if cond is None else (cond & edge)
+    return pts.select("c_custkey", "lat", "lon", cond.alias("in_zone"))
