@@ -1404,3 +1404,121 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", "q_label", "vec_id", "neg_label", "cosine", "rn")
     )
+
+
+@register(
+    "sim_rocchio_prf",
+    category="llm_sim",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 3),
+pass1 AS (
+  SELECT q_id, vec_id
+  FROM (SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {_SQL_DOT.format(a='q.q_emb', b='e.emb')} DESC,
+                          e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> q.q_id)
+  WHERE rn <= 10
+),
+fbx AS (
+  SELECT p.q_id, unnest(e.emb) AS val,
+         unnest(range(len(e.emb))) AS pos
+  FROM pass1 p JOIN e ON e.vec_id = p.vec_id
+),
+cent AS (
+  SELECT q_id, pos,
+         CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / 10 AS cval
+  FROM fbx GROUP BY q_id, pos
+),
+qx AS (
+  SELECT q_id, unnest(q_emb) AS qval,
+         unnest(range(len(q_emb))) AS pos
+  FROM q
+),
+q2 AS (
+  SELECT c.q_id,
+         array_agg(0.5*x.qval + 0.5*c.cval ORDER BY c.pos) AS q2_emb
+  FROM cent c JOIN qx x ON x.q_id = c.q_id AND x.pos = c.pos
+  GROUP BY c.q_id
+),
+scored AS (
+  SELECT q2.q_id, e.vec_id,
+         {_SQL_DOT.format(a='q2.q2_emb', b='e.emb')} AS score
+  FROM q2 JOIN e ON e.vec_id <> q2.q_id
+)
+SELECT q_id, vec_id, score, rn
+FROM (SELECT q_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 10
+""",
+)
+def sim_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio): the first-pass exact top-10
+    acts as the assumed-relevant set, the query moves halfway toward
+    its centroid (q' = 0.5 q + 0.5 centroid — exact decimal per-dim
+    means), and the corpus is re-ranked against the expanded query —
+    the classic recall-boosting second pass of retrieval stacks. The
+    expanded query is rebuilt as an ORDERED array (sort_array over
+    (pos, val) structs / array_agg ORDER BY pos), so the final dot
+    product runs the same sequential fold as sim_cosine_topk and both
+    passes hash-match end to end.
+
+    Scale shape: two broadcast-query corpus scans (the feedback
+    centroid is |q| x d — driver-free, broadcast back); at 100 TB the
+    second pass composes with IVF probing exactly like the first."""
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    w1 = W.partitionBy("q_id").orderBy(F.desc("s"), F.asc("vec_id"))
+    pass1 = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", _dot(F.col("q_emb"), F.col("emb")).alias("s")
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    fbx = pass1.join(e, "vec_id").select(
+        "q_id", F.posexplode("emb").alias("pos", "val")
+    )
+    cent = fbx.groupBy("q_id", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,12)")).cast("double") / 10
+        ).alias("cval")
+    )
+    qx = q.select("q_id", F.posexplode("q_emb").alias("pos", "qval"))
+    q2 = (
+        cent.join(qx, ["q_id", "pos"])
+        .groupBy("q_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            (
+                                0.5 * F.col("qval") + 0.5 * F.col("cval")
+                            ).alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("q2_emb")
+        )
+    )
+    scored = e.join(
+        F.broadcast(q2), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id", "vec_id", _dot(F.col("q2_emb"), F.col("emb")).alias("score")
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "score", "rn")
+    )
