@@ -1808,3 +1808,214 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         "tie_term",
     )
+
+
+@register(
+    "agg_auc_roc",
+    category="agg",
+    oracle="""
+WITH pts AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+grid AS (
+  SELECT cents,
+         CAST(SUM(1 - label) AS BIGINT) AS g0,
+         CAST(SUM(label) AS BIGINT) AS g1
+  FROM pts GROUP BY cents
+),
+ranked AS (
+  SELECT g0, g1, g0 + g1 AS g,
+         CAST(COALESCE(SUM(g0 + g1) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_prev
+  FROM grid
+),
+tot AS (
+  SELECT CAST(SUM(g0) AS BIGINT) AS n_neg, CAST(SUM(g1) AS BIGINT) AS n_pos,
+         CAST(SUM(g1*(2*cum_prev + g + 1)) AS BIGINT) AS r1_x2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       round((CAST(r1_x2 - n_pos*(n_pos+1) AS DOUBLE))/2/n_pos/n_neg, 9)
+         AS auc
+FROM tot
+""",
+)
+def agg_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of "event value predicts a purchase": the
+    probability a random positive outscores a random negative, computed
+    from the rank-sum identity AUC = U/(n_pos*n_neg) with average ranks
+    for ties (doubled-integer ranks on the cent grid — the
+    agg_mann_whitney machinery re-derived as the model-evaluation
+    metric). No threshold sweep, no curve materialization: the rank
+    form IS the integral, and it is exact, not trapezoidal.
+
+    Scale shape: one groupBy onto the score grid + a prefix window over
+    the grid (support-bounded). This is how AUC on 1e12 scored rows is
+    actually computable — histogram the scores, never sort the rows."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    pts = e.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    grid = pts.groupBy("cents").agg(
+        F.sum(1 - F.col("label")).cast("long").alias("g0"),
+        F.sum("label").cast("long").alias("g1"),
+    )
+    wprev = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    g = F.col("g0") + F.col("g1")
+    ranked = grid.select(
+        "g0",
+        "g1",
+        g.alias("g"),
+        F.coalesce(F.sum(g).over(wprev), F.lit(0)).alias("cum_prev"),
+    )
+    tot = ranked.agg(
+        F.sum("g0").alias("n_neg"),
+        F.sum("g1").alias("n_pos"),
+        F.sum(
+            F.col("g1") * (2 * F.col("cum_prev") + F.col("g") + 1)
+        ).alias("r1_x2"),
+    )
+    auc = (
+        (F.col("r1_x2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+            "double"
+        )
+        / 2
+        / F.col("n_pos")
+        / F.col("n_neg")
+    )
+    return tot.select(
+        "n_pos", "n_neg", F.round(auc, 9).alias("auc")
+    )
+
+
+@register(
+    "agg_confusion_matrix",
+    category="agg",
+    oracle="""
+WITH scored AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS pred
+  FROM events
+),
+cm AS (
+  SELECT CAST(SUM(label*pred) AS BIGINT) AS tp,
+         CAST(SUM((1-label)*pred) AS BIGINT) AS fp,
+         CAST(SUM(label*(1-pred)) AS BIGINT) AS fn,
+         CAST(SUM((1-label)*(1-pred)) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+       round(tp*1.0/(tp+fp), 9) AS precision_,
+       round(tp*1.0/(tp+fn), 9) AS recall_,
+       round(2.0*tp/(2*tp+fp+fn), 9) AS f1,
+       round((tp+tn)*1.0/(tp+fp+fn+tn), 9) AS accuracy
+FROM cm
+""",
+)
+def agg_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation readout for the thresholded rule
+    "value > 50 predicts purchase": full confusion matrix plus
+    precision / recall / F1 / accuracy — the companion to agg_auc_roc
+    (which evaluates the ranking; this evaluates one operating point).
+    The four cells are one pass of exact integer indicator sums
+    (map-side combined, mergeable across any partitioning); the derived
+    ratios are single divisions over exact integers, rounded once.
+    F1 uses the 2tp/(2tp+fp+fn) form — one division, no nested
+    precision/recall doubles."""
+    e = table(spark, sf_dir, "events")
+    label = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    pred = F.when(F.col("value") > 50, 1).otherwise(0)
+    cm = e.select(label.alias("label"), pred.alias("pred")).agg(
+        F.sum(F.col("label") * F.col("pred")).cast("long").alias("tp"),
+        F.sum((1 - F.col("label")) * F.col("pred")).cast("long").alias("fp"),
+        F.sum(F.col("label") * (1 - F.col("pred"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("label")) * (1 - F.col("pred")))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(tp * 1.0 / (tp + fp), 9).alias("precision_"),
+        F.round(tp * 1.0 / (tp + fn), 9).alias("recall_"),
+        F.round(2.0 * tp / (2 * tp + fp + fn), 9).alias("f1"),
+        F.round((tp + tn) * 1.0 / (tp + fp + fn + tn), 9).alias("accuracy"),
+    )
+
+
+@register(
+    "agg_calibration_bins",
+    category="agg",
+    oracle="""
+WITH scored AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+mx AS (SELECT CAST(MAX(cents) AS BIGINT) AS max_c FROM scored),
+binned AS (
+  SELECT CAST(LEAST(FLOOR(cents*10/max_c), 9) AS BIGINT) AS bin,
+         label, cents, max_c
+  FROM scored, mx
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(label) AS BIGINT) AS n_pos,
+       round(CAST(SUM(cents) AS DOUBLE)/COUNT(*)/max_c, 9) AS mean_score,
+       round(SUM(label)*1.0/COUNT(*), 9) AS empirical_rate
+FROM binned GROUP BY bin, max_c
+""",
+)
+def agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table for the pseudo-score value/max:
+    ten equal-width score bins, each reporting mean predicted score vs
+    the empirical positive rate — the reliability-diagram input that
+    says WHERE a scorer is over- or under-confident (AUC can be high
+    while calibration is garbage; you need both). Bin edges come from
+    integer arithmetic on the cent grid (cents*10/max floor-divided,
+    clamped to bin 9), the mean score is an exact integer sum divided
+    once, and rates are single divisions rounded at the edge.
+
+    Scale shape: the max is a 1-row broadcast aggregate; binning and
+    the rollup are one map-combined pass — the mergeable (n, n_pos,
+    sum_score) triple per bin recomputes calibration incrementally as
+    data lands."""
+    e = table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    mx = scored.agg(F.max("cents").alias("max_c"))
+    binned = scored.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.floor(F.col("cents") * 10 / F.col("max_c")).cast("long"),
+            F.lit(9),
+        ).alias("bin"),
+        "label",
+        "cents",
+        "max_c",
+    )
+    return binned.groupBy("bin", "max_c").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.round(
+            F.sum("cents").cast("double") / F.count(F.lit(1)) / F.col("max_c"),
+            9,
+        ).alias("mean_score"),
+        F.round(F.sum("label") * 1.0 / F.count(F.lit(1)), 9).alias(
+            "empirical_rate"
+        ),
+    ).drop("max_c")
