@@ -1228,3 +1228,104 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_breakout"
         ),
     )
+
+
+@register(
+    "win_holt_linear",
+    category="windows",
+    oracle="""
+WITH framed AS (
+  SELECT event_id, user_id, ts, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+  WHERE user_id < 150
+),
+folded AS (
+  -- state rides as [level, trend], NOT a struct: DuckDB's list_reduce
+  -- mutates a struct accumulator field-by-field in declaration order,
+  -- so a struct's second field would see the first already updated
+  -- (measured); a list constructor evaluates atomically from old state
+  SELECT event_id, user_id, ts, value,
+         list_reduce(
+           list_transform(vals, x -> [x, CAST(NULL AS DOUBLE)]),
+           (acc, e) -> CASE WHEN acc[2] IS NULL THEN
+               [e[1], e[1] - acc[1]]
+             ELSE
+               [CAST(0.5 AS DOUBLE)*e[1]
+                  + CAST(0.5 AS DOUBLE)*(acc[1] + acc[2]),
+                CAST(0.5 AS DOUBLE)
+                  *((CAST(0.5 AS DOUBLE)*e[1]
+                     + CAST(0.5 AS DOUBLE)*(acc[1] + acc[2])) - acc[1])
+                  + CAST(0.5 AS DOUBLE)*acc[2]]
+             END
+         ) AS st
+  FROM framed
+)
+SELECT event_id, user_id, ts, value,
+       st[1] AS level, st[2] AS trend, st[1] + st[2] AS forecast
+FROM folded
+""",
+)
+def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double exponential) smoothing over each user's
+    trailing 10 events: level and trend state evolve by the classic
+    recurrence l' = a*x + (1-a)(l+b), b' = g*(l'-l) + (1-g)b with
+    a = g = 0.5, plus the one-step-ahead forecast l+b — win_ewma's
+    level-only fold upgraded to a STRUCT-state fold (the general
+    pattern for any linear-recurrence feature: the accumulator is a
+    struct, the lambda the transition). Initialization is the textbook
+    l=x1, b=x2-x1, encoded as a NULL-trend sentinel state so the same
+    one-pass fold handles it (the t=2 recurrence then reproduces l2=x2
+    bit-exactly). alpha=0.5 keeps every multiply an exact power-of-two
+    scaling (FMA-proof, the win_ewma argument); both engines fold left
+    to right over the identical gathered frame, so results are
+    bit-identical UNrounded. Single-event frames report level only
+    (trend/forecast NULL).
+
+    Scale shape: one shuffle on user_id, O(frame) fold per row, state
+    bounded by the 10-row frame regardless of partition depth."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, 0)
+    )
+    vals = F.collect_list("value").over(w)
+
+    def step(acc, e_):
+        lp = F.lit(0.5) * e_["l"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        bp = F.lit(0.5) * (lp - acc["l"]) + F.lit(0.5) * acc["b"]
+        return F.when(
+            acc["b"].isNull(),
+            F.struct(
+                e_["l"].alias("l"), (e_["l"] - acc["l"]).alias("b")
+            ),
+        ).otherwise(F.struct(lp.alias("l"), bp.alias("b")))
+
+    st = F.aggregate(
+        F.slice(
+            F.transform(
+                vals,
+                lambda x: F.struct(
+                    x.alias("l"), F.lit(None).cast("double").alias("b")
+                ),
+            ),
+            2,
+            F.size(vals) - 1,
+        ),
+        F.struct(
+            F.element_at(vals, 1).alias("l"),
+            F.lit(None).cast("double").alias("b"),
+        ),
+        step,
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        (st["l"] + st["b"]).alias("forecast"),
+    )
