@@ -2019,3 +2019,59 @@ def agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "empirical_rate"
         ),
     ).drop("max_c")
+
+
+@register(
+    "agg_mutual_information",
+    category="agg",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, dayofweek(CAST(ts AS TIMESTAMP)) + 1
+),
+margins AS (
+  SELECT event_type, dow, n,
+         SUM(n) OVER (PARTITION BY event_type) AS row_n,
+         SUM(n) OVER (PARTITION BY dow) AS col_n,
+         SUM(n) OVER () AS tot_n
+  FROM obs
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+       round(ln(n*1.0*tot_n/row_n/col_n), 9) AS pmi,
+       round(n*1.0/tot_n * round(ln(n*1.0*tot_n/row_n/col_n), 9), 12)
+         AS mi_term
+FROM margins
+""",
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information per contingency cell (event type x
+    day of week) plus each cell's contribution to the mutual
+    information I(X;Y) = sum of mi_term — the information-theoretic
+    sibling of agg_chi2_independence (chi2 asks IF the variables are
+    dependent; MI measures HOW MUCH in nats, and per-cell PMI is the
+    collocation/association score used for feature screening). The ln
+    argument is a ratio of exact integer counts computed in an
+    identical scalar chain; ln is rounded to 9 BEFORE the weighted term
+    (the bigram-LM discipline), so both outputs sit on a deterministic
+    grid.
+
+    Scale shape: identical to chi2 — one groupBy over events, windows
+    over the |types| x 7 contingency table."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek(F.col("ts")).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_n = F.sum("n").over(W.partitionBy("event_type"))
+    col_n = F.sum("n").over(W.partitionBy("dow"))
+    tot_n = F.sum("n").over(W.partitionBy())
+    pmi = F.round(F.log(F.col("n") * 1.0 * tot_n / row_n / col_n), 9)
+    return obs.select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        "n",
+        pmi.alias("pmi"),
+        F.round(F.col("n") * 1.0 / tot_n * pmi, 12).alias("mi_term"),
+    )
