@@ -1226,3 +1226,94 @@ def etl_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("revenue"),
     )
+
+
+@register(
+    "etl_denormalize_wide",
+    category="etl",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber,
+       CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+            AS BIGINT) AS revenue_e4,
+       o.o_orderpriority,
+       c.c_name, c.c_mktsegment,
+       cn.n_name AS cust_nation, cr.r_name AS cust_region,
+       p.p_brand, p.p_type,
+       s.s_name, sn.n_name AS supp_nation
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE l.l_orderkey % 97 = 0
+""",
+)
+def etl_denormalize_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Wide-Table denormalization of the full snowflake: lineitem
+    enriched through SEVEN joins (orders, customer, customer-nation,
+    customer-region, part, supplier, supplier-nation — nation joined
+    twice under different roles), the standard pre-materialization that
+    turns the normalized star into the flat table BI/feature pipelines
+    scan. Revenue rides as an exact 1e-4-grid integer so the wide row
+    is hash-checkable without float formatting. The %97 key filter
+    keeps the verified sample bounded while every join still exercises
+    its full dimension side.
+
+    Scale shape: ONE real shuffle (orders join lineitem on orderkey; at
+    100 TB co-partition or bucket both on orderkey and it vanishes
+    too); every dimension side — customer included at fixture ratios —
+    broadcasts, and the key filter pushes to the lineitem scan, so the
+    fact table is read once, pruned at the source. The role-separated
+    nation joins broadcast the same 25-row table twice rather than
+    forcing a shared alias through the plan."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 97 == 0
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cr = r.select(
+        F.col("r_regionkey").alias("cr_key"),
+        F.col("r_name").alias("cust_region"),
+    )
+    revenue = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(cr), F.col("cr_key") == F.col("cn_regionkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            revenue.alias("revenue_e4"),
+            "o_orderpriority",
+            "c_name",
+            "c_mktsegment",
+            "cust_nation",
+            "cust_region",
+            "p_brand",
+            "p_type",
+            "s_name",
+            "supp_nation",
+        )
+    )
