@@ -28,6 +28,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..io import table
 from ..registry import register
@@ -439,4 +440,95 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SCENE_CUT_DELTA = 500
+
+
+@register(
+    "mm_video_scene_cut",
+    category="multimodal",
+    oracle=f"""
+WITH vids AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS L
+  FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT v.doc_id, CAST(t.i AS INT) AS frame_idx,
+         substr(v.text, t.i * {_FRAME_BYTES} + 1, {_FRAME_BYTES}) AS frame
+  FROM vids v,
+       LATERAL (SELECT unnest(range((v.L + {_FRAME_BYTES} - 1)
+                                    // {_FRAME_BYTES})) AS i) t
+),
+energy AS (
+  SELECT doc_id, frame_idx,
+         CAST((SELECT COALESCE(SUM(ord(substr(frame, c.j + 1, 1))), 0)
+               FROM (SELECT unnest(range(length(frame))) AS j) c)
+              AS BIGINT) AS energy
+  FROM frames
+),
+lagged AS (
+  SELECT doc_id, frame_idx, energy,
+         LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+           AS prev_energy
+  FROM energy
+)
+SELECT doc_id, frame_idx, energy,
+       energy - prev_energy AS delta,
+       CASE WHEN prev_energy IS NULL THEN NULL
+            ELSE abs(energy - prev_energy) > {_SCENE_CUT_DELTA} END
+         AS is_cut
+FROM lagged
+""",
+)
+def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video payloads: the Python decode stage
+    (mapInPandas, Arrow-batched — where a real ffmpeg/pyav frame
+    decoder slots in) emits one row per 64-byte frame with its energy
+    (byte sum, the deterministic stand-in for a frame histogram), and
+    the DETECTION runs as ordinary Spark — a lag window per video and
+    a threshold on the energy delta. This split is the load-bearing
+    design: Python touches bytes once, shuffle-free; the stateful
+    cross-frame logic stays JVM-side where Catalyst can see it. The
+    oracle replays the exact byte windows and sums over the ASCII
+    corpus, so even the Python stage is hash-verified.
+
+    Scale shape: decode is embarrassingly parallel over payload rows;
+    the window shuffles on doc_id once, frames-per-video rows each."""
+    m = (
+        media_table(spark, sf_dir)
+        .filter(F.col("media_type") == "video")
+        .select("doc_id", "payload")
+    )
+
+    def frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, energies = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                n_frames = -(-len(payload) // _FRAME_BYTES)
+                for i in range(n_frames):
+                    frame = payload[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    energies.append(sum(frame))
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": idxs, "energy": energies}
+            )
+
+    frames = m.mapInPandas(
+        frame_energy, schema="doc_id long, frame_idx int, energy long"
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("energy").over(w)
+    delta = F.col("energy") - prev
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        delta.alias("delta"),
+        F.when(
+            prev.isNotNull(), F.abs(delta) > _SCENE_CUT_DELTA
+        ).alias("is_cut"),
     )
