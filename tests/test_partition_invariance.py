@@ -49,6 +49,14 @@ INVARIANCE_SET = [
     "agg_multivar_regression",
     "join_temporal_scd2",
     "obs_metrics_audit",
+    # round-3 additions with layout-sensitive shapes: rank statistics over
+    # the value grid, synchronous label propagation (per-round argmax),
+    # a Python mapInPandas stage feeding a window, and the struct-state
+    # sequential fold
+    "agg_ks_test",
+    "graph_label_propagation",
+    "mm_video_scene_cut",
+    "win_holt_linear",
 ]
 
 
