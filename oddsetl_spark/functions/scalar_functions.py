@@ -787,3 +787,44 @@ def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour(ny).cast("long").alias("ny_hour"),
         ny.cast("date").alias("ny_date"),
     )
+
+
+@register(
+    "fn_aes_roundtrip",
+    category="functions",
+    oracle="""
+SELECT c_custkey,
+       CAST(16 * ((octet_length(encode(c_name)) // 16) + 1) AS BIGINT)
+         AS cipher_len,
+       c_name AS decrypted,
+       TRUE AS roundtrip_ok
+FROM customer
+WHERE c_custkey < 500
+""",
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round trip: AES-128-ECB encrypt customer
+    names with a fixed data-encryption key, decrypt, and prove identity
+    — the at-rest field-encryption pattern (deterministic ECB chosen
+    here precisely because it is verifiable; production would use GCM,
+    whose random IV is the right call there and unverifiable here).
+    The oracle cannot run AES, so it checks the two invariants that
+    pin the crypto path: the PKCS#7 ciphertext length law
+    16*(floor(len/16)+1) — full-block padding included — and that
+    decrypt(encrypt(x)) round-trips to the exact plaintext.
+
+    Scale shape: pure per-row JVM expressions (Spark's aes_* are
+    codegen'd javax.crypto calls) — zero shuffles, and the key rides
+    as a literal/broadcast, never a join."""
+    key = F.lit("0123456789abcdef").cast("binary")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    enc = F.aes_encrypt(
+        F.col("c_name").cast("binary"), key, F.lit("ECB")
+    )
+    dec = F.aes_decrypt(enc, key, F.lit("ECB")).cast("string")
+    return c.select(
+        "c_custkey",
+        F.octet_length(enc).cast("long").alias("cipher_len"),
+        dec.alias("decrypted"),
+        (dec == F.col("c_name")).alias("roundtrip_ok"),
+    )
