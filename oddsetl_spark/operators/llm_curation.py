@@ -1569,3 +1569,64 @@ def curate_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_K_ANON = 6
+
+
+@register(
+    "curate_k_anonymity",
+    category="curation",
+    oracle=f"""
+WITH classes AS (
+  SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(FLOOR(c_acctbal/2000) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment, c_nationkey, bal_band, class_size,
+       class_size < {_K_ANON} AS is_suppressed,
+       CAST(SUM(CASE WHEN class_size < {_K_ANON} THEN class_size ELSE 0 END)
+            OVER () AS BIGINT) AS n_rows_suppressed,
+       CAST(SUM(class_size) OVER () AS BIGINT) AS n_rows_total
+FROM classes
+""",
+)
+def curate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (market
+    segment, nation, account-balance band): every equivalence class
+    with fewer than k={_K_ANON} members is marked for suppression —
+    the re-identification gate a privacy review runs before a dataset
+    leaves the building (the structural companion to text_pii_scrub,
+    which removes direct identifiers; quasi-identifiers re-identify by
+    JOINING, which only class-size bounds prevent). Each row carries
+    the global suppressed/total tallies so the publish decision (e.g.
+    "suppress <2% of rows, else generalize the bands wider") reads off
+    the same result. 605 of 623 classes fail at sf0.01 and 3 of 750 at
+    sf0.1 — the generalization pressure is visible at every scale.
+
+    Scale shape: one map-combined groupBy over the quasi-identifier
+    tuple; the windows run over the CLASS table (bounded by the
+    quasi-identifier domain, not row count). Generalizing = coarsening
+    the band expression — same plan."""
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    wall = W.partitionBy()
+    suppressed = F.col("class_size") < _K_ANON
+    return classes.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "bal_band",
+        "class_size",
+        suppressed.alias("is_suppressed"),
+        F.sum(F.when(suppressed, F.col("class_size")).otherwise(0))
+        .over(wall)
+        .cast("long")
+        .alias("n_rows_suppressed"),
+        F.sum("class_size").over(wall).cast("long").alias("n_rows_total"),
+    )
