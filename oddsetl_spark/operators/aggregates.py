@@ -2075,3 +2075,65 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         pmi.alias("pmi"),
         F.round(F.col("n") * 1.0 / tot_n * pmi, 12).alias("mi_term"),
     )
+
+
+@register(
+    "agg_dp_noisy_count",
+    category="agg",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM events GROUP BY event_type
+),
+seeded AS (
+  SELECT event_type, true_count,
+         (CAST(('0x' || substr(md5('dp-v1|' || event_type), 1, 15))
+               AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS u
+  FROM counts
+)
+SELECT event_type, true_count,
+       round(CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END
+             * ln(1 - 2*abs(u - 0.5)) * -1.0, 6) AS noise,
+       round(true_count + CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END
+             * ln(1 - 2*abs(u - 0.5)) * -1.0, 6) AS noisy_count,
+       1.0 AS epsilon
+FROM seeded
+""",
+)
+def agg_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private counts (epsilon=1) with SEEDED Laplace
+    noise: the uniform draw comes from md5 of a release-tag + group key
+    (inverse-CDF transform, scale b = 1/epsilon = 1), so the exact same
+    release is reproducible on any engine, cluster layout or rerun —
+    the property an auditable DP release pipeline needs, and the reason
+    this hash-matches where an RNG-based mechanism would be rows-only.
+    true_count rides along for the fixture demonstration; a production
+    release would drop it (and rotate the release tag per epoch, which
+    is exactly where the privacy accounting hooks in).
+
+    Scale shape: one map-combined count; the noise is a per-group
+    scalar expression over the |groups|-row result."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp-v1|"), F.col("event_type"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    sgn = F.when(u >= 0.5, -1.0).otherwise(1.0)
+    noise = sgn * F.log(1 - 2 * F.abs(u - 0.5)) * -1.0
+    return counts.select(
+        "event_type",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        F.lit(1.0).alias("epsilon"),
+    )
