@@ -232,3 +232,80 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit_score"
         ),
     )
+
+
+@register(
+    "udf_cogrouped_map",
+    category="udfs",
+    oracle="""
+WITH ev AS (
+  SELECT user_id AS uid, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events WHERE user_id < 100 GROUP BY user_id
+),
+od AS (
+  SELECT o_custkey AS uid, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
+)
+SELECT COALESCE(ev.uid, od.uid) AS user_id,
+       COALESCE(ev.n_events, 0) AS n_events,
+       COALESCE(od.n_orders, 0) AS n_orders,
+       COALESCE(ev.value_cents, 0) AS value_cents
+FROM ev FULL OUTER JOIN od ON od.uid = ev.uid
+""",
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas API (groupBy...cogroup(...).applyInPandas) —
+    the last rung of the pandas-function ladder: BOTH sides of a keyed
+    pair arrive as per-key pandas frames in one Python call, the shape
+    custom per-entity reconciliation (asof merges, interleaved
+    event/transaction logic) needs when a plain join can't express it.
+    The function here computes the per-user event/order reconciliation
+    row — deliberately also SQL-expressible so the cogroup machinery
+    itself (key routing, empty-side handling: users with events but no
+    orders arrive with an EMPTY right frame, and vice versa) is
+    hash-verified. Values snap to exact cents inside pandas so the
+    Python stage emits integers only.
+
+    Scale shape: cogroup shuffles both sides on the key once — the
+    same exchange a join would pay — then runs embarrassingly parallel
+    per key; Arrow moves the per-key frames."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select("user_id", "value")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(F.col("o_custkey").alias("user_id"), "o_orderkey")
+    )
+
+    def reconcile(ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        uid = ev["user_id"].iloc[0] if len(ev) else od["user_id"].iloc[0]
+        cents = (
+            int((ev["value"] * 100 + 0.5).apply(float).apply(int).sum())
+            if len(ev)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [len(ev)],
+                "n_orders": [len(od)],
+                "value_cents": [cents],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "user_id long, n_events long, n_orders long, "
+                "value_cents long"
+            ),
+        )
+    )
