@@ -631,3 +631,36 @@ def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@register(
+    "source_text_roundtrip",
+    category="sources",
+    oracle="""
+SELECT length(text) AS line_len, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       min(md5(text)) AS min_md5
+FROM documents
+GROUP BY length(text)
+""",
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text format round trip: document bodies written as a .txt
+    corpus (one document per line — the fixture texts carry no
+    newlines, measured by the fixture-contract test) and read back with
+    the text source, verified by a per-length rollup with md5
+    fingerprints — the lossless-ingest proof for the rawest format an
+    LLM corpus arrives in. Completes the format matrix
+    (parquet/csv/json/orc/xml/text).
+
+    Scale shape: text read is splittable by line, so a 100 TB corpus
+    parallelizes by byte ranges; the rollup is map-combined."""
+    out = _tmpdir("sinktext")
+    d = table(spark, sf_dir, "documents").select("text")
+    d.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.groupBy(
+        F.length("value").alias("line_len")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min(F.md5(F.col("value"))).alias("min_md5"),
+    )
