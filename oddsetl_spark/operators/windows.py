@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 
 from ..io import table
 from ..registry import register
+from ._helpers import lng
 
 
 @register(
@@ -1328,4 +1329,116 @@ def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         st["l"].alias("level"),
         st["b"].alias("trend"),
         (st["l"] + st["b"]).alias("forecast"),
+    )
+
+
+@register(
+    "win_seasonal_anomaly",
+    category="windows",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice*1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS y_l
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT day, y_l,
+         CAST(SUM(y_l) OVER w AS BIGINT) AS t7,
+         COUNT(*) OVER w AS cnt
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT day, y_l, t7, cnt,
+         CASE WHEN cnt = 7 THEN 7*y_l - t7 END AS detr7,
+         dayofweek(day) + 1 AS dow
+  FROM win
+),
+season AS (
+  SELECT dow, CAST(SUM(detr7) AS BIGINT) AS s_l,
+         CAST(COUNT(detr7) AS BIGINT) AS n_dow
+  FROM detr WHERE detr7 IS NOT NULL GROUP BY dow
+),
+resid AS (
+  SELECT d.day,
+         d.y_l - (d.t7 - ((d.t7 % 7) + 7) % 7) / 7
+           - (s.s_l - ((s.s_l % (7*s.n_dow)) + 7*s.n_dow) % (7*s.n_dow))
+             / (7*s.n_dow) AS r_l
+  FROM detr d JOIN season s ON s.dow = d.dow
+  WHERE d.cnt = 7
+),
+m AS (SELECT median(abs(r_l)) AS mad FROM resid)
+SELECT r.day,
+       CAST(r.r_l AS DOUBLE)/1000000 AS resid,
+       CAST(m.mad AS DOUBLE)/1000000 AS mad,
+       abs(r.r_l) > 5*m.mad AS is_anomaly
+FROM resid r, m
+""",
+)
+def win_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection on the DESEASONALIZED daily series: residuals
+    from the agg_seasonal_decompose pipeline (trend and day-of-week
+    effect removed on the exact micro-unit grid) flagged where
+    |residual| exceeds 5x the median absolute residual — the robust
+    detector that doesn't fire every Saturday the way a raw z-score
+    over seasonal data does, and isn't dragged by the outliers it
+    hunts (median, not sigma). Residuals stay exact integers; the
+    median of integers is at worst a .5 midpoint, so the 5xMAD
+    comparison compares exact values on both engines.
+
+    Scale shape: same as the decomposition — one daily groupBy, then
+    calendar-bounded windows and a 7-row broadcast join; the MAD is a
+    1-row aggregate over the residual series."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(lng(F.col("o_totalprice"))).alias("y_l")
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "y_l",
+        F.sum("y_l").over(w).alias("t7"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    detr = win.select(
+        "day",
+        "y_l",
+        "t7",
+        "cnt",
+        F.when(F.col("cnt") == 7, 7 * F.col("y_l") - F.col("t7")).alias(
+            "detr7"
+        ),
+        F.dayofweek("day").alias("dow"),
+    )
+    season = (
+        detr.filter(F.col("detr7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum("detr7").alias("s_l"),
+            F.count("detr7").alias("n_dow"),
+        )
+    )
+
+    def floor_div(x, d):
+        return (x - ((x % d) + d) % d) / d
+
+    t_l = floor_div(F.col("t7"), F.lit(7))
+    s_den = 7 * F.col("n_dow")
+    s_l = floor_div(F.col("s_l"), s_den)
+    resid = (
+        detr.filter(F.col("cnt") == 7)
+        .join(F.broadcast(season), "dow")
+        .select("day", (F.col("y_l") - t_l - s_l).alias("r_l"))
+    )
+    m = resid.agg(
+        F.expr("percentile(abs(r_l), 0.5)").alias("mad")
+    )
+    return resid.crossJoin(F.broadcast(m)).select(
+        "day",
+        (F.col("r_l").cast("double") / 1000000).alias("resid"),
+        (F.col("mad").cast("double") / 1000000).alias("mad"),
+        (F.abs(F.col("r_l")) > 5 * F.col("mad")).alias("is_anomaly"),
     )
