@@ -2137,3 +2137,41 @@ def agg_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
         F.lit(1.0).alias("epsilon"),
     )
+
+
+@register(
+    "agg_crosstab",
+    category="agg",
+    oracle="""
+SELECT event_type AS event_type_dow,
+       CAST(SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS BIGINT) AS "1",
+       CAST(SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS BIGINT) AS "2",
+       CAST(SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS BIGINT) AS "3",
+       CAST(SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS BIGINT) AS "4",
+       CAST(SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS BIGINT) AS "5",
+       CAST(SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS BIGINT) AS "6",
+       CAST(SUM(CASE WHEN dow = 7 THEN 1 ELSE 0 END) AS BIGINT) AS "7"
+FROM (SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow
+      FROM events)
+GROUP BY event_type
+""",
+)
+def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameStatFunctions crosstab — the native contingency-table
+    API (df.stat.crosstab), here event type x day of week; the raw
+    count matrix that agg_chi2_independence and agg_mutual_information
+    derive their statistics from, exposed as the wide pivot a
+    spreadsheet-shaped consumer expects. Spark implements it as one
+    pivot aggregation; the oracle spells the same table as conditional
+    sums. Column set is fixed (the 7 weekdays), so the wide schema is
+    stable — the caveat with crosstab at scale is cardinality of the
+    PIVOTED column, which a calendar dimension bounds by construction.
+
+    Scale shape: a single map-combined groupBy-pivot; never use
+    crosstab on an unbounded value domain (the schema explodes) —
+    that's what the long-form contingency queries are for."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.dayofweek("ts").alias("dow"))
+        .stat.crosstab("event_type", "dow")
+    )
