@@ -906,3 +906,99 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nearest_key"),
         F.least(prev_gap, next_gap).cast("long").alias("gap_days"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    category="joins",
+    oracle="""
+WITH b AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS prev_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+m AS (
+  SELECT a.o_orderkey, a.o_custkey, a.o_orderdate,
+         b.prev_orderkey, b.o_orderdate AS prev_date
+  FROM orders a
+  ASOF LEFT JOIN b
+    ON a.o_custkey = b.o_custkey AND b.o_orderdate < a.o_orderdate
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CASE WHEN prev_date >= o_orderdate - INTERVAL 365 DAY
+            THEN prev_orderkey END AS prev_orderkey,
+       CASE WHEN prev_date >= o_orderdate - INTERVAL 365 DAY
+            THEN prev_date END AS prev_date,
+       prev_date IS NOT NULL
+         AND prev_date < o_orderdate - INTERVAL 365 DAY AS dropped_stale
+FROM m
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas merge_asof's
+    `tolerance`): each order finds the customer's PREVIOUS order, but
+    the match only counts if it landed within 365 days — older matches
+    drop to NULL with a dropped_stale audit flag, the semantics feature
+    pipelines need so a point-in-time feature can't silently ride a
+    value from years ago. Same union-tag single-shuffle formulation as
+    join_asof, looking strictly backward (probe rows sort before build
+    rows at equal time), with the tolerance as a post-predicate on the
+    propagated match — zero extra plan cost. Completes the asof
+    family: backward / forward / nearest / tolerance."""
+    o = table(spark, sf_dir, "orders")
+    b = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("prev_orderkey")
+    )
+    probe = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_build"),
+        "o_orderkey",
+        F.col("o_orderdate").alias("probe_date"),
+        F.lit(None).cast("long").alias("prev_orderkey"),
+        F.lit(None).cast("timestamp").alias("prev_date"),
+    )
+    build = b.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_build"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("probe_date"),
+        "prev_orderkey",
+        F.col("o_orderdate").alias("prev_date"),
+    )
+    # Strict '<': probe rows sort BEFORE builds at equal t, so the
+    # last(ignoreNulls) up to the current row sees earlier builds only.
+    w = (
+        W.partitionBy("k")
+        .orderBy(
+            F.col("t").asc(),
+            F.col("is_build").asc(),
+            F.col("prev_orderkey").asc_nulls_first(),
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = (
+        probe.unionByName(build)
+        .select(
+            "is_build",
+            "o_orderkey",
+            F.col("k").alias("o_custkey"),
+            F.col("probe_date").alias("o_orderdate"),
+            F.last("prev_orderkey", ignorenulls=True)
+            .over(w)
+            .alias("m_orderkey"),
+            F.last("prev_date", ignorenulls=True).over(w).alias("m_date"),
+        )
+        .filter(F.col("is_build") == 0)
+    )
+    fresh = F.col("m_date") >= F.col("o_orderdate") - F.expr(
+        "INTERVAL 365 DAYS"
+    )
+    return matched.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.when(fresh, F.col("m_orderkey")).alias("prev_orderkey"),
+        F.when(fresh, F.col("m_date")).alias("prev_date"),
+        (F.col("m_date").isNotNull() & ~fresh).alias("dropped_stale"),
+    )
