@@ -2175,3 +2175,37 @@ def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_type", F.dayofweek("ts").alias("dow"))
         .stat.crosstab("event_type", "dow")
     )
+
+
+@register(
+    "sql_group_by_all",
+    category="agg",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100 AS revenue
+FROM orders
+GROUP BY ALL
+""",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 GROUP BY ALL: every non-aggregate select item becomes a
+    grouping key implicitly — the DuckDB-originated convenience that
+    kills the maintain-the-key-list-twice bug in wide rollups (add a
+    column to SELECT, forget to add it to GROUP BY, get a silent
+    analysis error or — worse, with ordinals — a wrong grouping). Both
+    engines support the identical text, so the oracle IS the query.
+    Resolves at analysis time to a plain hash aggregate: zero runtime
+    difference from the explicit form."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100 AS revenue
+        FROM orders
+        GROUP BY ALL
+        """
+    )
