@@ -56,6 +56,15 @@ QUERIES = [
     "curate_pipeline_funnel",
     "sim_cosine_topk",
     "emb_matryoshka_eval",
+    # round-3 continuation: rank statistics on the value grid, the
+    # seven-join denormalization, iterative label propagation, and the
+    # calendar-bounded daily-series windows (cost must stay FLAT in K,
+    # not merely linear — the series length is fixed by the calendar)
+    "agg_ks_test",
+    "agg_auc_roc",
+    "etl_denormalize_wide",
+    "graph_label_propagation",
+    "win_bollinger_bands",
 ]
 
 
