@@ -903,3 +903,134 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "phrase", "rake_score", "rn")
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "sim_bm25_topk",
+    category="llm_text",
+    oracle=f"""
+WITH terms AS (SELECT unnest(['join', 'hash']) AS term),
+docs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM docs
+),
+tf AS (
+  SELECT d.doc_id, t.term, d.dl,
+         CAST(len(list_filter(d.toks, x -> x = t.term)) AS BIGINT) AS tf
+  FROM docs d, terms t
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf WHERE tf > 0 GROUP BY term
+),
+scored_terms AS (
+  SELECT f.doc_id, f.term,
+         round(
+           round(ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1), 9)
+           * (f.tf * ({_BM25_K1} + 1))
+             / (f.tf + {_BM25_K1}
+                * (1 - {_BM25_B}
+                   + {_BM25_B} * f.dl
+                     / (CAST(s.total_len AS DOUBLE) / s.n_docs))),
+           9) AS term_score
+  FROM tf f JOIN df d ON d.term = f.term, stats s
+  WHERE f.tf > 0
+),
+scores AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(term_score AS DECIMAL(30,9))) AS DOUBLE) AS bm25
+  FROM scored_terms GROUP BY doc_id
+)
+SELECT doc_id, bm25, rn
+FROM (SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+      FROM scores)
+WHERE rn <= 10
+""",
+)
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1={_BM25_K1}, b={_BM25_B}), top-10 docs
+    for the query terms ('join', 'hash') — the ranking function behind
+    every serious lexical search stack, completing the retrieval
+    ladder: TF-IDF (feature weights) -> BM25 (query-time ranking) ->
+    hybrid RRF (fusion with the dense side). Saturation (k1) caps
+    repeated-term credit and length normalization (b) stops long docs
+    winning on bulk — the two behaviors plain TF-IDF lacks. idf is
+    rounded to the 9-decimal grid, each doc-term score rounded once
+    more before the exact decimal sum (the tfidf discipline), so the
+    ranking hash-matches.
+
+    Scale shape: corpus stats (N, avgdl) are a 1-row broadcast; term
+    frequencies come from one narrow pass over documents (the terms
+    table is the broadcast side of the explode-free list_filter);
+    at 100 TB the tf pass reads an inverted index instead of raw text,
+    same shape."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    docs = d.select(
+        "doc_id", "toks", F.size("toks").cast("long").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    terms = spark.createDataFrame(
+        [("join",), ("hash",)], ["term"]
+    )
+    tf = docs.crossJoin(F.broadcast(terms)).select(
+        "doc_id",
+        "term",
+        "dl",
+        F.size(
+            F.filter(F.col("toks"), lambda x: x == F.col("term"))
+        )
+        .cast("long")
+        .alias("tf"),
+    )
+    df_ = (
+        tf.filter(F.col("tf") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1
+        ),
+        9,
+    )
+    frac = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+    )
+    scored_terms = (
+        tf.filter(F.col("tf") > 0)
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", F.round(idf * frac, 9).alias("term_score")
+        )
+    )
+    scores = scored_terms.groupBy("doc_id").agg(
+        F.sum(F.col("term_score").cast("decimal(30,9)"))
+        .cast("double")
+        .alias("bm25")
+    )
+    wtop = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "bm25", "rn")
+    )
