@@ -2209,3 +2209,92 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+def _cov_oracle() -> str:
+    pairs = [
+        ("quantity", "quantity"),
+        ("quantity", "price"),
+        ("quantity", "discount"),
+        ("price", "price"),
+        ("price", "discount"),
+        ("discount", "discount"),
+    ]
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS var_a, '{b}' AS var_b,
+       round((s_{a[0]}{b[0]} - s_{a[0]}*s_{b[0]}/n)/(n-1), 9) AS cov,
+       round((s_{a[0]}{b[0]} - s_{a[0]}*s_{b[0]}/n)
+             / sqrt((s_{a[0]}{a[0]} - s_{a[0]}*s_{a[0]}/n)
+                    * (s_{b[0]}{b[0]} - s_{b[0]}*s_{b[0]}/n)), 9) AS corr
+FROM m"""
+        for a, b in pairs
+    )
+    def ds(expr):
+        return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+    return f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {ds('l_quantity')} AS s_q,
+         {ds('l_extendedprice')} AS s_p,
+         {ds('l_discount')} AS s_d,
+         {ds('l_quantity*l_quantity')} AS s_qq,
+         {ds('l_quantity*l_extendedprice')} AS s_qp,
+         {ds('l_quantity*l_discount')} AS s_qd,
+         {ds('l_extendedprice*l_extendedprice')} AS s_pp,
+         {ds('l_extendedprice*l_discount')} AS s_pd,
+         {ds('l_discount*l_discount')} AS s_dd
+  FROM lineitem
+)
+{sel}
+"""
+
+
+@register("agg_covariance_matrix", category="agg", oracle=_cov_oracle())
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full covariance + correlation matrix over three lineitem measures
+    (quantity, price, discount) in ONE pass: ten exact decimal moment
+    sums (n, three first moments, six second moments) feed every
+    cov/corr cell in closed form — the mergeable-sufficient-statistics
+    pattern (agg_multivar_regression's Gramian, down a rank) that
+    computes an entire d x d matrix at 100 TB for the cost of a single
+    scan, with O(d^2) state per partition. Cells emit in long form
+    (var_a, var_b, cov, corr), diagonal included (corr = 1 up to the
+    rounded chain). Unlike covar_samp/corr built-ins, the decimal sums
+    are partition-order independent, so the matrix hash-matches."""
+    li = table(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("s_q"),
+        dsum(p).alias("s_p"),
+        dsum(d).alias("s_d"),
+        dsum(q * q).alias("s_qq"),
+        dsum(q * p).alias("s_qp"),
+        dsum(q * d).alias("s_qd"),
+        dsum(p * p).alias("s_pp"),
+        dsum(p * d).alias("s_pd"),
+        dsum(d * d).alias("s_dd"),
+    )
+    names = {"q": "quantity", "p": "price", "d": "discount"}
+    outs = []
+    for a, b in (("q", "q"), ("q", "p"), ("q", "d"), ("p", "p"), ("p", "d"), ("d", "d")):
+        n = F.col("n")
+        sab = F.col(f"s_{a}{b}")
+        sa, sb = F.col(f"s_{a}"), F.col(f"s_{b}")
+        saa, sbb = F.col(f"s_{a}{a}"), F.col(f"s_{b}{b}")
+        cov = (sab - sa * sb / n) / (n - 1)
+        corr = (sab - sa * sb / n) / F.sqrt(
+            (saa - sa * sa / n) * (sbb - sb * sb / n)
+        )
+        outs.append(
+            m.select(
+                F.lit(names[a]).alias("var_a"),
+                F.lit(names[b]).alias("var_b"),
+                F.round(cov, 9).alias("cov"),
+                F.round(corr, 9).alias("corr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
