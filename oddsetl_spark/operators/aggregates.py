@@ -2298,3 +2298,77 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@register(
+    "agg_share_of_parent",
+    category="agg",
+    oracle="""
+WITH nat AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation,
+       CAST(rev_c AS DOUBLE)/100 AS revenue,
+       round(CAST(rev_c AS DOUBLE)
+             / CAST(SUM(rev_c) OVER (PARTITION BY region) AS DOUBLE), 9)
+         AS pct_of_region,
+       round(CAST(rev_c AS DOUBLE)
+             / CAST(SUM(rev_c) OVER () AS DOUBLE), 9) AS pct_of_total
+FROM nat
+""",
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent rollup: revenue by (region, nation) with each
+    nation's percentage of its region and of the grand total — the
+    percent-of-parent columns every BI drill-down shows next to the
+    absolute number. Revenue aggregates as exact cents; the two share
+    denominators are window sums over the ALREADY-AGGREGATED frame
+    (|nations| rows), so the percentages cost nothing beyond the one
+    fact rollup, and the exact-integer numerators make the divisions
+    engine-identical before the single edge rounding.
+
+    Scale shape: one shuffle for the fact rollup (dims broadcast);
+    the share windows touch 25 rows regardless of fact size."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    nat = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    wreg = W.partitionBy("region")
+    wall = W.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        (F.col("rev_c").cast("double") / 100).alias("revenue"),
+        F.round(
+            F.col("rev_c").cast("double")
+            / F.sum("rev_c").over(wreg).cast("double"),
+            9,
+        ).alias("pct_of_region"),
+        F.round(
+            F.col("rev_c").cast("double")
+            / F.sum("rev_c").over(wall).cast("double"),
+            9,
+        ).alias("pct_of_total"),
+    )
