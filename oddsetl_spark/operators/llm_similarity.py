@@ -1522,3 +1522,134 @@ def sim_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("q_id", "vec_id", "score", "rn")
     )
+
+
+_MMR_LAMBDA = 0.5
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        prev = f"sel{k - 1}"
+        steps.append(
+            f"""sel{k} AS (
+  SELECT vec_id, rel, step FROM {prev}
+  UNION ALL
+  SELECT vec_id, rel, {k} AS step FROM (
+    SELECT c.vec_id, c.rel,
+           {_MMR_LAMBDA}*c.rel - {1 - _MMR_LAMBDA}*MAX(m.sim) AS mmr
+    FROM cand c
+    JOIN simmat m ON m.a = c.vec_id
+                 AND m.b IN (SELECT vec_id FROM {prev})
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+    GROUP BY c.vec_id, c.rel
+    ORDER BY mmr DESC, c.vec_id LIMIT 1)
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT vec_id, rel, emb
+  FROM (SELECT e.vec_id, e.emb,
+               {_SQL_DOT.format(a='q.q_emb', b='e.emb')} AS rel,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_SQL_DOT.format(a='q.q_emb', b='e.emb')} DESC,
+                          e.vec_id) AS rn
+        FROM e, q WHERE e.vec_id <> 0)
+  WHERE rn <= {_MMR_POOL}
+),
+simmat AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         {_SQL_DOT.format(a='a.emb', b='b.emb')} AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+sel1 AS (
+  SELECT vec_id, rel, 1 AS step FROM cand
+  ORDER BY rel DESC, vec_id LIMIT 1
+),
+{chain}
+SELECT CAST(step AS BIGINT) AS step, vec_id, rel FROM sel{_MMR_K}
+"""
+
+
+@register("sim_mmr_diversify", category="llm_sim", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking: from the top-{_MMR_POOL}
+    relevance pool, greedily pick {_MMR_K} results maximizing
+    lambda*relevance - (1-lambda)*max-similarity-to-already-selected
+    (lambda={_MMR_LAMBDA}) — the diversification pass that stops a
+    result page being five paraphrases of the same document. Greedy
+    steps are unrolled ({_MMR_K} fixed picks, min-vec_id ties), and
+    every score is a fold dot product over exact doubles, so the whole
+    greedy trajectory hash-matches the unrolled-CTE oracle.
+
+    Scale shape: the expensive part is the relevance pass (one corpus
+    scan, exactly sim_cosine_topk's plan); everything after operates
+    on the POOL — the {_MMR_POOL}x{_MMR_POOL} similarity matrix and
+    the greedy loop never touch the corpus again, so MMR costs the
+    same as plain top-k plus a constant."""
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb")
+    )
+    wrel = W.orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "emb", _dot(F.col("q_emb"), F.col("emb")).alias("rel")
+        )
+        .withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select("vec_id", "rel", "emb")
+        .localCheckpoint()
+    )
+    ca = cand.select(
+        F.col("vec_id").alias("a"), F.col("emb").alias("a_emb")
+    )
+    cb = cand.select(
+        F.col("vec_id").alias("b"), F.col("emb").alias("b_emb")
+    )
+    simmat = (
+        ca.join(cb, F.col("a") != F.col("b"))
+        .select("a", "b", _dot(F.col("a_emb"), F.col("b_emb")).alias("sim"))
+        .localCheckpoint()
+    )
+    sel = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select("vec_id", "rel", F.lit(1).alias("step"))
+    )
+    for k in range(2, _MMR_K + 1):
+        rem = cand.join(
+            sel.select("vec_id"), "vec_id", "left_anti"
+        ).select("vec_id", "rel")
+        maxsim = (
+            simmat.join(
+                sel.select(F.col("vec_id").alias("b")), "b"
+            )
+            .groupBy(F.col("a").alias("vec_id"))
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            rem.join(maxsim, "vec_id")
+            .select(
+                "vec_id",
+                "rel",
+                (
+                    _MMR_LAMBDA * F.col("rel")
+                    - (1 - _MMR_LAMBDA) * F.col("max_sim")
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "rel", F.lit(k).alias("step"))
+        )
+        sel = sel.unionAll(pick).localCheckpoint()
+    return sel.select(
+        F.col("step").cast("long").alias("step"), "vec_id", "rel"
+    )
