@@ -1317,3 +1317,88 @@ def etl_denormalize_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
+
+
+@register(
+    "etl_write_audit_publish",
+    category="etl",
+    oracle="""
+WITH staged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+),
+audit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_bad_price
+  FROM staged
+)
+SELECT s.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(s.o_totalprice*100 + 0.5) AS BIGINT))
+            AS DOUBLE)/100 AS revenue,
+       a.n_rows AS audited_rows,
+       a.n_rows = a.n_keys AND a.n_bad_price = 0 AS audit_passed
+FROM staged s, audit a
+GROUP BY s.o_orderstatus, a.n_rows, a.n_keys, a.n_bad_price
+""",
+)
+def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish: the 1995 order slice is STAGED to a
+    non-published path, the audit gate runs against the staged files
+    (row count = key count, no non-positive prices), and only a passing
+    audit atomically PROMOTES the staging directory to the published
+    path (os.replace — one metadata op, readers never see a partial
+    table). The returned readout queries the PUBLISHED data and carries
+    the audit verdict — the lakehouse pattern that turns "we validate
+    after load" into "unvalidated data is unreachable". A failing audit
+    would leave the previous publication untouched (staging discarded),
+    which the FS layout makes structurally true rather than
+    convention.
+
+    Scale shape: one filtered scan to stage (pushdown on the date),
+    audit + readout scan the staged/published parquet; the promote is
+    O(1) regardless of data size. On object stores the rename becomes
+    a catalog pointer swap — same contract."""
+    import os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="oddsetl_wap_")
+    staging = os.path.join(root, "_staging")
+    published = os.path.join(root, "published")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    o.write.mode("overwrite").parquet(staging)
+
+    staged = spark.read.parquet(staging)
+    audit = staged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "n_bad_price"
+        ),
+    ).collect()[0]
+    passed = audit["n_rows"] == audit["n_keys"] and audit["n_bad_price"] == 0
+    if passed:
+        os.replace(staging, published)
+    else:  # discard the staging dir; prior publication stays untouched
+        shutil.rmtree(staging, ignore_errors=True)
+        raise AssertionError(f"audit failed: {audit}")
+
+    pub = spark.read.parquet(published)
+    return pub.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("revenue"),
+        F.lit(int(audit["n_rows"])).alias("audited_rows"),
+        F.lit(bool(passed)).alias("audit_passed"),
+    )
