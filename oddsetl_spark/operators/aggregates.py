@@ -2372,3 +2372,95 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("pct_of_total"),
     )
+
+
+@register(
+    "agg_runs_test",
+    category="agg",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y_c
+  FROM orders GROUP BY 1
+),
+med AS (SELECT median(y_c) AS m FROM daily),
+signed AS (
+  SELECT day, y_c > m AS above FROM daily, med WHERE y_c <> m
+),
+runs AS (
+  SELECT above,
+         LAG(above) OVER (ORDER BY day) AS prev
+  FROM signed
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND above <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM runs
+)
+SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+       round((r - (1 + 2.0*n1*n2/(n1+n2)))
+             / sqrt(2.0*n1*n2*(2.0*n1*n2 - n1 - n2)
+                    / ((n1+n2)*1.0*(n1+n2)*(n1+n2-1))), 6) AS z_stat
+FROM tot
+""",
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for serial randomness of daily revenue:
+    days classify above/below the median (ties excluded, standard
+    practice), runs count as 1 + sign changes in day order, and the
+    normal approximation's z says whether the sequence clusters or
+    alternates more than chance — the go/no-go check before trusting
+    i.i.d.-assuming statistics on a time series (the sequential
+    complement to agg_ks_test's distribution comparison). All inputs to
+    the z chain are exact integers (cent-grid daily sums, a .5-grid
+    median, integer run counts), the chain is written identically on
+    both engines and rounded once.
+
+    Scale shape: one daily groupBy; the median, lag and totals operate
+    on the calendar-bounded series."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("y_c")
+    )
+    med = daily.agg(F.expr("percentile(y_c, 0.5)").alias("m"))
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("y_c") != F.col("m"))
+        .select("day", (F.col("y_c") > F.col("m")).alias("above"))
+    )
+    runs = signed.select(
+        "above", F.lag("above").over(W.orderBy("day")).alias("prev")
+    )
+    tot = runs.agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("above") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    n = n1 + n2
+    e_r = 1 + 2.0 * n1 * n2 / n
+    v_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (n * 1.0 * n * (n - 1))
+    )
+    return tot.select(
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        F.round((r - e_r) / F.sqrt(v_r), 6).alias("z_stat"),
+    )
