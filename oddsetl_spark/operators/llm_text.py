@@ -1034,3 +1034,97 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("doc_id", "bm25", "rn")
     )
+
+
+@register(
+    "text_zipf_fit",
+    category="llm_text",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+freq AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t
+),
+ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS rank
+  FROM freq
+),
+pts AS (
+  SELECT round(ln(rank), 9) AS x, round(ln(f), 9) AS y
+  FROM ranked WHERE rank <= 50
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x*y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(x*x, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(y*y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT n AS n_tokens,
+       round((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS zipf_slope,
+       round((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n, 6) AS intercept,
+       round(pow(n*sxy - sx*sy, 2)
+             / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+FROM sums
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of log-frequency
+    on log-rank for the top-50 tokens gives the Zipf exponent (natural
+    text sits near -1; a flat slope flags templated/synthetic text, a
+    cliff flags boilerplate domination) plus R^2 for how law-like the
+    distribution is — the corpus-level health check next to
+    curate_token_histogram's raw counts. Logs round to the 9-decimal
+    grid before exact decimal sums (the regression discipline), ranks
+    tie-break by token, so the fit hash-matches.
+
+    Scale shape: one explode+groupBy for frequencies (map-combined),
+    a top-50 window, then a 50-row closed form."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(W.orderBy(F.desc("f"), F.asc("t")))
+        .alias("rank"),
+    ).filter(F.col("rank") <= 50)
+    pts = ranked.select(
+        F.round(F.log("rank"), 9).alias("x"),
+        F.round(F.log("f"), 9).alias("y"),
+    )
+
+    def dsum9(c):
+        return F.sum(c.cast("decimal(30,9)")).cast("double")
+
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum9(F.col("x")).alias("sx"),
+        dsum9(F.col("y")).alias("sy"),
+        dsum9(F.round(F.col("x") * F.col("y"), 9)).alias("sxy"),
+        dsum9(F.round(F.col("x") * F.col("x"), 9)).alias("sxx"),
+        dsum9(F.round(F.col("y") * F.col("y"), 9)).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        n.cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
