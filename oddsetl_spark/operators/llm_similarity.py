@@ -1653,3 +1653,107 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         F.col("step").cast("long").alias("step"), "vec_id", "rel"
     )
+
+
+@register(
+    "sim_ndcg_eval",
+    category="llm_sim",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label
+      FROM e WHERE vec_id < 5),
+ranked AS (
+  SELECT q.q_id, q.q_label, e.label,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+           ORDER BY {_SQL_DOT.format(a='q.q_emb', b='e.emb')} DESC,
+                    e.vec_id) AS rn
+  FROM q JOIN e ON e.vec_id <> q.q_id
+),
+topk AS (
+  SELECT q_id,
+         CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel,
+         CAST(SUM(CASE WHEN label = q_label
+              THEN CAST(round(1.0/log2(rn + 1), 9) AS DECIMAL(30,9))
+              ELSE CAST(0 AS DECIMAL(30,9)) END) AS DOUBLE) AS dcg
+  FROM ranked WHERE rn <= 10 GROUP BY q_id
+),
+ideal AS (
+  SELECT i, CAST(round(1.0/log2(i + 1), 9) AS DECIMAL(30,9)) AS gain
+  FROM (SELECT unnest(range(1, 11)) AS i)
+)
+SELECT t.q_id, t.n_rel, round(t.dcg, 9) AS dcg,
+       round(CASE WHEN t.n_rel = 0 THEN 0.0
+             ELSE t.dcg / CAST((SELECT SUM(gain) FROM ideal
+                                WHERE i <= t.n_rel) AS DOUBLE) END, 9)
+         AS ndcg
+FROM topk t
+""",
+)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the exact cosine ranking against same-label binary
+    relevance: per query, the discounted cumulative gain of relevant
+    hits in the top 10, normalized by the ideal DCG for that many
+    relevant items — the position-aware retrieval metric that recall@k
+    (sim_ann_recall_eval) is blind to: finding a relevant doc at rank 1
+    and at rank 10 are the same recall but very different NDCG. Gains
+    1/log2(rank+1) round to the 9-decimal grid before exact decimal
+    sums, so even the evaluation metric hash-matches.
+
+    Scale shape: one broadcast-query corpus scan for the ranking (the
+    sim_cosine_topk plan); gains and the ideal table operate on 10
+    rows per query."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    ranked = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "label",
+            "vec_id",
+            _dot(F.col("q_emb"), F.col("emb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+    )
+    gain = F.round(1.0 / F.log2(F.col("rn") + 1), 9).cast("decimal(30,9)")
+    rel = F.col("label") == F.col("q_label")
+    topk = ranked.groupBy("q_id").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("n_rel"),
+        F.sum(F.when(rel, gain).otherwise(F.lit(0).cast("decimal(30,9)")))
+        .cast("double")
+        .alias("dcg"),
+    )
+    ideal = spark.range(1, 11).select(
+        F.col("id").alias("i"),
+        F.round(1.0 / F.log2(F.col("id") + 1), 9)
+        .cast("decimal(30,9)")
+        .alias("gain"),
+    )
+    # running ideal-DCG per cutoff, broadcast (10 rows)
+    widcg = W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    idcg = ideal.select(
+        "i", F.sum("gain").over(widcg).cast("double").alias("idcg")
+    )
+    return (
+        topk.join(
+            F.broadcast(idcg), F.col("n_rel") == F.col("i"), "left"
+        )
+        .select(
+            "q_id",
+            "n_rel",
+            F.round("dcg", 9).alias("dcg"),
+            F.round(
+                F.when(F.col("n_rel") == 0, 0.0).otherwise(
+                    F.col("dcg") / F.col("idcg")
+                ),
+                9,
+            ).alias("ndcg"),
+        )
+    )
