@@ -1402,3 +1402,105 @@ def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(audit["n_rows"])).alias("audited_rows"),
         F.lit(bool(passed)).alias("audit_passed"),
     )
+
+
+@register(
+    "etl_dead_letter_replay",
+    category="etl",
+    oracle="""
+WITH dirty AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey,
+         CASE WHEN o_orderkey % 3 = 2 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 3 = 1
+              THEN TIMESTAMP '2099-01-01 00:00:00'
+              ELSE CAST(o_orderdate AS TIMESTAMP) END AS o_orderdate
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+fixed AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 'O'
+              ELSE o_orderstatus END AS o_orderstatus,
+         abs(o_totalprice) AS o_totalprice,
+         CASE WHEN o_orderdate >= TIMESTAMP '2002-01-01 00:00:00'
+              THEN TIMESTAMP '1998-12-31 00:00:00'
+              ELSE o_orderdate END AS o_orderdate,
+         CASE WHEN o_totalprice <= 0 THEN 'positive_price'
+              WHEN o_orderdate >= TIMESTAMP '2002-01-01 00:00:00'
+                THEN 'date_in_range'
+              ELSE 'valid_status' END AS original_rule
+  FROM dirty
+)
+SELECT original_rule,
+       CAST(COUNT(*) AS BIGINT) AS n_replayed,
+       CAST(SUM(CASE WHEN o_totalprice > 0
+                 AND o_orderdate < TIMESTAMP '2002-01-01 00:00:00'
+                 AND o_orderstatus IN ('O','F','P')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
+FROM fixed
+GROUP BY original_rule
+""",
+)
+def etl_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter replay: the quarantined batch from the expectations
+    gate (same manufactured 1-in-97 corruptions as
+    etl_expectations_quarantine) runs through deterministic REPAIRS —
+    clamp negative prices, re-domain invalid statuses, floor future
+    dates — and re-validates against the full rule stack, reporting
+    per original failure rule how many rows recovered. This is the
+    second half of the DLQ contract: quarantine without replay is a
+    data graveyard; replay closes the loop and its recovered-count
+    readout is the fix's regression test.
+
+    Scale shape: the replay touches only the quarantined fraction
+    (pushdown on the dead-letter partition at 100 TB); repairs are
+    per-row expressions and the readout one map-combined rollup."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dirty = o.filter(k % 97 == 0).select(
+        (k + 1000000000).alias("o_orderkey"),
+        F.when(k % 3 == 2, "X").otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(k % 3 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(
+            k % 3 == 1, F.lit("2099-01-01 00:00:00").cast("timestamp")
+        )
+        .otherwise(F.col("o_orderdate").cast("timestamp"))
+        .alias("o_orderdate"),
+    )
+    future = F.lit("2002-01-01 00:00:00").cast("timestamp")
+    rule = (
+        F.when(F.col("o_totalprice") <= 0, "positive_price")
+        .when(F.col("o_orderdate") >= future, "date_in_range")
+        .otherwise("valid_status")
+    )
+    fixed = dirty.select(
+        "o_orderkey",
+        F.when(
+            ~F.col("o_orderstatus").isin("O", "F", "P"), "O"
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.abs(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(
+            F.col("o_orderdate") >= future,
+            F.lit("1998-12-31 00:00:00").cast("timestamp"),
+        )
+        .otherwise(F.col("o_orderdate"))
+        .alias("o_orderdate"),
+        rule.alias("original_rule"),
+    )
+    ok = (
+        (F.col("o_totalprice") > 0)
+        & (F.col("o_orderdate") < future)
+        & F.col("o_orderstatus").isin("O", "F", "P")
+    )
+    return fixed.groupBy("original_rule").agg(
+        F.count(F.lit(1)).alias("n_replayed"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_recovered"),
+    )
