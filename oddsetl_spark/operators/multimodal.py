@@ -532,3 +532,96 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev.isNotNull(), F.abs(delta) > _SCENE_CUT_DELTA
         ).alias("is_cut"),
     )
+
+
+_SILENCE_MAX = 102  # bytes <= this ASCII code count as "silence"
+
+
+@register(
+    "mm_audio_silence_trim",
+    category="multimodal",
+    oracle=f"""
+WITH aud AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS L
+  FROM documents WHERE doc_id % 3 = 1
+),
+pos AS (
+  SELECT doc_id, text, L,
+         (SELECT COALESCE(MIN(i.n), L)
+          FROM (SELECT unnest(range(L)) AS n) i
+          WHERE ord(substr(text, i.n + 1, 1)) > {_SILENCE_MAX}) AS lead_n,
+         (SELECT COALESCE(L - 1 - MAX(i.n), L)
+          FROM (SELECT unnest(range(L)) AS n) i
+          WHERE ord(substr(text, i.n + 1, 1)) > {_SILENCE_MAX}) AS trail_n
+  FROM aud
+)
+SELECT doc_id, CAST(L AS BIGINT) AS n_samples,
+       CAST(lead_n AS BIGINT) AS lead_trimmed,
+       CAST(trail_n AS BIGINT) AS trail_trimmed,
+       CAST(CASE WHEN lead_n >= L THEN 0
+            ELSE L - lead_n - trail_n END AS BIGINT) AS kept_samples,
+       CASE WHEN lead_n >= L THEN md5('')
+            ELSE md5(substr(text, lead_n + 1, L - lead_n - trail_n))
+       END AS kept_md5
+FROM pos
+""",
+)
+def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trimming over audio payloads: strip leading and trailing
+    low-amplitude samples (bytes under the threshold — the
+    deterministic stand-in for an RMS gate) and report the trim
+    geometry plus an md5 of the kept middle — the first preprocessing
+    step of every speech pipeline, here with the byte-window replay
+    oracle so the Python stage is hash-verified like mm_video_scene_cut.
+    Degenerate cases are exercised: payloads that are all 'silence'
+    keep zero samples.
+
+    Scale shape: pure mapInPandas over payload rows, embarrassingly
+    parallel, output one row per clip regardless of payload size."""
+    m = (
+        media_table(spark, sf_dir)
+        .filter(F.col("media_type") == "audio")
+        .select("doc_id", "payload")
+    )
+
+    def trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_samples": [],
+                "lead_trimmed": [],
+                "trail_trimmed": [],
+                "kept_samples": [],
+                "kept_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                lead = next(
+                    (i for i, x in enumerate(b) if x > _SILENCE_MAX), n
+                )
+                trail = next(
+                    (i for i, x in enumerate(reversed(b)) if x > _SILENCE_MAX),
+                    n,
+                )
+                if lead >= n:
+                    kept = b""
+                    lead_n, trail_n, kept_n = n, n, 0
+                else:
+                    kept = b[lead : n - trail]
+                    lead_n, trail_n, kept_n = lead, trail, n - lead - trail
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["lead_trimmed"].append(lead_n)
+                out["trail_trimmed"].append(trail_n)
+                out["kept_samples"].append(kept_n)
+                out["kept_md5"].append(hashlib.md5(kept).hexdigest())
+            yield pd.DataFrame(out)
+
+    return m.mapInPandas(
+        trim,
+        schema=(
+            "doc_id long, n_samples long, lead_trimmed long, "
+            "trail_trimmed long, kept_samples long, kept_md5 string"
+        ),
+    )
