@@ -1129,3 +1129,215 @@ def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+_INC_TAU = 0.8
+
+
+@register(
+    "dedup_incremental_batch",
+    category="llm_dedup",
+    oracle=f"""
+WITH old AS MATERIALIZED (
+  SELECT doc_id, lower(text) AS text FROM documents
+),
+newb AS MATERIALIZED (
+  SELECT doc_id + 100000 AS new_id,
+         array_to_string(list_slice(string_split(lower(text), ' '), 3,
+                         len(string_split(lower(text), ' '))), ' ') AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 300000, lower(text)
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 400000,
+         array_to_string(list_reverse(string_split(lower(text), ' ')), ' ')
+  FROM documents WHERE doc_id % 11 = 0
+),
+exact AS MATERIALIZED (
+  SELECT n.new_id, CAST(MIN(o.doc_id) AS BIGINT) AS dup_of
+  FROM newb n JOIN old o ON md5(n.text) = md5(o.text)
+  GROUP BY n.new_id
+),
+surv AS MATERIALIZED (
+  SELECT * FROM newb WHERE new_id NOT IN (SELECT new_id FROM exact)
+),
+sh_new AS MATERIALIZED (
+  SELECT new_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> concat(string_split(text, ' ')[i], ' ',
+                       string_split(text, ' ')[i+1], ' ',
+                       string_split(text, ' ')[i+2])))) AS shingle
+  FROM surv
+),
+sh_old AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> concat(string_split(text, ' ')[i], ' ',
+                       string_split(text, ' ')[i+1], ' ',
+                       string_split(text, ' ')[i+2])))) AS shingle
+  FROM old
+),
+na AS (SELECT new_id, COUNT(*) AS n_new FROM sh_new GROUP BY new_id),
+nb AS (SELECT doc_id, COUNT(*) AS n_old FROM sh_old GROUP BY doc_id),
+pairs AS MATERIALIZED (
+  SELECT n.new_id, o.doc_id, COUNT(*) AS n_common
+  FROM sh_new n JOIN sh_old o ON n.shingle = o.shingle
+  GROUP BY n.new_id, o.doc_id
+),
+jac AS MATERIALIZED (
+  SELECT p.new_id, p.doc_id,
+         CAST(p.n_common AS DOUBLE)
+           / (na.n_new + nb.n_old - p.n_common) AS jaccard
+  FROM pairs p
+  JOIN na ON na.new_id = p.new_id
+  JOIN nb ON nb.doc_id = p.doc_id
+),
+near AS MATERIALIZED (
+  SELECT new_id, doc_id AS dup_of, jaccard
+  FROM (SELECT new_id, doc_id, jaccard,
+               ROW_NUMBER() OVER (PARTITION BY new_id
+                                  ORDER BY jaccard DESC, doc_id) AS rn
+        FROM jac WHERE jaccard >= {_INC_TAU})
+  WHERE rn = 1
+)
+SELECT n.new_id,
+       CASE WHEN e.new_id IS NOT NULL THEN 'dropped_exact'
+            WHEN nr.new_id IS NOT NULL THEN 'dropped_neardup'
+            ELSE 'kept' END AS verdict,
+       COALESCE(e.dup_of, nr.dup_of) AS dup_of,
+       round(nr.jaccard, 9) AS jaccard
+FROM newb n
+LEFT JOIN exact e ON e.new_id = n.new_id
+LEFT JOIN near nr ON nr.new_id = n.new_id
+""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape that matters at 100 TB, where you
+    never re-dedup the corpus, only the arriving batch against it. A
+    manufactured ingest batch (verbatim resubmits, head-trimmed
+    variants, token-reversed fresh content) checks against the existing
+    corpus in two stages: exact (md5 content-key anti-join — the
+    resubmits die here for the cost of a hash join) and near-dup
+    (3-shingle inverted-index join of the SURVIVORS' shingles against
+    the corpus index, exact Jaccard >= {_INC_TAU}) — the trimmed
+    variants die here, the reversed docs survive, and every new doc
+    gets a verdict row with its best corpus match. The corpus-side
+    shingle index is exactly what a production pipeline keeps
+    materialized between batches; per-batch cost tracks the BATCH's
+    collision lists, not the corpus size.
+
+    Scale shape: one hash join (exact), one inverted-index join
+    bounded by batch shingles x collision lists (near), two window
+    argmaxes on the pair lists. Nothing rescans corpus-vs-corpus."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    old = d.select("doc_id", F.lower(F.col("text")).alias("text"))
+    toks = F.split(F.lower(F.col("text")), " ")
+    newb = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("new_id"),
+            F.array_join(
+                F.expr("slice(split(lower(text), ' '), 3, "
+                       "size(split(lower(text), ' ')))"),
+                " ",
+            ).alias("text"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 300000).alias("new_id"),
+                F.lower(F.col("text")).alias("text"),
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 400000).alias("new_id"),
+                F.array_join(F.reverse(toks), " ").alias("text"),
+            )
+        )
+        .localCheckpoint()
+    )
+    exact = (
+        newb.alias("n")
+        .join(
+            old.alias("o"),
+            F.md5(F.col("n.text")) == F.md5(F.col("o.text")),
+        )
+        .groupBy(F.col("n.new_id").alias("new_id"))
+        .agg(F.min("o.doc_id").alias("dup_of"))
+        .localCheckpoint()
+    )
+    surv = newb.join(exact.select("new_id"), "new_id", "left_anti")
+
+    def shingles(df, idcol):
+        t = F.split(F.col("text"), " ")
+        return df.select(
+            idcol,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(t, i),
+                            F.element_at(t, i + 1),
+                            F.element_at(t, i + 2),
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        )
+
+    sh_new = shingles(surv, "new_id")
+    sh_old = shingles(old, "doc_id")
+    na = sh_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_new"))
+    nb = sh_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_old"))
+    pairs = (
+        sh_new.join(sh_old, "shingle")
+        .groupBy("new_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        pairs.join(na, "new_id")
+        .join(nb, "doc_id")
+        .select(
+            "new_id",
+            "doc_id",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_new") + F.col("n_old") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    wbest = W.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.asc("doc_id")
+    )
+    near = (
+        jac.filter(F.col("jaccard") >= _INC_TAU)
+        .withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_id", F.col("doc_id").alias("n_dup_of"), "jaccard"
+        )
+    )
+    e = exact.select("new_id", F.col("dup_of").alias("e_dup_of"))
+    return (
+        newb.select("new_id")
+        .join(e, "new_id", "left")
+        .join(near, "new_id", "left")
+        .select(
+            "new_id",
+            F.when(F.col("e_dup_of").isNotNull(), "dropped_exact")
+            .when(F.col("n_dup_of").isNotNull(), "dropped_neardup")
+            .otherwise("kept")
+            .alias("verdict"),
+            F.coalesce(F.col("e_dup_of"), F.col("n_dup_of")).alias(
+                "dup_of"
+            ),
+            F.round("jaccard", 9).alias("jaccard"),
+        )
+    )
