@@ -1442,3 +1442,86 @@ def win_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mad").cast("double") / 1000000).alias("mad"),
         (F.abs(F.col("r_l")) > 5 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+@register(
+    "win_dau_wau_mau",
+    category="windows",
+    oracle="""
+WITH user_days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+spine AS (SELECT DISTINCT day FROM user_days),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM user_days GROUP BY day
+),
+wau AS (
+  SELECT s.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM spine s JOIN user_days u
+    ON u.day BETWEEN s.day - 6 AND s.day
+  GROUP BY s.day
+),
+mau AS (
+  SELECT s.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+  FROM spine s JOIN user_days u
+    ON u.day BETWEEN s.day - 27 AND s.day
+  GROUP BY s.day
+)
+SELECT d.day, d.dau, w.wau, m.mau,
+       round(CAST(d.dau AS DOUBLE) / m.mau, 9) AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day JOIN mau m ON m.day = d.day
+""",
+)
+def win_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user counts: DAU plus trailing-7-day WAU and
+    trailing-28-day MAU per day, and the DAU/MAU stickiness ratio —
+    the product-analytics headline row. Rolling DISTINCT does not
+    decompose into window sums (a user active twice in the window must
+    count once), so the formulation is the scalable one: dedup to
+    user-days first (the big shrink — one pass over events), then a
+    bounded range join of the day spine against user-days within the
+    trailing window, exact distinct per day. Work is |user-days| x
+    window-width rows, independent of raw event volume.
+
+    Scale shape: the events-to-user-days dedup is the only pass over
+    the fact table; everything after operates on |users| x |days|
+    upper-bounded frames with exact integer counts and one edge
+    division."""
+    e = table(spark, sf_dir, "events")
+    user_days = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct().localCheckpoint()
+    spine = user_days.select("day").distinct()
+    dau = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+
+    def trailing_distinct(n_days, alias):
+        s = spine.select(F.col("day").alias("s_day"))
+        return (
+            s.join(
+                user_days,
+                (F.col("day") >= F.date_sub(F.col("s_day"), n_days - 1))
+                & (F.col("day") <= F.col("s_day")),
+            )
+            .select(F.col("s_day"), "user_id")
+            .distinct()
+            .groupBy(F.col("s_day").alias("day"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    wau = trailing_distinct(7, "wau")
+    mau = trailing_distinct(28, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau"), 9
+            ).alias("stickiness"),
+        )
+    )
