@@ -450,3 +450,49 @@ def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         bucket.alias("bucket"),
     ).filter(F.col("bucket") < 5)
+
+
+@register(
+    "rowops_column_masking",
+    category="rowops",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 50 = 0 THEN c_name
+            ELSE concat('Customer#', repeat('*', 9)) END AS name_masked,
+       concat(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8), '@masked')
+         AS contact_token,
+       CAST(FLOOR(c_acctbal/1000) AS BIGINT)*1000 AS acctbal_band,
+       c_mktsegment
+FROM customer
+""",
+)
+def rowops_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic column masking — the governance projection a
+    policy-enforcing view applies before analysts see the table:
+    names redact to a fixed-shape mask except for an allow-listed
+    slice (the deterministic stand-in for a role predicate), contact
+    identity is replaced by a STABLE pseudonymous token (md5 prefix —
+    joinable across tables, unlinkable to the identity; tokenization,
+    not suppression), and exact balances coarsen to 1000-unit bands
+    (the k-anonymity generalization move, see curate_k_anonymity).
+    Masking is row-independent, so the policy composes with any
+    downstream query unchanged.
+
+    Scale shape: pure narrow projection, zero shuffles, fully
+    pushdown-compatible — the mask costs nothing at any scale, which
+    is why policy views are the right enforcement point."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 50 == 0, F.col("c_name"))
+        .otherwise(F.concat(F.lit("Customer#"), F.lit("*" * 9)))
+        .alias("name_masked"),
+        F.concat(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8),
+            F.lit("@masked"),
+        ).alias("contact_token"),
+        (F.floor(F.col("c_acctbal") / 1000).cast("long") * 1000).alias(
+            "acctbal_band"
+        ),
+        "c_mktsegment",
+    )
