@@ -1630,3 +1630,67 @@ def curate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rows_suppressed"),
         F.sum("class_size").over(wall).cast("long").alias("n_rows_total"),
     )
+
+
+_SOURCE_CAP = 5
+
+
+@register(
+    "curate_source_cap",
+    category="curation",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap-v1|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {_SOURCE_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk > {_SOURCE_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped,
+       min(CASE WHEN rk <= {_SOURCE_CAP}
+           THEN md5('cap-v1|' || CAST(doc_id AS VARCHAR)) END)
+         AS first_kept_hash
+FROM ranked
+GROUP BY source
+""",
+)
+def curate_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping: every source keeps at most
+    {_SOURCE_CAP} documents, selected by md5-of-(release-tag + id)
+    order — the anti-domination guard that stops one crawler dump from
+    swamping the mixture (curate_domain_mix reweights smoothly; the cap
+    is the hard ceiling you also want). Hash-order selection makes the
+    kept set stable across runs, engines and cluster layouts, and
+    growable: raising the cap keeps every previously-kept doc (the
+    sample_hash_bucket property, per source). The readout reports
+    kept/capped per source plus the first kept hash as a selection
+    fingerprint.
+
+    Scale shape: one window rank per source partition (the shuffle you
+    pay for any per-source operation) and a map-combined rollup."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("cap-v1|"), F.col("doc_id").cast("string")))
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(h, F.col("doc_id"))
+    )
+    ranked = d.select("doc_id", "source", h.alias("h"), rk.alias("rk"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rk") <= _SOURCE_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rk") > _SOURCE_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_capped"),
+        F.min(
+            F.when(F.col("rk") <= _SOURCE_CAP, F.col("h"))
+        ).alias("first_kept_hash"),
+    )
