@@ -689,3 +689,148 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(six, mode="append", tag="chain")
+
+
+@register(
+    "stream_scd2_foreachbatch",
+    category="streaming",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM seq WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id) AS valid_to
+FROM chg
+""",
+)
+def stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 maintenance: each micro-batch folds into a
+    type-2 history of every user's current event_type — consecutive
+    same-type events collapse, each change closes the open version at
+    the change timestamp and opens a new one — via foreachBatch over a
+    TIME-ORDERED 4-file replay (maxFilesPerTrigger=1, files split at
+    ts quartiles, because incremental SCD2 is only well-defined for
+    in-order arrival; late data needs the join_temporal_scd2 repair
+    path). The cross-batch stitch is the hard part a batch SCD2 never
+    faces: a batch's first event per user must compare against the
+    STATE's open version, and a batch that changes nothing must leave
+    the open version open. The deterministic replay makes the final
+    history equal the full-sequence batch twin, which is exactly what
+    the oracle checks.
+
+    Scale shape: per batch, one window over the batch (small), a keyed
+    join against the open slice of state (one row per user), and a
+    keyed rewrite — the same MERGE cost any streaming upsert pays;
+    history grows only by changed rows."""
+    pin_session(spark)
+    from pyspark.sql import Window as W
+
+    # Time-ordered staging: 4 files split at ts quartiles.
+    src = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    staged = tempfile.mkdtemp(prefix="oddsetl_scd2stream_in_")
+    ranked = src.withColumn(
+        "qt",
+        F.ntile(4).over(W.orderBy("ts", "event_id")),
+    )
+    for i in range(1, 5):
+        ranked.filter(F.col("qt") == i).drop("qt").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staged, f"part-{i:04d}"))
+    state_dir = tempfile.mkdtemp(prefix="oddsetl_scd2stream_state_")
+    ckpt = tempfile.mkdtemp(prefix="oddsetl_scd2stream_ckpt_")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        b = batch_df.withColumn("prev", F.lag("event_type").over(w))
+        try:
+            hist = sp.read.parquet(state_dir)
+            has_state = True
+        except Exception:
+            has_state = False
+        if has_state:
+            open_v = hist.filter(F.col("valid_to").isNull()).select(
+                "user_id", F.col("event_type").alias("open_type")
+            )
+            b = b.join(open_v, "user_id", "left")
+        else:
+            b = b.withColumn("open_type", F.lit(None).cast("string"))
+        is_change = F.when(
+            F.col("prev").isNotNull(), F.col("prev") != F.col("event_type")
+        ).otherwise(
+            F.col("open_type").isNull()
+            | (F.col("open_type") != F.col("event_type"))
+        )
+        changes = b.filter(is_change).select(
+            "user_id", "event_type", F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+        wv = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+        new_versions = changes.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(wv).alias("valid_to"),
+        )
+        first_change = changes.groupBy("user_id").agg(
+            F.min("valid_from").alias("close_at")
+        )
+        if has_state:
+            closed = hist.filter(F.col("valid_to").isNotNull())
+            opens = hist.filter(F.col("valid_to").isNull()).join(
+                first_change, "user_id", "left"
+            )
+            still_open = opens.filter(F.col("close_at").isNull()).select(
+                "user_id", "event_type", "valid_from", "valid_to"
+            )
+            now_closed = opens.filter(F.col("close_at").isNotNull()).select(
+                "user_id",
+                "event_type",
+                "valid_from",
+                F.col("close_at").alias("valid_to"),
+            )
+            merged = closed.unionByName(still_open).unionByName(
+                now_closed
+            ).unionByName(new_versions)
+        else:
+            merged = new_versions
+        tmp = tempfile.mkdtemp(prefix="oddsetl_scd2stream_tmp_")
+        merged.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(staged, "part-*"))
+    )
+    q = (
+        s.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir).select(
+        "user_id", "event_type", "valid_from", "valid_to"
+    )
