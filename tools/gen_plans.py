@@ -21,9 +21,21 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "text_chunk_sliding", "sort_total_order_range",
             "dedup_minhash_det", "curate_pipeline_funnel",
             "join_temporal_scd2", "emb_matryoshka_eval",
-            "etl_expectations_quarantine", "scan_file_lineage"]
+            "etl_expectations_quarantine", "scan_file_lineage",
+            "etl_denormalize_wide", "sim_ivf_pq", "agg_ks_test",
+            "dedup_incremental_batch", "win_dau_wau_mau"]
 
 NOTES = {
+    "etl_denormalize_wide": "seven joins, every dimension side broadcast "
+        "(7 BroadcastHashJoins, zero SMJ); key filter pushed to the fact scan.",
+    "sim_ivf_pq": "codes join candidates on vec_id; probes and 128-entry LUTs "
+        "broadcast; scoring is integer sums over probed lists only.",
+    "agg_ks_test": "one exchange onto the cent grid; every window after runs "
+        "over the bounded support, not the row count.",
+    "dedup_incremental_batch": "exact anti-join then batch-shingles x corpus "
+        "inverted index; no corpus-vs-corpus stage anywhere.",
+    "win_dau_wau_mau": "events dedup to user-days once; range joins expand "
+        "user-days x window width, independent of event volume.",
     "agg_groupby_multi": "Q1 flagship: pushed shipdate filter, 7-col ReadSchema, "
         "partial HashAggregate before the single exchange on the 2 grouping keys.",
     "join3_topk_revenue": "Q3 shape: filtered customer broadcast; orders⋈lineitem "
