@@ -732,9 +732,20 @@ def stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed rewrite — the same MERGE cost any streaming upsert pays;
     history grows only by changed rows."""
     pin_session(spark)
+    staged = scd2_stage(spark, sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="oddsetl_scd2stream_state_")
+    ckpt = tempfile.mkdtemp(prefix="oddsetl_scd2stream_ckpt_")
+    q = scd2_start(spark, staged, state_dir, ckpt)
+    q.awaitTermination()
+    return spark.read.parquet(state_dir).select(
+        "user_id", "event_type", "valid_from", "valid_to"
+    )
+
+
+def scd2_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as 4 time-ordered files (ts-quartile split)."""
     from pyspark.sql import Window as W
 
-    # Time-ordered staging: 4 files split at ts quartiles.
     src = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"),
         "event_id",
@@ -748,10 +759,26 @@ def stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter(F.col("qt") == i).drop("qt").coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(staged, f"part-{i:04d}"))
-    state_dir = tempfile.mkdtemp(prefix="oddsetl_scd2stream_state_")
-    ckpt = tempfile.mkdtemp(prefix="oddsetl_scd2stream_ckpt_")
+    return staged
+
+
+def scd2_start(spark, staged: str, state_dir: str, ckpt: str):
+    """Start the SCD2-maintaining stream; returns the StreamingQuery.
+
+    merge_batch is IDEMPOTENT under batch re-delivery (foreachBatch may
+    re-run a batch after a failure): an applied-batch marker directory
+    outside the rewritten state path skips exact re-deliveries, the
+    standard batchId-tracking pattern — without it a replayed batch
+    would re-append its change versions and corrupt the history."""
+    from pyspark.sql import Window as W
+
+    marker_dir = state_dir + "_markers"
+    os.makedirs(marker_dir, exist_ok=True)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"applied_{batch_id}")
+        if os.path.exists(marker):
+            return
         sp = batch_df.sparkSession
         w = W.partitionBy("user_id").orderBy("ts", "event_id")
         b = batch_df.withColumn("prev", F.lag("event_type").over(w))
@@ -809,6 +836,7 @@ def stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = tempfile.mkdtemp(prefix="oddsetl_scd2stream_tmp_")
         merged.write.mode("overwrite").parquet(tmp)
         sp.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+        open(marker, "w").close()
 
     schema = T.StructType(
         [
@@ -823,14 +851,10 @@ def stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(os.path.join(staged, "part-*"))
     )
-    q = (
+    return (
         s.writeStream.foreachBatch(merge_batch)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(state_dir).select(
-        "user_id", "event_type", "valid_from", "valid_to"
     )
