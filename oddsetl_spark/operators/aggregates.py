@@ -2464,3 +2464,90 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.cast("long").alias("n_runs"),
         F.round((r - e_r) / F.sqrt(v_r), 6).alias("z_stat"),
     )
+
+
+@register(
+    "agg_expected_calibration_error",
+    category="agg",
+    oracle="""
+WITH scored AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+mx AS (SELECT CAST(MAX(cents) AS BIGINT) AS max_c FROM scored),
+binned AS (
+  SELECT CAST(LEAST(FLOOR(cents*10/max_c), 9) AS BIGINT) AS bin,
+         label, cents, max_c
+  FROM scored, mx
+),
+bins AS (
+  SELECT bin, max_c,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(SUM(cents) AS BIGINT) AS sum_c
+  FROM binned GROUP BY bin, max_c
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM bins)
+SELECT t.n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       round(CAST(SUM(CAST(round(
+               n * abs(CAST(sum_c AS DOUBLE)/n/max_c
+                       - CAST(n_pos AS DOUBLE)/n), 9)
+             AS DECIMAL(30,9))) AS DOUBLE) / t.n_total, 9) AS ece
+FROM bins, tot t
+GROUP BY t.n_total
+""",
+)
+def agg_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected Calibration Error — the one-number summary of
+    agg_calibration_bins' reliability table: the bin-weighted mean of
+    |mean predicted score - empirical rate|, the metric that says in a
+    single figure how much a scorer's confidence can be trusted. Each
+    bin's term (count times the absolute gap of two exact-integer-sum
+    ratios) rounds to the 9-decimal grid before the exact decimal sum,
+    then one division by N.
+
+    Scale shape: identical to the calibration table — one
+    map-combined pass onto ten bins, then arithmetic on ten rows."""
+    e = table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    mx = scored.agg(F.max("cents").alias("max_c"))
+    binned = scored.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.floor(F.col("cents") * 10 / F.col("max_c")).cast("long"),
+            F.lit(9),
+        ).alias("bin"),
+        "label",
+        "cents",
+        "max_c",
+    )
+    bins = binned.groupBy("bin", "max_c").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum("cents").cast("long").alias("sum_c"),
+    )
+    term = F.round(
+        F.col("n")
+        * F.abs(
+            F.col("sum_c").cast("double") / F.col("n") / F.col("max_c")
+            - F.col("n_pos").cast("double") / F.col("n")
+        ),
+        9,
+    ).cast("decimal(30,9)")
+    return bins.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(term).cast("double").alias("_ece_sum"),
+    ).select(
+        "n_total",
+        "n_bins",
+        F.round(F.col("_ece_sum") / F.col("n_total"), 9).alias("ece"),
+    )
