@@ -1504,3 +1504,59 @@ def etl_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_replayed"),
         F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_recovered"),
     )
+
+
+_FRESH_SLA_SEC = 70
+
+
+@register(
+    "etl_freshness_sla",
+    category="etl",
+    oracle=f"""
+WITH feeds AS (
+  SELECT event_type, max(CAST(ts AS TIMESTAMP)) AS last_seen,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+),
+ref AS (SELECT max(last_seen) AS watermark FROM feeds)
+SELECT f.event_type, f.last_seen, f.n_events, r.watermark,
+       CAST(FLOOR(date_diff('microsecond', f.last_seen, r.watermark)
+                  / 1000000) AS BIGINT) AS lag_seconds,
+       FLOOR(date_diff('microsecond', f.last_seen, r.watermark)
+             / 1000000) > {_FRESH_SLA_SEC} AS sla_breach
+FROM feeds f, ref r
+""",
+)
+def etl_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA monitor: per feed (event type standing in for
+    a source feed), the last-seen timestamp, its lag behind the
+    freshest feed's watermark, and the SLA verdict (breach beyond
+    {_FRESH_SLA_SEC}s) — the first dashboard an on-call looks at, and
+    the gate an orchestrator checks before running downstream jobs
+    that assume complete inputs. Lags compare as exact second
+    integers; the fixture feeds realize both verdicts at every SF.
+
+    Scale shape: one map-combined max/count per feed — at 100 TB this
+    reads the partition-level max statistics, not the data — and a
+    1-row watermark broadcast."""
+    e = table(spark, sf_dir, "events")
+    feeds = e.groupBy("event_type").agg(
+        F.max(F.col("ts").cast("timestamp")).alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    ref = feeds.agg(F.max("last_seen").alias("watermark"))
+    # whole seconds of elapsed time: microsecond diff floored — DuckDB's
+    # date_diff('second') counts boundary CROSSINGS while Spark truncates
+    # the interval, an off-by-one on sub-second offsets (measured)
+    lag = F.floor(
+        F.timestamp_diff("MICROSECOND", F.col("last_seen"), F.col("watermark"))
+        / 1000000
+    ).cast("long")
+    return feeds.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "last_seen",
+        "n_events",
+        "watermark",
+        lag.alias("lag_seconds"),
+        (lag > _FRESH_SLA_SEC).alias("sla_breach"),
+    )
