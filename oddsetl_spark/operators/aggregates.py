@@ -2551,3 +2551,62 @@ def agg_expected_calibration_error(
         "n_bins",
         F.round(F.col("_ece_sum") / F.col("n_total"), 9).alias("ece"),
     )
+
+
+@register(
+    "agg_generalized_means",
+    category="agg",
+    oracle="""
+WITH pos AS (
+  SELECT event_type, value FROM events WHERE value > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_arith,
+       round(exp(CAST(SUM(CAST(round(ln(value), 9) AS DECIMAL(30,9)))
+                 AS DOUBLE) / COUNT(*)), 6) AS mean_geom,
+       round(COUNT(*)
+             / CAST(SUM(CAST(round(1.0/value, 9) AS DECIMAL(30,9)))
+               AS DOUBLE), 6) AS mean_harm
+FROM pos
+GROUP BY event_type
+""",
+)
+def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean means per event type (positive values only, as
+    geometric/harmonic require): arithmetic for totals, geometric for
+    multiplicative quantities (growth factors, ratios), harmonic for
+    rates (the right average for per-unit costs) — with the AM >= GM
+    >= HM ordering as a built-in sanity invariant. Geometric runs as
+    exp of the mean of 9-decimal-rounded logs, harmonic over rounded
+    reciprocals, both through exact decimal sums (the bigram-LM
+    discipline), so every mean hash-matches.
+
+    Scale shape: one map-combined groupBy; all three means are
+    mergeable (count + one decimal sum each)."""
+    e = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_arith"),
+        F.round(
+            F.exp(
+                F.sum(
+                    F.round(F.log("value"), 9).cast("decimal(30,9)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("mean_geom"),
+        F.round(
+            F.count(F.lit(1))
+            / F.sum(
+                F.round(1.0 / F.col("value"), 9).cast("decimal(30,9)")
+            ).cast("double"),
+            6,
+        ).alias("mean_harm"),
+    )
