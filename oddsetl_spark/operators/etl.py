@@ -1560,3 +1560,111 @@ def etl_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_seconds"),
         (lag > _FRESH_SLA_SEC).alias("sla_breach"),
     )
+
+
+@register(
+    "etl_interpolate_linear",
+    category="etl",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y_c
+  FROM orders WHERE o_custkey < 50 GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                (SELECT max(day) FROM daily),
+                                INTERVAL 1 DAY))::DATE AS day
+),
+joined AS (
+  SELECT s.day, d.y_c FROM spine s LEFT JOIN daily d ON d.day = s.day
+),
+bounded AS (
+  SELECT day, y_c,
+         last_value(y_c IGNORE NULLS) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN y_c IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+         first_value(y_c IGNORE NULLS) OVER (ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN y_c IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM joined
+)
+SELECT day,
+       CAST(CASE WHEN y_c IS NOT NULL THEN y_c
+            WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+            ELSE prev_v + ((next_v - prev_v)*date_diff('day', prev_d, day)
+                 - (((next_v - prev_v)*date_diff('day', prev_d, day))
+                    % date_diff('day', prev_d, next_d)
+                    + date_diff('day', prev_d, next_d))
+                   % date_diff('day', prev_d, next_d))
+                 / date_diff('day', prev_d, next_d)
+       END AS DOUBLE)/100 AS value,
+       y_c IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+         AS is_interpolated
+FROM bounded
+""",
+)
+def etl_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing days in the revenue series — the
+    third member of the densification family (gap-fill zero-fills,
+    LOCF carries forward; interpolation draws the line between the
+    bracketing known values, the right call for continuous measures).
+    The interpolated value stays on the exact cent grid via the
+    portable positive-modulo floor division (the
+    agg_seasonal_decompose machinery — both engines' native integer
+    ops disagree on negative slopes); days outside the known range
+    remain NULL, flagged rows carry is_interpolated.
+
+    Scale shape: one daily groupBy, a calendar spine join, and two
+    IGNORE NULLS window passes over the calendar-bounded series."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("y_c")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = spine.join(daily, "day", "left")
+    wprev = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    wnext = W.orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    known_day = F.when(F.col("y_c").isNotNull(), F.col("day"))
+    b = joined.select(
+        "day",
+        "y_c",
+        F.last("y_c", ignorenulls=True).over(wprev).alias("prev_v"),
+        F.last(known_day, ignorenulls=True).over(wprev).alias("prev_d"),
+        F.first("y_c", ignorenulls=True).over(wnext).alias("next_v"),
+        F.first(known_day, ignorenulls=True).over(wnext).alias("next_d"),
+    )
+    num = (F.col("next_v") - F.col("prev_v")) * F.datediff(
+        F.col("day"), F.col("prev_d")
+    )
+    den = F.datediff(F.col("next_d"), F.col("prev_d"))
+    interp_c = F.col("prev_v") + (num - ((num % den) + den) % den) / den
+    value_c = F.when(F.col("y_c").isNotNull(), F.col("y_c")).otherwise(
+        F.when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            interp_c,
+        )
+    )
+    return b.select(
+        "day",
+        (value_c.cast("double") / 100).alias("value"),
+        (
+            F.col("y_c").isNull()
+            & F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+        ).alias("is_interpolated"),
+    )
