@@ -828,3 +828,64 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.alias("decrypted"),
         (dec == F.col("c_name")).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "fn_ip_cidr",
+    category="functions",
+    oracle="""
+WITH ips AS (
+  SELECT event_id,
+         concat('10.', CAST((event_id * 7) % 64 AS VARCHAR), '.',
+                CAST((event_id * 13) % 256 AS VARCHAR), '.',
+                CAST((event_id * 29) % 256 AS VARCHAR)) AS ip,
+         10*16777216 + ((event_id * 7) % 64)*65536
+           + ((event_id * 13) % 256)*256 + (event_id * 29) % 256 AS ip_l
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id, ip, CAST(ip_l AS BIGINT) AS ip_long,
+       CAST(ip_l // 1024 AS BIGINT) AS subnet22_id,
+       ip_l >= 10*16777216 + 16*65536
+         AND ip_l < 10*16777216 + 32*65536 AS in_cidr_10_16_0_0_12,
+       (ip_l % 256) = 0 AS is_network_addr
+FROM ips
+""",
+)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP address arithmetic for network-log analytics: dotted-quad
+    rendering, the 32-bit integer form, /22 subnet bucketing (integer
+    shift — the group-by key for per-subnet rollups), CIDR containment
+    (10.16.0.0/12 as a pure range predicate — how a firewall-rule join
+    actually executes) and network-address detection. Spark has no
+    inet type; the point is that none is needed — CIDR logic is
+    integer compares once the address is a long, which pushes down and
+    codegens like any other predicate. Addresses synthesize
+    deterministically from event ids (a 10.0.0.0/10 space).
+
+    Scale shape: pure narrow arithmetic, zero shuffles; subnet rollups
+    group on the shifted integer."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    o2 = (F.col("event_id") * 7) % 64
+    o3 = (F.col("event_id") * 13) % 256
+    o4 = (F.col("event_id") * 29) % 256
+    ip_l = (
+        F.lit(10 * 16777216) + o2 * 65536 + o3 * 256 + o4
+    )
+    return e.select(
+        "event_id",
+        F.concat(
+            F.lit("10."),
+            o2.cast("string"),
+            F.lit("."),
+            o3.cast("string"),
+            F.lit("."),
+            o4.cast("string"),
+        ).alias("ip"),
+        ip_l.cast("long").alias("ip_long"),
+        F.floor(ip_l / 1024).cast("long").alias("subnet22_id"),
+        (
+            (ip_l >= 10 * 16777216 + 16 * 65536)
+            & (ip_l < 10 * 16777216 + 32 * 65536)
+        ).alias("in_cidr_10_16_0_0_12"),
+        ((ip_l % 256) == 0).alias("is_network_addr"),
+    )
