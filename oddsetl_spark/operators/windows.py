@@ -1525,3 +1525,113 @@ def win_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "win_top_paths",
+    category="windows",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+s AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM g
+),
+ranked AS (
+  SELECT user_id, session_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn
+  FROM s
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3
+  GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions, rk
+FROM (SELECT path, COUNT(*) AS c,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rk
+      FROM paths GROUP BY path)
+JOIN paths USING (path)
+GROUP BY path, rk
+HAVING rk <= 10
+""",
+)
+def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: the first three event types of every
+    30-minute session, joined into a path string, ranked by frequency
+    (top 10) — the "how do sessions start" readout behind onboarding
+    and funnel design (win_markov_transitions gives the one-step
+    chain; paths keep the actual ordered prefix). Path assembly uses
+    ordered string aggregation (the agg_string_agg determinism
+    discipline); ranking ties break on the path string.
+
+    Scale shape: sessionization's user_id shuffle, a per-session
+    window, then a path-frequency rollup whose cardinality is bounded
+    by |event_types|^3, not by sessions."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag(F.col("ts")).over(w)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    ranked = sess.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number()
+        .over(
+            W.partitionBy("user_id", "session_id").orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    wtop = W.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counts.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 10)
+        .select("path", "n_sessions", "rk")
+    )
