@@ -1635,3 +1635,126 @@ def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("path", "n_sessions", "rk")
     )
+
+
+@register(
+    "win_max_concurrency",
+    category="windows",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM g
+),
+sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM s GROUP BY user_id, session_id
+),
+sweep AS (
+  SELECT s_start AS at_ts, 1 AS delta, user_id, session_id FROM sessions
+  UNION ALL
+  SELECT s_end, -1, user_id, session_id FROM sessions
+),
+running AS (
+  SELECT at_ts, delta,
+         CAST(SUM(delta) OVER (ORDER BY at_ts, delta DESC,
+                               user_id, session_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS concurrent
+  FROM sweep
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions) AS n_sessions,
+       CAST(MAX(concurrent) AS BIGINT) AS max_concurrent,
+       MIN(CASE WHEN concurrent = (SELECT MAX(concurrent) FROM running)
+           THEN at_ts END) AS first_peak_ts
+FROM running
+""",
+)
+def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the +1/-1 interval sweep: every session
+    contributes a start (+1) and end (-1) point, the ordered running
+    sum is the number of simultaneously open sessions, and its maximum
+    (with the earliest time it is reached) is the capacity-planning
+    number — "how many concurrent users must we serve". Tie order puts
+    starts before ends at the same instant (inclusive overlap), then
+    stable keys, so the sweep is deterministic.
+
+    Scale shape: the sweep is 2 rows per session; at 100 TB it
+    partitions by time range with per-range boundary offsets (a
+    prefix-sum pass over range partials — the curate_pack_chunks
+    two-pass pattern), so no single-partition window is required at
+    scale; the fixture runs it directly."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag(F.col("ts")).over(w)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    sessions = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    ).localCheckpoint()
+    sweep = sessions.select(
+        F.col("s_start").alias("at_ts"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_id",
+    ).unionAll(
+        sessions.select(
+            F.col("s_end").alias("at_ts"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    )
+    wsweep = W.orderBy(
+        F.asc("at_ts"),
+        F.desc("delta"),
+        F.asc("user_id"),
+        F.asc("session_id"),
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    running = sweep.select(
+        "at_ts", F.sum("delta").over(wsweep).alias("concurrent")
+    )
+    n_sessions = sessions.count()
+    peak = running.agg(F.max("concurrent").alias("mx"))
+    return (
+        running.crossJoin(F.broadcast(peak))
+        .agg(
+            F.max("concurrent").cast("long").alias("max_concurrent"),
+            F.min(
+                F.when(
+                    F.col("concurrent") == F.col("mx"), F.col("at_ts")
+                )
+            ).alias("first_peak_ts"),
+        )
+        .select(
+            F.lit(n_sessions).cast("long").alias("n_sessions"),
+            "max_concurrent",
+            "first_peak_ts",
+        )
+    )
