@@ -1694,3 +1694,127 @@ def curate_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rk") <= _SOURCE_CAP, F.col("h"))
         ).alias("first_kept_hash"),
     )
+
+
+@register(
+    "curate_source_similarity",
+    category="curation",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+counts AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, t
+),
+totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY source
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.t, a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb
+  FROM counts a
+  JOIN counts b ON b.t = a.t AND a.source < b.source
+  JOIN totals ta ON ta.source = a.source
+  JOIN totals tb ON tb.source = b.source
+),
+terms AS (
+  SELECT source_a, source_b,
+         CAST(round(CASE WHEN ca*nb <= cb*na
+                    THEN CAST(ca AS DOUBLE)/na
+                    ELSE CAST(cb AS DOUBLE)/nb END, 9)
+              AS DECIMAL(30,9)) AS term
+  FROM pairs
+),
+sims AS (
+  SELECT source_a, source_b,
+         CAST(SUM(term) AS DOUBLE) AS hist_intersection
+  FROM terms GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, hist_intersection, rn
+FROM (SELECT source_a, source_b, hist_intersection,
+             ROW_NUMBER() OVER (ORDER BY hist_intersection DESC,
+                                source_a, source_b) AS rn
+      FROM sims)
+WHERE rn <= 15
+""",
+)
+def curate_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional similarity between sources: histogram
+    intersection sum(min(p_a(t), p_b(t))) over the shared vocabulary —
+    1.0 means identical token distributions, and a suspiciously high
+    pair flags the same crawl ingested twice under different names
+    (dedup finds duplicate DOCUMENTS; this finds duplicate SOURCES).
+    Top-15 most-similar pairs. The min picks by exact integer
+    cross-multiplication (ca*nb vs cb*na — no double compare), each
+    chosen fraction rounds to the 9-decimal grid before the exact
+    decimal sum.
+
+    Scale shape: token counts are one map-combined pass; the pair join
+    is an inverted-index join on the token (work tracks shared-vocab
+    collision lists, |sources|^2 only in the worst all-shared case),
+    and the rollup emits one row per source pair."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"),
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    a = counts.select(
+        F.col("source").alias("source_a"), "t", F.col("c").alias("ca")
+    )
+    b = counts.select(
+        F.col("source").alias("source_b"),
+        F.col("t").alias("tb"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("t") == F.col("tb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n").alias("na"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n").alias("nb"),
+                )
+            ),
+            "source_b",
+        )
+    )
+    term = F.round(
+        F.when(
+            F.col("ca") * F.col("nb") <= F.col("cb") * F.col("na"),
+            F.col("ca").cast("double") / F.col("na"),
+        ).otherwise(F.col("cb").cast("double") / F.col("nb")),
+        9,
+    ).cast("decimal(30,9)")
+    sims = pairs.groupBy("source_a", "source_b").agg(
+        F.sum(term).cast("double").alias("hist_intersection")
+    )
+    wtop = W.orderBy(
+        F.desc("hist_intersection"), F.asc("source_a"), F.asc("source_b")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 15)
+        .select("source_a", "source_b", "hist_intersection", "rn")
+    )
