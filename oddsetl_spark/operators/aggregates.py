@@ -2610,3 +2610,78 @@ def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_harm"),
     )
+
+
+@register(
+    "agg_power_analysis",
+    category="agg",
+    oracle="""
+WITH arm AS (
+  SELECT user_id % 2 AS variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST((value*value) AS DECIMAL(30,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY user_id % 2
+),
+pooled AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         (SUM(s2) - SUM(s)*SUM(s)/SUM(n))/(SUM(n) - 1) AS var_pooled,
+         SUM(s)/SUM(n) AS mean_all
+  FROM arm
+)
+SELECT n_total,
+       round(var_pooled, 6) AS var_pooled,
+       round(mean_all, 9) AS mean_all,
+       CAST(CEIL(2 * var_pooled * (1.959964 + 0.841621)*(1.959964 + 0.841621)
+            / ((0.02*mean_all)*(0.02*mean_all))) AS BIGINT)
+         AS n_per_arm_mde2pct,
+       CAST(CEIL(2 * var_pooled * (1.959964 + 0.841621)*(1.959964 + 0.841621)
+            / ((0.05*mean_all)*(0.05*mean_all))) AS BIGINT)
+         AS n_per_arm_mde5pct
+FROM pooled
+""",
+)
+def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the per-arm sample size needed to
+    detect a 2% (and 5%) relative lift on mean event value at
+    alpha=0.05 two-sided, power=0.80 — the closed form
+    n = 2 sigma^2 (z_{a/2} + z_beta)^2 / delta^2 with the z constants
+    as literals (1.959964, 0.841621) and sigma^2/mean measured from
+    the data itself. This is the design-side companion to the readout
+    tests (z/t/U): "how long must this experiment run" answered from
+    the same mergeable (n, sum, sumsq) moments. The ceiling lands on
+    an exact integer from an identical double chain, so even the
+    sample-size recommendation hash-matches.
+
+    Scale shape: one map-combined pass; everything after is arithmetic
+    on a two-row frame."""
+    e = table(spark, sf_dir, "events")
+    v = F.col("value")
+    arm = e.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(v).alias("s"),
+        dsum(v * v).alias("s2"),
+    )
+    pooled = arm.agg(
+        F.sum("n").alias("n_total"),
+        (
+            (F.sum("s2") - F.sum("s") * F.sum("s") / F.sum("n"))
+            / (F.sum("n") - 1)
+        ).alias("var_pooled"),
+        (F.sum("s") / F.sum("n")).alias("mean_all"),
+    )
+    z2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+
+    def n_for(mde):
+        delta = mde * F.col("mean_all")
+        return F.ceil(
+            2 * F.col("var_pooled") * z2 / (delta * delta)
+        ).cast("long")
+
+    return pooled.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round("var_pooled", 6).alias("var_pooled"),
+        F.round("mean_all", 9).alias("mean_all"),
+        n_for(0.02).alias("n_per_arm_mde2pct"),
+        n_for(0.05).alias("n_per_arm_mde5pct"),
+    )
