@@ -1668,3 +1668,88 @@ def etl_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("next_v").isNotNull()
         ).alias("is_interpolated"),
     )
+
+
+@register(
+    "etl_schema_drift_detect",
+    category="etl",
+    oracle="""
+WITH old_cols AS (
+  SELECT * FROM (VALUES
+    ('o_orderkey', 'bigint'), ('o_custkey', 'bigint'),
+    ('o_orderstatus', 'string'), ('o_totalprice', 'double'),
+    ('o_orderdate', 'timestamp')) AS t(col_name, col_type)
+),
+new_cols AS (
+  SELECT * FROM (VALUES
+    ('o_orderkey', 'bigint'), ('o_custkey', 'bigint'),
+    ('o_orderstatus', 'string'), ('o_totalprice', 'decimal(18,2)'),
+    ('o_orderpriority', 'string'), ('ingest_ts', 'timestamp'))
+    AS t(col_name, col_type)
+)
+SELECT COALESCE(o.col_name, n.col_name) AS col_name,
+       CASE WHEN o.col_name IS NULL THEN 'added'
+            WHEN n.col_name IS NULL THEN 'removed'
+            WHEN o.col_type <> n.col_type THEN 'type_changed'
+            ELSE 'unchanged' END AS drift,
+       o.col_type AS old_type, n.col_type AS new_type
+FROM old_cols o FULL OUTER JOIN new_cols n ON n.col_name = o.col_name
+""",
+)
+def etl_schema_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift report between two snapshot schemas: added /
+    removed / type-changed / unchanged per column, from a full outer
+    join of the two (name, type) sets — the diff a contract-enforcing
+    ingest runs BEFORE loading (etl_schema_evolution handles the read
+    mechanics; this is the decision input for whether evolution is
+    allowed: additive changes pass, type changes page someone). The
+    two schemas are materialized as real parquet writes and read back
+    via the catalog (StructType), so the comparison exercises the
+    actual schema plumbing, not literals.
+
+    Scale shape: schema metadata only — O(columns), zero data scan;
+    the report is the same at any table size."""
+    import tempfile
+
+    base = table(spark, sf_dir, "orders").limit(10)
+    old_df = base.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    new_df = base.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderpriority",
+        F.current_timestamp().alias("ingest_ts"),
+    )
+    d_old = tempfile.mkdtemp(prefix="oddsetl_drift_old_")
+    d_new = tempfile.mkdtemp(prefix="oddsetl_drift_new_")
+    old_df.write.mode("overwrite").parquet(d_old)
+    new_df.write.mode("overwrite").parquet(d_new)
+    os_ = [
+        (f.name, f.dataType.simpleString())
+        for f in spark.read.parquet(d_old).schema.fields
+    ]
+    ns_ = [
+        (f.name, f.dataType.simpleString())
+        for f in spark.read.parquet(d_new).schema.fields
+    ]
+    o = spark.createDataFrame(os_, ["col_name", "old_type"])
+    n = spark.createDataFrame(ns_, ["n_col_name", "new_type"])
+    j = o.join(
+        n, F.col("col_name") == F.col("n_col_name"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("col_name"), F.col("n_col_name")).alias(
+            "col_name"
+        ),
+        F.when(F.col("col_name").isNull(), "added")
+        .when(F.col("n_col_name").isNull(), "removed")
+        .when(F.col("old_type") != F.col("new_type"), "type_changed")
+        .otherwise("unchanged")
+        .alias("drift"),
+        "old_type",
+        "new_type",
+    )
