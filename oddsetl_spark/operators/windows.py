@@ -1758,3 +1758,84 @@ def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_peak_ts",
         )
     )
+
+
+@register(
+    "win_rsi",
+    category="windows",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y_c
+  FROM orders GROUP BY 1
+),
+diffs AS (
+  SELECT day, y_c,
+         y_c - LAG(y_c) OVER (ORDER BY day) AS d
+  FROM daily
+),
+gains AS (
+  SELECT day, y_c,
+         CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) OVER w AS BIGINT)
+           AS gain_sum,
+         CAST(SUM(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER w AS BIGINT)
+           AS loss_sum,
+         COUNT(d) OVER w AS n_d
+  FROM diffs
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(y_c AS DOUBLE)/100 AS y,
+       CASE WHEN n_d = 14 THEN
+         CASE WHEN loss_sum = 0 THEN 100.0
+              ELSE 100.0 - 100.0/(1.0 + CAST(gain_sum AS DOUBLE)/loss_sum)
+         END
+       END AS rsi14
+FROM gains
+""",
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period Relative Strength Index over daily revenue (Cutler's
+    simple-average form — the Wilder-smoothed variant is a win_ewma
+    style fold; the SMA form is the deterministic window one): RSI =
+    100 - 100/(1 + sum(gains)/sum(losses)) over the trailing 14
+    deltas, the bounded 0-100 momentum oscillator that completes the
+    technical-indicator set (OHLC bars, Bollinger bands, drawdown).
+    Gains and losses accumulate as exact cent LONGS; the one division
+    chain is identical on both engines, the all-gain edge case pins to
+    100 exactly, and warm-up rows (fewer than 14 deltas) stay NULL.
+
+    Scale shape: one daily groupBy, then the calendar-bounded window
+    (the agg_seasonal_decompose argument)."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("y_c")
+    )
+    d = F.col("y_c") - F.lag("y_c").over(W.orderBy("day"))
+    diffs = daily.select("day", "y_c", d.alias("d"))
+    w = W.orderBy("day").rowsBetween(-13, 0)
+    gains = diffs.select(
+        "day",
+        "y_c",
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0))
+        .over(w)
+        .alias("gain_sum"),
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0))
+        .over(w)
+        .alias("loss_sum"),
+        F.count("d").over(w).alias("n_d"),
+    )
+    rsi = F.when(F.col("loss_sum") == 0, 100.0).otherwise(
+        100.0
+        - 100.0
+        / (1.0 + F.col("gain_sum").cast("double") / F.col("loss_sum"))
+    )
+    return gains.select(
+        "day",
+        (F.col("y_c").cast("double") / 100).alias("y"),
+        F.when(F.col("n_d") == 14, rsi).alias("rsi14"),
+    )
