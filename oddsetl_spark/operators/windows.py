@@ -1839,3 +1839,110 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y_c").cast("double") / 100).alias("y"),
         F.when(F.col("n_d") == 14, rsi).alias("rsi14"),
     )
+
+
+_MARKOV_POWER_ITERS = 3
+
+
+def _markov_stationary_oracle() -> str:
+    blocks = []
+    prev = "pi0"
+    for i in range(1, _MARKOV_POWER_ITERS + 1):
+        blocks.append(
+            f"""pi{i} AS (
+  SELECT m.next_type AS state,
+         CAST(SUM(CAST(round(p.prob * m.p, 9) AS DECIMAL(30,9)))
+              AS DOUBLE) AS prob
+  FROM {prev} p JOIN matrix m ON m.prev_type = p.state
+  GROUP BY m.next_type
+)"""
+        )
+        prev = f"pi{i}"
+    chain = ",\n".join(blocks)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (SELECT prev_type, SUM(n) AS n_from FROM pairs GROUP BY prev_type),
+matrix AS MATERIALIZED (
+  SELECT p.prev_type, p.next_type,
+         round(p.n * 1.0 / t.n_from, 9) AS p
+  FROM pairs p JOIN tot t ON t.prev_type = p.prev_type
+),
+pi0 AS (
+  SELECT prev_type AS state, CAST(0.2 AS DOUBLE) AS prob
+  FROM (SELECT DISTINCT prev_type FROM matrix)
+),
+{chain}
+SELECT state, round(prob, 9) AS stationary_prob
+FROM {prev}
+"""
+
+
+@register(
+    "win_markov_stationary",
+    category="windows",
+    oracle=_markov_stationary_oracle(),
+)
+def win_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by power
+    iteration: {_MARKOV_POWER_ITERS} unrolled steps of pi' = pi P from
+    the uniform start over win_markov_transitions' matrix — the
+    long-run where-do-users-spend-time distribution that the one-step
+    matrix only implies. Each step rounds the products to the
+    9-decimal grid before the exact decimal sum (the ln-discipline
+    applied to matrix-vector multiplies), so the whole iteration is
+    engine-identical; the fixed prefix is the dedup_components
+    convergence discipline.
+
+    Scale shape: the matrix is |types|^2 rows (broadcast-size) — the
+    heavy pass is the one sequence window that builds it; each power
+    step is a tiny join+rollup."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    matrix = pairs.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.round(F.col("n") * 1.0 / F.col("n_from"), 9).alias("p"),
+    ).localCheckpoint()
+    pi = matrix.select(F.col("prev_type").alias("state")).distinct().select(
+        "state", F.lit(0.2).cast("double").alias("prob")
+    )
+    for _ in range(_MARKOV_POWER_ITERS):
+        pi = (
+            pi.join(
+                matrix, F.col("prev_type") == F.col("state")
+            )
+            .groupBy(F.col("next_type").alias("new_state"))
+            .agg(
+                F.sum(
+                    F.round(F.col("prob") * F.col("p"), 9).cast(
+                        "decimal(30,9)"
+                    )
+                )
+                .cast("double")
+                .alias("new_prob")
+            )
+            .select(
+                F.col("new_state").alias("state"),
+                F.col("new_prob").alias("prob"),
+            )
+        )
+    return pi.select("state", F.round("prob", 9).alias("stationary_prob"))
