@@ -625,3 +625,76 @@ def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trail_trimmed long, kept_samples long, kept_md5 string"
         ),
     )
+
+
+def _media_zone_oracle() -> str:
+    from .geo import _ZONE
+
+    n = len(_ZONE)
+    edges = [(_ZONE[i], _ZONE[(i + 1) % n]) for i in range(n)]
+    crosses = " AND ".join(
+        f"(({xj}) - ({xi})) * (lat - ({yi}))"
+        f" - (({yj}) - ({yi})) * (lon - ({xi})) >= 0"
+        for (yi, xi), (yj, xj) in edges
+    )
+    return f"""
+WITH media AS (
+  SELECT doc_id, {_SQL_MEDIA_TYPE} AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         (25.0 + ((doc_id * 73) % 2300) / 100.0) AS lat,
+         (-122.0 + ((doc_id * 37) % 5100) / 100.0) AS lon
+  FROM documents
+)
+SELECT media_type, ({crosses}) AS in_zone,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS sample_doc
+FROM media
+GROUP BY media_type, ({crosses})
+"""
+
+
+@register(
+    "mm_geo_tagged_media",
+    category="multimodal",
+    oracle=_media_zone_oracle(),
+)
+def mm_geo_tagged_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-tagged media triage — the reference's own domain ("Open
+    Disaster Data Store"): media capture coordinates (the EXIF-GPS
+    stand-in, same deterministic lattice as the geo family keyed on
+    doc_id) tested against the evacuation-zone polygon
+    (geo_point_in_polygon's convex half-plane test), rolled up per
+    (media type, in/out of zone) with payload byte mass and a sample
+    doc — the "what imagery do we have FROM INSIDE the zone" question
+    an incident commander actually asks, composed entirely from
+    verified pieces: the multimodal metadata table and the geo
+    containment predicate.
+
+    Scale shape: narrow projection + cross-product test + one
+    map-combined rollup; payloads never load (metadata columns only)."""
+    from .geo import _ZONE
+
+    m = media_table(spark, sf_dir).select(
+        "doc_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        (25.0 + ((F.col("doc_id") * 73) % 2300) / 100.0).alias("lat"),
+        (-122.0 + ((F.col("doc_id") * 37) % 5100) / 100.0).alias("lon"),
+    )
+    n = len(_ZONE)
+    cond = None
+    for i in range(n):
+        (yi, xi), (yj, xj) = _ZONE[i], _ZONE[(i + 1) % n]
+        edge = (
+            (F.lit(xj) - F.lit(xi)) * (F.col("lat") - F.lit(yi))
+            - (F.lit(yj) - F.lit(yi)) * (F.col("lon") - F.lit(xi))
+        ) >= 0
+        cond = edge if cond is None else (cond & edge)
+    return m.select(
+        "media_type", cond.alias("in_zone"), "n_bytes", "doc_id"
+    ).groupBy("media_type", "in_zone").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.min("doc_id").alias("sample_doc"),
+    )
