@@ -889,3 +889,47 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("in_cidr_10_16_0_0_12"),
         ((ip_l % 256) == 0).alias("is_network_addr"),
     )
+
+
+@register(
+    "fn_encodings",
+    category="functions",
+    oracle="""
+SELECT p_partkey,
+       base64(encode(p_name)) AS name_b64,
+       from_base64(base64(encode(p_name)))::VARCHAR AS name_roundtrip,
+       lower(hex(encode(p_brand))) AS brand_hex,
+       CAST(octet_length(encode(p_name)) AS BIGINT) AS raw_len,
+       CAST(length(base64(encode(p_name))) AS BIGINT) AS b64_len,
+       length(base64(encode(p_name)))
+         = 4*((octet_length(encode(p_name)) + 2) // 3) AS b64_len_law
+FROM part
+WHERE p_partkey < 500
+""",
+)
+def fn_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-to-text encodings for interchange boundaries: base64
+    (with the decode round trip proven back to the exact original and
+    the 4*ceil(n/3) padded-length law as a second structural check)
+    and lowercase hex — what every webhook/queue/export that can't
+    carry raw bytes uses. Both engines implement RFC 4648 base64 and
+    plain hex, so values compare bit-for-bit.
+
+    Scale shape: pure narrow per-row codecs, zero shuffles."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    raw = F.encode(F.col("p_name"), "utf-8")
+    b64 = F.base64(raw)
+    return p.select(
+        "p_partkey",
+        b64.alias("name_b64"),
+        F.unbase64(b64).cast("string").alias("name_roundtrip"),
+        F.lower(F.hex(F.encode(F.col("p_brand"), "utf-8"))).alias(
+            "brand_hex"
+        ),
+        F.octet_length(raw).cast("long").alias("raw_len"),
+        F.length(b64).cast("long").alias("b64_len"),
+        (
+            F.length(b64)
+            == 4 * F.floor((F.octet_length(raw) + 2) / 3)
+        ).alias("b64_len_law"),
+    )
