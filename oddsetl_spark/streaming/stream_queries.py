@@ -737,7 +737,7 @@ def stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="oddsetl_scd2stream_ckpt_")
     q = scd2_start(spark, staged, state_dir, ckpt)
     q.awaitTermination()
-    return spark.read.parquet(state_dir).select(
+    return scd2_read_state(spark, state_dir).select(
         "user_id", "event_type", "valid_from", "valid_to"
     )
 
@@ -762,14 +762,39 @@ def scd2_stage(spark: SparkSession, sf_dir: str) -> str:
     return staged
 
 
+def scd2_latest_version(state_dir: str) -> int | None:
+    """Highest COMMITTED state version (marker present), or None."""
+    marker_dir = state_dir + "_markers"
+    if not os.path.isdir(marker_dir):
+        return None
+    ids = [
+        int(f.split("_")[1])
+        for f in os.listdir(marker_dir)
+        if f.startswith("applied_")
+    ]
+    return max(ids) if ids else None
+
+
+def scd2_read_state(spark, state_dir: str):
+    v = scd2_latest_version(state_dir)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v{v:06d}"))
+
+
 def scd2_start(spark, staged: str, state_dir: str, ckpt: str):
     """Start the SCD2-maintaining stream; returns the StreamingQuery.
 
-    merge_batch is IDEMPOTENT under batch re-delivery (foreachBatch may
-    re-run a batch after a failure): an applied-batch marker directory
-    outside the rewritten state path skips exact re-deliveries, the
-    standard batchId-tracking pattern — without it a replayed batch
-    would re-append its change versions and corrupt the history."""
+    merge_batch is IDEMPOTENT under batch re-delivery AND crash-safe
+    under mid-batch interruption: state is WRITE-ONCE per batch
+    (version dir v{batchId}, never overwritten in place) and a marker
+    file is the commit point — readers only ever see the highest
+    MARKED version, so a stop() that lands anywhere inside a batch
+    leaves either "not applied" (the replay rewrites the version
+    cleanly) or "fully applied" (the marker skips the replay). The
+    original in-place state overwrite had a delete-then-write window
+    that a mid-batch stop could truncate (caught by the restart
+    test)."""
     from pyspark.sql import Window as W
 
     marker_dir = state_dir + "_markers"
@@ -782,11 +807,8 @@ def scd2_start(spark, staged: str, state_dir: str, ckpt: str):
         sp = batch_df.sparkSession
         w = W.partitionBy("user_id").orderBy("ts", "event_id")
         b = batch_df.withColumn("prev", F.lag("event_type").over(w))
-        try:
-            hist = sp.read.parquet(state_dir)
-            has_state = True
-        except Exception:
-            has_state = False
+        hist = scd2_read_state(sp, state_dir)
+        has_state = hist is not None
         if has_state:
             open_v = hist.filter(F.col("valid_to").isNull()).select(
                 "user_id", F.col("event_type").alias("open_type")
@@ -833,9 +855,9 @@ def scd2_start(spark, staged: str, state_dir: str, ckpt: str):
             ).unionByName(new_versions)
         else:
             merged = new_versions
-        tmp = tempfile.mkdtemp(prefix="oddsetl_scd2stream_tmp_")
-        merged.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id:06d}")
+        )
         open(marker, "w").close()
 
     schema = T.StructType(

@@ -89,6 +89,7 @@ def test_scd2_stream_restart_and_redelivery(spark):
     import tempfile
 
     from oddsetl_spark.streaming.stream_queries import (
+        scd2_read_state,
         scd2_stage,
         scd2_start,
     )
@@ -117,7 +118,7 @@ def test_scd2_stream_restart_and_redelivery(spark):
     assert len(os.listdir(state_dir + "_markers")) == 4, "4 batches total"
     assert n_applied_phase1 < 4, "phase 1 must have stopped mid-replay"
 
-    got = spark.read.parquet(state_dir)
+    got = scd2_read_state(spark, state_dir)
     from oddsetl_spark import registry
 
     want = registry.get("stream_scd2_foreachbatch").fn(spark, sf_dir)
@@ -131,6 +132,6 @@ def test_scd2_stream_restart_and_redelivery(spark):
     ckpt2 = tempfile.mkdtemp(prefix="oddsetl_scd2rt_ckpt2_")
     q3 = scd2_start(spark, staged, state_dir, ckpt2)
     q3.awaitTermination()
-    again = spark.read.parquet(state_dir)
+    again = scd2_read_state(spark, state_dir)
     a = sorted(tuple(str(v) for v in r) for r in again.select(*sorted(again.columns)).collect())
     assert a == g, "re-delivered batches mutated the history"
