@@ -2685,3 +2685,101 @@ def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_for(0.02).alias("n_per_arm_mde2pct"),
         n_for(0.05).alias("n_per_arm_mde5pct"),
     )
+
+
+def _acf_oracle() -> str:
+    def ds(expr, scale=6):
+        return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE)"
+    lag_blocks = []
+    for k in (1, 2, 7, 14):
+        lag_blocks.append(
+            f"""SELECT {k} AS lag_k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(({ds('a.y*b.y', 4)} - {ds('a.y', 2)}*{ds('b.y', 2)}/COUNT(*))
+             / sqrt(({ds('a.y*a.y', 4)} - {ds('a.y', 2)}*{ds('a.y', 2)}
+                     /COUNT(*))
+                  * ({ds('b.y*b.y', 4)} - {ds('b.y', 2)}*{ds('b.y', 2)}
+                     /COUNT(*))), 9) AS acf
+FROM daily a JOIN daily b ON b.rn = a.rn + {k}"""
+        )
+    sel = "\nUNION ALL\n".join(lag_blocks)
+    return f"""
+WITH d0 AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y_c
+  FROM orders GROUP BY 1
+),
+daily AS MATERIALIZED (
+  SELECT CAST(y_c AS DOUBLE)/100 AS y,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM d0
+)
+{sel}
+"""
+
+
+@register("agg_acf", category="agg", oracle=_acf_oracle())
+def agg_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1, 2, 7 and 14
+    — the seasonality detector read directly: a spike at lag 7 is the
+    weekly cycle agg_seasonal_decompose removes, lag 1 is persistence,
+    lag 14 confirms the cycle. Each lag is a Pearson correlation over
+    the (y_t, y_{t-k}) pairs from five exact decimal co-moment sums
+    (the agg_pearson_corr discipline; daily values are exact cent-grid
+    doubles so the per-row products sit on the 1e-4 grid), rounded
+    once.
+
+    Scale shape: one daily groupBy; each lag joins the
+    calendar-bounded series to itself on a row-number offset — four
+    tiny joins, no data-sized work after the rollup."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("y_c")
+        )
+        .select(
+            (F.col("y_c").cast("double") / 100).alias("y"),
+            F.row_number().over(W.orderBy("day")).alias("rn"),
+        )
+        .localCheckpoint()
+    )
+    a = daily.select(F.col("y").alias("ya"), F.col("rn").alias("ra"))
+    b = daily.select(F.col("y").alias("yb"), F.col("rn").alias("rb"))
+
+    def dsc(col, scale):
+        return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+
+    outs = []
+    for k in (1, 2, 7, 14):
+        pairs = a.join(b, F.col("rb") == F.col("ra") + k)
+        stats = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            dsc(F.col("ya"), 2).alias("sa"),
+            dsc(F.col("yb"), 2).alias("sb"),
+            dsc(F.col("ya") * F.col("yb"), 4).alias("sab"),
+            dsc(F.col("ya") * F.col("ya"), 4).alias("saa"),
+            dsc(F.col("yb") * F.col("yb"), 4).alias("sbb"),
+        )
+        acf = (
+            F.col("sab") - F.col("sa") * F.col("sb") / F.col("n")
+        ) / F.sqrt(
+            (F.col("saa") - F.col("sa") * F.col("sa") / F.col("n"))
+            * (F.col("sbb") - F.col("sb") * F.col("sb") / F.col("n"))
+        )
+        outs.append(
+            stats.select(
+                F.lit(k).alias("lag_k"),
+                F.col("n").cast("long").alias("n_pairs"),
+                F.round(acf, 9).alias("acf"),
+            )
+        )
+    out = outs[0]
+    for o_ in outs[1:]:
+        out = out.unionAll(o_)
+    return out
