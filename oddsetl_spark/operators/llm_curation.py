@@ -1818,3 +1818,81 @@ def curate_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 15)
         .select("source_a", "source_b", "hist_intersection", "rn")
     )
+
+
+_TE_SMOOTH = 20
+
+
+@register(
+    "curate_target_encoding_loo",
+    category="curation",
+    oracle=f"""
+WITH labeled AS (
+  SELECT event_id, event_type,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS target
+  FROM events
+),
+grp AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_cat,
+         CAST(SUM(target) AS BIGINT) AS sum_cat
+  FROM labeled GROUP BY event_type
+),
+prior AS (
+  SELECT CAST(SUM(sum_cat) AS BIGINT) AS s_all,
+         CAST(SUM(n_cat) AS BIGINT) AS n_all
+  FROM grp
+)
+SELECT l.event_id, l.event_type, CAST(l.target AS BIGINT) AS target,
+       round((g.sum_cat - l.target
+              + {_TE_SMOOTH} * (CAST(p.s_all AS DOUBLE)/p.n_all))
+             / (g.n_cat - 1 + {_TE_SMOOTH}), 9) AS te_loo
+FROM labeled l
+JOIN grp g ON g.event_type = l.event_type, prior p
+WHERE l.event_id < 3000
+""",
+)
+def curate_target_encoding_loo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe target encoding: each row's categorical feature
+    (event type) becomes the smoothed LEAVE-ONE-OUT target mean —
+    (sum - own_target + m*prior)/(n - 1 + m), m={_TE_SMOOTH} — the
+    encoding that lets a model use high-cardinality categoricals
+    without memorizing its own label (naive per-category means leak
+    the row's target into its own feature; LOO subtracts it, smoothing
+    shrinks rare categories toward the prior). All numerators are
+    exact integers plus one prior ratio in an identical chain,
+    rounded once.
+
+    Scale shape: one map-combined group pass + a broadcast join back —
+    the same cost as any categorical aggregate; no per-row windows."""
+    e = table(spark, sf_dir, "events")
+    labeled = e.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("target"),
+    )
+    grp = labeled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum("target").alias("sum_cat"),
+    )
+    prior = grp.agg(
+        F.sum("sum_cat").alias("s_all"), F.sum("n_cat").alias("n_all")
+    )
+    te = (
+        F.col("sum_cat")
+        - F.col("target")
+        + _TE_SMOOTH * (F.col("s_all").cast("double") / F.col("n_all"))
+    ) / (F.col("n_cat") - 1 + _TE_SMOOTH)
+    return (
+        labeled.filter(F.col("event_id") < 3000)
+        .join(F.broadcast(grp), "event_type")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("target").cast("long").alias("target"),
+            F.round(te, 9).alias("te_loo"),
+        )
+    )
