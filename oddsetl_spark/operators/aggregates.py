@@ -2783,3 +2783,45 @@ def agg_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o_ in outs[1:]:
         out = out.unionAll(o_)
     return out
+
+
+@register(
+    "sql_lateral_column_alias",
+    category="agg",
+    oracle="""
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+       cents // 100 AS whole_dollars,
+       whole_dollars % 1000 AS dollars_mod_k,
+       CASE WHEN dollars_mod_k < 500 THEN 'low' ELSE 'high' END AS band
+FROM orders
+WHERE o_orderkey < 3000
+""",
+)
+def sql_lateral_column_alias(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a SELECT item referencing an
+    alias defined EARLIER IN THE SAME SELECT — the feature that kills
+    the copy-the-expression-four-times pattern in derived-column
+    chains (cents -> dollars -> band here, each step reading the
+    previous alias). DuckDB supports the same lateral references, so
+    the oracle is near-identical text; the one dialect delta is
+    integer division (// in DuckDB, div in Spark SQL). Resolves at
+    analysis time to the same expanded projection — zero runtime
+    cost.
+
+    Scale shape: pure narrow projection."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+               cents div 100 AS whole_dollars,
+               whole_dollars % 1000 AS dollars_mod_k,
+               CASE WHEN dollars_mod_k < 500 THEN 'low' ELSE 'high' END
+                 AS band
+        FROM orders
+        WHERE o_orderkey < 3000
+        """
+    )
