@@ -2825,3 +2825,126 @@ def sql_lateral_column_alias(
         WHERE o_orderkey < 3000
         """
     )
+
+
+@register(
+    "agg_robust_means",
+    category="agg",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents FROM events
+),
+grid AS (
+  SELECT cents, CAST(COUNT(*) AS BIGINT) AS g FROM pts GROUP BY cents
+),
+cum AS (
+  SELECT cents, g,
+         CAST(COALESCE(SUM(g) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before_n,
+         CAST(SUM(g) OVER () AS BIGINT) AS n
+  FROM grid
+),
+k AS (SELECT n, n // 20 AS k FROM (SELECT DISTINCT n FROM cum)),
+clipped AS (
+  SELECT c.cents, c.g, c.before_n, k.n, k.k,
+         GREATEST(LEAST(c.before_n + c.g, k.n - k.k) - GREATEST(c.before_n, k.k), 0)
+           AS kept_g
+  FROM cum c, k
+),
+cuts AS (
+  SELECT MIN(CASE WHEN before_n + g > k THEN cents END) AS lo_cut,
+         MIN(CASE WHEN before_n + g >= n - k THEN cents END) AS hi_cut
+  FROM clipped
+)
+SELECT c.n,
+       round(CAST(SUM(c.kept_g * c.cents) AS DOUBLE)
+             / SUM(c.kept_g) / 100, 9) AS trimmed_mean,
+       round(CAST(SUM(c.g * LEAST(GREATEST(c.cents, t.lo_cut), t.hi_cut))
+                  AS DOUBLE) / c.n / 100, 9) AS winsorized_mean,
+       CAST(t.lo_cut AS DOUBLE)/100 AS lo_cut,
+       CAST(t.hi_cut AS DOUBLE)/100 AS hi_cut
+FROM clipped c, cuts t
+GROUP BY c.n, t.lo_cut, t.hi_cut
+""",
+)
+def agg_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust central tendency: the 5%-trimmed mean (drop the k = n/20
+    smallest and largest observations) and the winsorized mean (clamp
+    them to the cut values instead) over event value — the outlier-
+    resistant means that sit between the mean and the median in
+    efficiency, computed EXACTLY on the cent grid: cumulative counts
+    locate how much of each grid cell survives the trim (partial cells
+    handled by the clamped-interval overlap), cut values are the
+    order statistics at ranks k+1 and n-k, and every sum is integer.
+    One division per output.
+
+    Scale shape: the agg_ks_test shape — one groupBy onto the value
+    grid, prefix sums over the bounded support, never a row sort."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    grid = e.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+    ).groupBy("cents").agg(F.count(F.lit(1)).alias("g"))
+    wprev = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.partitionBy()
+    cum = grid.select(
+        "cents",
+        "g",
+        F.coalesce(F.sum("g").over(wprev), F.lit(0)).alias("before_n"),
+        F.sum("g").over(wall).alias("n"),
+    )
+    k = F.floor(F.col("n") / 20).cast("long")
+    kept = F.greatest(
+        F.least(F.col("before_n") + F.col("g"), F.col("n") - k)
+        - F.greatest(F.col("before_n"), k),
+        F.lit(0),
+    )
+    clipped = cum.select(
+        "cents", "g", "before_n", "n", k.alias("k"), kept.alias("kept_g")
+    ).localCheckpoint()
+    cuts = clipped.agg(
+        F.min(
+            F.when(
+                F.col("before_n") + F.col("g") > F.col("k"), F.col("cents")
+            )
+        ).alias("lo_cut"),
+        F.min(
+            F.when(
+                F.col("before_n") + F.col("g") >= F.col("n") - F.col("k"),
+                F.col("cents"),
+            )
+        ).alias("hi_cut"),
+    )
+    return (
+        clipped.crossJoin(F.broadcast(cuts))
+        .groupBy("n", "lo_cut", "hi_cut")
+        .agg(
+            F.round(
+                F.sum(F.col("kept_g") * F.col("cents")).cast("double")
+                / F.sum("kept_g")
+                / 100,
+                9,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.sum(
+                    F.col("g")
+                    * F.least(
+                        F.greatest(F.col("cents"), F.col("lo_cut")),
+                        F.col("hi_cut"),
+                    )
+                ).cast("double")
+                / F.first("n")
+                / 100,
+                9,
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "n",
+            "trimmed_mean",
+            "winsorized_mean",
+            (F.col("lo_cut").cast("double") / 100).alias("lo_cut"),
+            (F.col("hi_cut").cast("double") / 100).alias("hi_cut"),
+        )
+    )
