@@ -706,3 +706,91 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_term"),
         )
     )
+
+
+@register(
+    "graph_assortativity",
+    category="graph",
+    oracle=f"""
+WITH e2 AS MATERIALIZED ({_COPURCHASE_EDGE_SQL}),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2
+  ) GROUP BY node
+),
+ends AS (
+  -- both orientations so the correlation is symmetric
+  SELECT du.d AS dx, dv.d AS dy
+  FROM e2 JOIN deg du ON du.node = e2.u JOIN deg dv ON dv.node = e2.v
+  UNION ALL
+  SELECT dv.d, du.d
+  FROM e2 JOIN deg du ON du.node = e2.u JOIN deg dv ON dv.node = e2.v
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx*dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx*dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy*dy) AS BIGINT) AS syy
+  FROM ends
+)
+SELECT n AS n_edge_ends,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy/n)
+             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n)
+                  * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy/n)), 9)
+         AS assortativity
+FROM m
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all edges (both orientations,
+    so the coefficient is symmetric) — positive means hubs link to
+    hubs (social-network flavor), negative means hubs link to leaves
+    (technological/star flavor), the one-number structure summary next
+    to the degree distribution. Degrees are exact integers, so all
+    five co-moment sums are integer and the single chain rounds once.
+
+    Scale shape: a degree count plus two hash joins of the edge list
+    against it — the graph_modularity cost without the LP rounds."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    joined = e.join(du, "u").join(dv, "v")
+    ends = joined.select(
+        F.col("du").alias("dx"), F.col("dv").alias("dy")
+    ).unionAll(
+        joined.select(F.col("dv").alias("dx"), F.col("du").alias("dy"))
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    r = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    ) / F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        )
+        * (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+        )
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_edge_ends"),
+        F.round(r, 9).alias("assortativity"),
+    )
