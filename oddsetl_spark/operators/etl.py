@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..io import table
 from ..registry import register
+from ..session import scratch_dir
 from ._helpers import dsum, sql_dsum
 
 
@@ -533,8 +534,8 @@ def etl_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     e = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
-    frag_dir = tempfile.mkdtemp(prefix="oddsetl_frag_")
-    comp_dir = tempfile.mkdtemp(prefix="oddsetl_comp_")
+    frag_dir = scratch_dir("frag")
+    comp_dir = scratch_dir("comp")
     # fragment: spread every event_type across 8 round-robin tasks
     e.repartition(8).write.mode("overwrite").partitionBy("event_type").parquet(
         frag_dir
@@ -611,7 +612,7 @@ def etl_backfill_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         "value",
         F.date_trunc("day", "ts").cast("date").alias("day"),
     )
-    base = tempfile.mkdtemp(prefix="oddsetl_backfill_")
+    base = scratch_dir("backfill")
     e.repartition(4, "day").write.mode("overwrite").partitionBy("day").parquet(base)
 
     def listing(root: str) -> dict[str, frozenset]:
@@ -1366,7 +1367,7 @@ def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    root = tempfile.mkdtemp(prefix="oddsetl_wap_")
+    root = scratch_dir("wap")
     staging = os.path.join(root, "_staging")
     published = os.path.join(root, "published")
     o = table(spark, sf_dir, "orders").filter(
@@ -1724,8 +1725,8 @@ def etl_schema_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.current_timestamp().alias("ingest_ts"),
     )
-    d_old = tempfile.mkdtemp(prefix="oddsetl_drift_old_")
-    d_new = tempfile.mkdtemp(prefix="oddsetl_drift_new_")
+    d_old = scratch_dir("drift_old")
+    d_new = scratch_dir("drift_new")
     old_df.write.mode("overwrite").parquet(d_old)
     new_df.write.mode("overwrite").parquet(d_new)
     os_ = [

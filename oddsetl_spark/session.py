@@ -16,7 +16,10 @@ Design notes for the 100 TB target:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -114,3 +117,22 @@ def get_spark(app_name: str = "oddsetl-spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return pin_session(spark)
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(tag: str) -> str:
+    """Per-process scratch directory, removed at interpreter exit.
+
+    Every sink/stream/staging query used to mkdtemp straight into /tmp
+    and leak the dir; a long session (the driver's full sweep runs 40+
+    such queries per pass) accumulated thousands of /tmp entries and
+    measurably degraded tempdir operations (bench 3.3s -> 6.8s at ~3.4k
+    dirs, restored by cleanup). All scratch now nests under ONE root
+    that atexit removes, so a process cleans up after itself without
+    touching other processes' scratch."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="oddsetl_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    return tempfile.mkdtemp(prefix=f"{tag}_", dir=_SCRATCH_ROOT)

@@ -22,10 +22,11 @@ from pyspark.sql import types as T
 
 from ..io import table
 from ..registry import register
+from ..session import scratch_dir
 
 
 def _tmpdir(tag: str) -> str:
-    return tempfile.mkdtemp(prefix=f"oddsetl_{tag}_")
+    return scratch_dir(tag)
 
 
 @register(

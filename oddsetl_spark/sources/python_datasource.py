@@ -259,14 +259,14 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from ..session import pin_session
+    from ..session import pin_session, scratch_dir
 
     pin_session(spark)
     spark.dataSource.register(make_tick_source())
-    out = tempfile.mkdtemp(prefix="oddsetl_ticks_out_")
+    out = scratch_dir("ticks_out")
     # fresh feed per invocation (keyed by this run's checkpoint dir) so
     # every run replays the full 5-batch stream from tick 0
-    ckpt = tempfile.mkdtemp(prefix="oddsetl_ticks_ckpt_")
+    ckpt = scratch_dir("ticks_ckpt")
     s = (
         spark.readStream.format("oddsetl_ticks")
         .option("feed_id", ckpt)
@@ -395,11 +395,11 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from ..io import table as _table
-    from ..session import pin_session
+    from ..session import pin_session, scratch_dir
 
     pin_session(spark)
     spark.dataSource.register(make_jsonl_sink())
-    out = tempfile.mkdtemp(prefix="oddsetl_pysink_")
+    out = scratch_dir("pysink")
     c = _table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400).select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )

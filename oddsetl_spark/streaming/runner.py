@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import scratch_dir
+
 # Streaming file sources require an explicit schema (no inference pass at
 # plan time). The fixture's ts physical type has changed across fixture
 # generations (TIMESTAMP(NANOS) read as long nanos under
@@ -54,7 +56,7 @@ EVENTS_RAW_SCHEMA = _events_schema(T.TimestampType())
 def stage_events(sf_dir: str, copies: int = 1, tag: str = "stream") -> str:
     """Copy events.parquet into a fresh dir `copies` times (dedup inputs
     stage it twice). Returns the staging dir path."""
-    d = tempfile.mkdtemp(prefix=f"oddsetl_{tag}_in_")
+    d = scratch_dir(f"{tag}_in")
     src = os.path.join(sf_dir, "events.parquet")
     for i in range(copies):
         shutil.copy(src, os.path.join(d, f"part-{i:04d}.parquet"))
@@ -65,7 +67,7 @@ def read_events_stream(
     spark: SparkSession, staged_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Streaming scan over a staged events dir, ts normalized to µs."""
-    from ..session import pin_session
+    from ..session import pin_session, scratch_dir
 
     pin_session(spark)
     ts_physical = dict(spark.read.parquet(staged_dir).dtypes).get("ts")
@@ -108,8 +110,8 @@ def run_to_table(
     so a second run drops data that arrived late relative to run 1.
     """
     spark = stream_df.sparkSession
-    out = out or tempfile.mkdtemp(prefix=f"oddsetl_{tag}_")
-    ckpt = ckpt or tempfile.mkdtemp(prefix=f"oddsetl_{tag}_ckpt_")
+    out = out or scratch_dir(tag)
+    ckpt = ckpt or scratch_dir(f"{tag}_ckpt")
     write_mode = "overwrite" if mode == "complete" else "append"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 from ..io import table
 from ..operators._helpers import dsum, sql_dsum
 from ..registry import register
-from ..session import pin_session
+from ..session import pin_session, scratch_dir
 from .runner import read_events_stream, run_to_table, stage_events
 
 _EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -217,12 +217,12 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     half_us = ((bounds["hi"] - bounds["lo"]) // _dt.timedelta(microseconds=1)) // 2
     split = bounds["lo"] + _dt.timedelta(microseconds=half_us)
 
-    staged = tempfile.mkdtemp(prefix="oddsetl_late_in_")
-    out_dir = tempfile.mkdtemp(prefix="oddsetl_late_out_")
-    ckpt = tempfile.mkdtemp(prefix="oddsetl_late_ckpt_")
+    staged = scratch_dir("late_in")
+    out_dir = scratch_dir("late_out")
+    ckpt = scratch_dir("late_ckpt")
 
     def _stage_half(df: DataFrame, fname: str) -> None:
-        tmp = tempfile.mkdtemp(prefix="oddsetl_late_half_")
+        tmp = scratch_dir("late_half")
         # Stage ts as TimestampType (micros) — read_events_stream probes the
         # staged files and picks the matching streaming schema.
         df.select(*_EVENT_COLS).coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -477,8 +477,8 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     how the replay is batched."""
     pin_session(spark)
     staged = stage_events(sf_dir, tag="upsert")
-    state_dir = tempfile.mkdtemp(prefix="oddsetl_upsert_state_")
-    ckpt = tempfile.mkdtemp(prefix="oddsetl_upsert_ckpt_")
+    state_dir = scratch_dir("upsert_state")
+    ckpt = scratch_dir("upsert_ckpt")
 
     from pyspark.sql import Window as W
 
@@ -503,7 +503,7 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = incoming
         # Rewrite via a staging dir: the plan reads state_dir, so an
         # in-place overwrite would race its own scan.
-        tmp = tempfile.mkdtemp(prefix="oddsetl_upsert_tmp_")
+        tmp = scratch_dir("upsert_tmp")
         merged.write.mode("overwrite").parquet(tmp)
         sp.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
 
@@ -733,8 +733,8 @@ def stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     history grows only by changed rows."""
     pin_session(spark)
     staged = scd2_stage(spark, sf_dir)
-    state_dir = tempfile.mkdtemp(prefix="oddsetl_scd2stream_state_")
-    ckpt = tempfile.mkdtemp(prefix="oddsetl_scd2stream_ckpt_")
+    state_dir = scratch_dir("scd2stream_state")
+    ckpt = scratch_dir("scd2stream_ckpt")
     q = scd2_start(spark, staged, state_dir, ckpt)
     q.awaitTermination()
     return scd2_read_state(spark, state_dir).select(
@@ -750,7 +750,7 @@ def scd2_stage(spark: SparkSession, sf_dir: str) -> str:
         "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"),
         "event_id",
     )
-    staged = tempfile.mkdtemp(prefix="oddsetl_scd2stream_in_")
+    staged = scratch_dir("scd2stream_in")
     ranked = src.withColumn(
         "qt",
         F.ntile(4).over(W.orderBy("ts", "event_id")),
