@@ -61,13 +61,10 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if sc.applicationId in _SHIPPED:
         return
-    import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(
-        tempfile.mkdtemp(prefix="oddsetl_pkg_"), "oddsetl_spark.zip"
-    )
+    zpath = os.path.join(scratch_dir("pkg"), "oddsetl_spark.zip")
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _, files in os.walk(pkg_dir):
             for f in files:

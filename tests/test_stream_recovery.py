@@ -34,8 +34,10 @@ def _build(spark, feed_id: str):
 
 def test_restart_resumes_at_committed_offset(spark):
     spark.dataSource.register(make_tick_source())
-    out = tempfile.mkdtemp(prefix="oddsetl_restart_out_")
-    ckpt = tempfile.mkdtemp(prefix="oddsetl_restart_ckpt_")
+    from oddsetl_spark.session import scratch_dir
+
+    out = scratch_dir("restart_out")
+    ckpt = scratch_dir("restart_ckpt")
 
     def sink(bdf, bid):
         bdf.write.mode("overwrite").parquet(out)
@@ -97,9 +99,11 @@ def test_scd2_stream_restart_and_redelivery(spark):
     import os as _os
 
     sf_dir = SF_DIRS[_os.environ.get("ODDSETL_TEST_SF", "0.001")]
+    from oddsetl_spark.session import scratch_dir
+
     staged = scd2_stage(spark, sf_dir)
-    state_dir = tempfile.mkdtemp(prefix="oddsetl_scd2rt_state_")
-    ckpt = tempfile.mkdtemp(prefix="oddsetl_scd2rt_ckpt_")
+    state_dir = scratch_dir("scd2rt_state")
+    ckpt = scratch_dir("scd2rt_ckpt")
 
     # phase 1: stop after the first committed batch
     q = scd2_start(spark, staged, state_dir, ckpt)
@@ -129,7 +133,7 @@ def test_scd2_stream_restart_and_redelivery(spark):
     # phase 3: simulate a re-delivered batch — marker must no-op it.
     # Re-run the full stream against the SAME state but a FRESH
     # checkpoint: every batch re-delivers; markers must skip them all.
-    ckpt2 = tempfile.mkdtemp(prefix="oddsetl_scd2rt_ckpt2_")
+    ckpt2 = scratch_dir("scd2rt_ckpt2")
     q3 = scd2_start(spark, staged, state_dir, ckpt2)
     q3.awaitTermination()
     again = scd2_read_state(spark, state_dir)
