@@ -1341,3 +1341,57 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard", 9).alias("jaccard"),
         )
     )
+
+
+@register(
+    "dedup_lsh_s_curve",
+    category="llm_dedup",
+    oracle="""
+WITH s_grid AS (
+  SELECT CAST(i AS BIGINT) AS s_pct, i/100.0 AS s
+  FROM (SELECT unnest(range(5, 100, 5)) AS i)
+),
+configs AS (
+  SELECT * FROM (VALUES (16, 4), (32, 2), (8, 8)) AS t(bands, rows_per)
+)
+SELECT c.bands, c.rows_per, g.s_pct,
+       round(1 - pow(1 - pow(g.s, c.rows_per), c.bands), 9)
+         AS p_candidate,
+       round(pow(1.0/c.bands, 1.0/c.rows_per), 9) AS threshold
+FROM configs c, s_grid g
+""",
+)
+def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH S-curve, tabulated: candidate probability
+    1-(1-s^r)^b over a similarity grid for three (bands x rows)
+    configurations, plus each config's threshold (1/b)^(1/r) — the
+    tuning table behind dedup_minhash_lsh's 16x4 choice (threshold
+    ~0.5) that tools/lsh_band_sweep.py measures empirically; this is
+    the closed form those measurements are checked against. Pure
+    pow-chain arithmetic over a literal grid, identical on both
+    engines, rounded once.
+
+    Scale shape: 57 rows of math — the point is the DESIGN artifact
+    travels with the engine, versioned and queryable next to the
+    operator it tunes."""
+    grid = spark.range(5, 100, 5).select(
+        F.col("id").alias("s_pct"), (F.col("id") / 100.0).alias("s")
+    )
+    configs = spark.createDataFrame(
+        [(16, 4), (32, 2), (8, 8)], ["bands", "rows_per"]
+    )
+    return configs.crossJoin(grid).select(
+        "bands",
+        "rows_per",
+        "s_pct",
+        F.round(
+            1
+            - F.pow(
+                1 - F.pow(F.col("s"), F.col("rows_per")), F.col("bands")
+            ),
+            9,
+        ).alias("p_candidate"),
+        F.round(
+            F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per")), 9
+        ).alias("threshold"),
+    )
