@@ -1754,3 +1754,64 @@ def etl_schema_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_type",
         "new_type",
     )
+
+
+@register(
+    "etl_skew_report",
+    category="etl",
+    oracle="""
+WITH per_key AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS max_n,
+         CAST(SUM(n) AS BIGINT) AS total_n,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM per_key
+)
+SELECT p.o_custkey, p.n,
+       round(p.n * 1.0 * s.n_keys / s.total_n, 6) AS skew_factor,
+       s.n_keys, rnk
+FROM (SELECT o_custkey, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, o_custkey) AS rnk
+      FROM per_key) p
+JOIN stats s ON TRUE
+WHERE rnk <= 10
+""",
+)
+def etl_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: the ten heaviest o_custkey values with
+    each key's skew factor (its row count over the mean per-key count)
+    — the diagnostic that decides BEFORE a big join whether to salt
+    (join_skew_salted), let AQE split, or broadcast the other side. A
+    skew factor near 1 everywhere means hash partitioning will balance;
+    a 100x head key is the straggler that stalls a 1000-executor
+    stage. Exact integer counts, one rounded ratio.
+
+    Scale shape: one map-combined count per key + a top-10 over the
+    per-key frame — at 100 TB this is the cheap pre-flight you run on
+    the join column, and its output is broadcast-size by construction."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_key.agg(
+        F.sum("n").alias("total_n"), F.count(F.lit(1)).alias("n_keys")
+    )
+    ranked = per_key.select(
+        "o_custkey",
+        "n",
+        F.row_number()
+        .over(W.orderBy(F.desc("n"), F.asc("o_custkey")))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 10)
+    return ranked.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        "n",
+        F.round(
+            F.col("n") * 1.0 * F.col("n_keys") / F.col("total_n"), 6
+        ).alias("skew_factor"),
+        "n_keys",
+        "rnk",
+    )
