@@ -1815,3 +1815,94 @@ def etl_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys",
         "rnk",
     )
+
+
+@register(
+    "etl_drill_across",
+    category="etl",
+    oracle="""
+WITH fact_orders AS (
+  SELECT c.c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT))
+              AS DOUBLE)/100 AS revenue
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment
+),
+fact_events AS (
+  SELECT c.c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+  GROUP BY c.c_mktsegment
+)
+SELECT o.c_mktsegment, o.n_orders, o.revenue,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.n_active_users, 0) AS n_active_users,
+       round(COALESCE(e.n_events, 0) * 1.0 / o.n_orders, 9)
+         AS events_per_order
+FROM fact_orders o LEFT JOIN fact_events e
+  ON e.c_mktsegment = o.c_mktsegment
+""",
+)
+def etl_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-across over two fact tables at different grains: order
+    revenue and event activity, each rolled up SEPARATELY to the
+    conformed customer dimension (market segment) and then joined on
+    it — the Kimball multi-fact pattern that replaces the wrong
+    instinct of joining facts to facts directly (orders x events on
+    customer would fan out rows and double-count both measures; the
+    per-fact rollup makes each measure additive before the join).
+    Exact cent revenue, integer counts, one edge ratio.
+
+    Scale shape: two independent fact rollups (each one shuffle, dims
+    broadcast) joined on a |segments|-row frame — the join cost is
+    nothing; the discipline is WHERE the join happens."""
+    o = table(spark, sf_dir, "orders")
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    fact_orders = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).cast("double")
+                / 100
+            ).alias("revenue"),
+        )
+    )
+    fact_events = (
+        e.join(F.broadcast(c), F.col("c_custkey") == F.col("user_id"))
+        .groupBy(F.col("c_mktsegment").alias("e_seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_active_users"),
+        )
+    )
+    return (
+        fact_orders.join(
+            fact_events,
+            F.col("e_seg") == F.col("c_mktsegment"),
+            "left",
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            "revenue",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("n_active_users"), F.lit(0)).alias(
+                "n_active_users"
+            ),
+            F.round(
+                F.coalesce(F.col("n_events"), F.lit(0))
+                * 1.0
+                / F.col("n_orders"),
+                9,
+            ).alias("events_per_order"),
+        )
+    )
