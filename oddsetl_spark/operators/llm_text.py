@@ -1128,3 +1128,90 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "text_novelty_rate",
+    category="llm_text",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split(lower(text), ' ')) - 1),
+           i -> concat(string_split(lower(text), ' ')[i], ' ',
+                       string_split(lower(text), ' ')[i+1], ' ',
+                       string_split(lower(text), ' ')[i+2])))) AS shingle
+  FROM documents
+),
+first_seen AS (
+  SELECT shingle, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+  FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 9) AS novelty_rate
+FROM sh s JOIN first_seen f ON f.shingle = s.shingle
+GROUP BY s.doc_id
+""",
+)
+def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-gram
+    shingles whose FIRST appearance in the corpus (by doc_id order) is
+    this doc — the marginal-information curve behind "is more data
+    from this source still teaching the model anything": novelty
+    falling toward zero across a source's ingestion order is the
+    empirical case for dedup/capping, measured at n-gram granularity
+    rather than whole-doc (a doc can be 30% novel — whole-doc dedup is
+    blind to that). First-appearance attribution is an exact MIN per
+    shingle; rates are one division over integer counts.
+
+    Scale shape: the shingle explode + two keyed aggregations — the
+    inverted-index shape every dedup operator here already pays; at
+    100 TB first_seen is the incremental state dedup_incremental_batch
+    keeps between batches."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(t, i),
+                        F.element_at(t, i + 1),
+                        F.element_at(t, i + 2),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    ).localCheckpoint()
+    first_seen = sh.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                9,
+            ).alias("novelty_rate"),
+        )
+    )
