@@ -1906,3 +1906,104 @@ def etl_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("events_per_order"),
         )
     )
+
+
+_RV_SHARDS = 5
+
+
+def _rendezvous_oracle() -> str:
+    def hrw(nshards):
+        alts = ", ".join(
+            f"ROW(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+            f"|| '|shard{k}'), 1, 15)) AS BIGINT), {k})"
+            for k in range(nshards)
+        )
+        return (
+            f"list_reduce([{alts}], "
+            "(a, b) -> CASE WHEN b[1] > a[1] THEN b ELSE a END)[2]"
+        )
+    return f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CAST({hrw(_RV_SHARDS)} AS BIGINT) AS shard,
+         CAST({hrw(_RV_SHARDS + 1)} AS BIGINT) AS shard_plus1
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN shard <> shard_plus1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved_on_expand
+FROM assigned
+GROUP BY shard
+"""
+
+
+@register(
+    "etl_rendezvous_sharding",
+    category="etl",
+    oracle=_rendezvous_oracle(),
+)
+def etl_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment for media
+    blobs: every doc hashes once per shard and lands on the max —
+    deterministic, coordination-free, and MINIMALLY disruptive under
+    topology change, which the query itself demonstrates: the
+    n_moved_on_expand column re-runs the assignment with a sixth shard
+    and counts per-shard departures — only docs whose new-shard hash
+    wins move (~1/6 of each shard), where mod-N hashing would reshuffle
+    ~5/6 of everything. The md5-derived weights compare as exact
+    integers on both engines.
+
+    Scale shape: pure per-row hashing, zero shuffles for assignment;
+    the rollup is map-combined. This is how the multimodal payload
+    store picks a blob server without a lookup table."""
+    d = table(spark, sf_dir, "documents")
+
+    def hrw(nshards):
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("doc_id").cast("string"),
+                                    F.lit(f"|shard{k}"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("w"),
+                    F.lit(k).alias("k"),
+                )
+                for k in range(nshards)
+            ]
+        )
+        best = F.aggregate(
+            pairs,
+            F.struct(
+                F.lit(-1).cast("long").alias("w"),
+                F.lit(-1).alias("k"),
+            ),
+            lambda a, b: F.when(b["w"] > a["w"], b).otherwise(a),
+        )
+        return best["k"].cast("long")
+
+    assigned = d.select(
+        "doc_id",
+        hrw(_RV_SHARDS).alias("shard"),
+        hrw(_RV_SHARDS + 1).alias("shard_plus1"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("shard") != F.col("shard_plus1"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved_on_expand"),
+    )
