@@ -1215,3 +1215,66 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+@register(
+    "text_vocab_richness",
+    category="llm_text",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+counts AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, t
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(COUNT(*) * 1.0 / SUM(c), 9) AS type_token_ratio,
+       round(1.0 - CAST(SUM(c*(c-1)) AS DOUBLE)
+             / (SUM(c) * (SUM(c) - 1)), 9) AS simpson_diversity
+FROM counts
+GROUP BY source
+""",
+)
+def text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source: token count, vocabulary size,
+    hapax legomena (once-only words — a live vocabulary keeps minting
+    them; their absence flags templated text), type-token ratio, and
+    the unbiased Simpson diversity 1 - sum(c(c-1))/(N(N-1)) — the
+    probability two random tokens differ. The corpus-linguistics
+    health panel next to text_zipf_fit's law fit, all from one
+    (source, token) count: every statistic is integer sums and one
+    division, so it hash-matches without any rounding discipline
+    beyond the edge.
+
+    Scale shape: one map-combined (source, token) count; the panel
+    aggregates |vocab| rows per source."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"),
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 9).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            1.0
+            - F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+            / (F.sum("c") * (F.sum("c") - 1)),
+            9,
+        ).alias("simpson_diversity"),
+    )
