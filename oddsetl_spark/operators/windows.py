@@ -1946,3 +1946,92 @@ def win_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pi.select("state", F.round("prob", 9).alias("stationary_prob"))
+
+
+@register(
+    "win_attribution_last_touch",
+    category="windows",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END
+           AS click_ts,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(click_ts IGNORE NULLS) OVER w AS last_click_ts,
+         last_value(click_id IGNORE NULLS) OVER w AS last_click_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+       CASE WHEN last_click_ts >= ts - INTERVAL 60 MINUTE
+            THEN last_click_id END AS attributed_click_id,
+       last_click_ts IS NOT NULL
+         AND last_click_ts >= ts - INTERVAL 60 MINUTE AS is_attributed
+FROM carried
+WHERE event_type = 'purchase'
+""",
+)
+def win_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click within a 60-minute lookback, else counts as organic —
+    the simplest member of the attribution family and the
+    revenue-accounting join every marketing pipeline runs (the
+    windowed sibling of join_asof_tolerance: the carried click is a
+    strictly-prior last_value IGNORE NULLS, the lookback a
+    post-predicate). Clicks and purchases ride ONE window pass per
+    user, no self-join; exact interval comparison on microsecond
+    timestamps.
+
+    Scale shape: one shuffle on user_id over only the click/purchase
+    slice (pushdown on event_type), then per-row predicates."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias(
+            "click_ts"
+        ),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "click_id"
+        ),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+    )
+    fresh = F.col("last_click_ts") >= F.col("ts") - F.expr(
+        "INTERVAL 60 MINUTES"
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.when(fresh, F.col("last_click_id")).alias(
+            "attributed_click_id"
+        ),
+        (F.col("last_click_ts").isNotNull() & fresh).alias(
+            "is_attributed"
+        ),
+    )
