@@ -2948,3 +2948,76 @@ def agg_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hi_cut").cast("double") / 100).alias("hi_cut"),
         )
     )
+
+
+@register(
+    "agg_cohens_kappa",
+    category="agg",
+    oracle="""
+WITH rated AS (
+  SELECT CASE WHEN value > 50 THEN 1 ELSE 0 END AS rater_a,
+         CASE WHEN value > 45 THEN 1 ELSE 0 END AS rater_b
+  FROM events
+),
+cm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rater_a*rater_b) AS BIGINT) AS both_pos,
+         CAST(SUM((1-rater_a)*(1-rater_b)) AS BIGINT) AS both_neg,
+         CAST(SUM(rater_a) AS BIGINT) AS a_pos,
+         CAST(SUM(rater_b) AS BIGINT) AS b_pos
+  FROM rated
+)
+SELECT n, both_pos, both_neg,
+       round((both_pos + both_neg) * 1.0 / n, 9) AS p_observed,
+       round((CAST(a_pos AS DOUBLE)*b_pos
+              + CAST(n - a_pos AS DOUBLE)*(n - b_pos))
+             / (CAST(n AS DOUBLE)*n), 9) AS p_expected,
+       round(((both_pos + both_neg) * 1.0 / n
+              - (CAST(a_pos AS DOUBLE)*b_pos
+                 + CAST(n - a_pos AS DOUBLE)*(n - b_pos))
+                / (CAST(n AS DOUBLE)*n))
+             / (1.0 - (CAST(a_pos AS DOUBLE)*b_pos
+                       + CAST(n - a_pos AS DOUBLE)*(n - b_pos))
+                      / (CAST(n AS DOUBLE)*n)), 9) AS kappa
+FROM cm
+""",
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two labeling rules (two nearby value
+    thresholds standing in for two annotators): chance-corrected
+    agreement (po - pe)/(1 - pe) — the metric that exposes how much of
+    raw agreement is luck, which matters every time LLM-judge labels
+    or crowd annotations gate a training set (raw agreement between
+    imbalanced raters is inflated; kappa is not). All inputs are exact
+    integer indicator sums; po/pe/kappa are identical chains rounded
+    once.
+
+    Scale shape: one map-combined pass; arithmetic on a one-row
+    frame. Extends to weighted kappa by swapping the indicator sums
+    for a category-pair matrix — same plan."""
+    e = table(spark, sf_dir, "events")
+    ra = F.when(F.col("value") > 50, 1).otherwise(0)
+    rb = F.when(F.col("value") > 45, 1).otherwise(0)
+    cm = e.select(ra.alias("ra"), rb.alias("rb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("both_pos"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb")))
+        .cast("long")
+        .alias("both_neg"),
+        F.sum("ra").cast("long").alias("a_pos"),
+        F.sum("rb").cast("long").alias("b_pos"),
+    )
+    n = F.col("n")
+    po = (F.col("both_pos") + F.col("both_neg")) * 1.0 / n
+    pe = (
+        F.col("a_pos").cast("double") * F.col("b_pos")
+        + (n - F.col("a_pos")).cast("double") * (n - F.col("b_pos"))
+    ) / (n.cast("double") * n)
+    return cm.select(
+        "n",
+        "both_pos",
+        "both_neg",
+        F.round(po, 9).alias("p_observed"),
+        F.round(pe, 9).alias("p_expected"),
+        F.round((po - pe) / (1.0 - pe), 9).alias("kappa"),
+    )
