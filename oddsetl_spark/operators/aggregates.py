@@ -3021,3 +3021,113 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 9).alias("p_expected"),
         F.round((po - pe) / (1.0 - pe), 9).alias("kappa"),
     )
+
+
+@register(
+    "agg_association_rules",
+    category="agg",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey < 600
+),
+n_orders AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets
+),
+item_n AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM baskets GROUP BY l_partkey
+),
+pair_n AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p.ante, p.cons, p.c_ab,
+       round(p.c_ab * 1.0 / n.n, 9) AS support,
+       round(p.c_ab * 1.0 / ia.c, 9) AS confidence,
+       round(p.c_ab * 1.0 * n.n / (ia.c * 1.0 * ic.c), 9) AS lift,
+       rk
+FROM (SELECT ante, cons, c_ab,
+             ROW_NUMBER() OVER (ORDER BY c_ab DESC, ante, cons) AS rk
+      FROM pair_n) p
+JOIN item_n ia ON ia.l_partkey = p.ante
+JOIN item_n ic ON ic.l_partkey = p.cons
+JOIN n_orders n ON TRUE
+WHERE rk <= 20
+""",
+)
+def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: for the twenty most
+    frequent co-purchased part pairs, support P(A,B), confidence
+    P(B|A) and lift P(A,B)/(P(A)P(B)) — the classic market-basket
+    readout (lift > 1 = genuinely associated, not just both popular;
+    confidence is directional, which is why (ante, cons) pairs appear
+    both ways). Counts are exact basket-level integers (DISTINCT
+    per-order items first — multiplicity inside one order is not
+    co-occurrence evidence); the three ratios round once.
+
+    Scale shape: the pair join is the co-purchase inverted index the
+    graph family already pays (per-order fan-out, bounded by basket
+    size); item and basket counts are map-combined. A-priori's
+    higher-order itemsets iterate this same join on the survivors."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 600)
+    baskets = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item_n = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ante")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("cons")
+    )
+    pair_n = (
+        a.join(b, "ok")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ranked = pair_n.select(
+        "ante",
+        "cons",
+        "c_ab",
+        F.row_number()
+        .over(W.orderBy(F.desc("c_ab"), F.asc("ante"), F.asc("cons")))
+        .alias("rk"),
+    ).filter(F.col("rk") <= 20)
+    ia = item_n.select(
+        F.col("l_partkey").alias("ante"), F.col("c").alias("c_a")
+    )
+    ic = item_n.select(
+        F.col("l_partkey").alias("cons"), F.col("c").alias("c_c")
+    )
+    return (
+        ranked.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            "c_ab",
+            F.round(F.col("c_ab") * 1.0 / F.col("n"), 9).alias("support"),
+            F.round(F.col("c_ab") * 1.0 / F.col("c_a"), 9).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("c_ab")
+                * 1.0
+                * F.col("n")
+                / (F.col("c_a") * 1.0 * F.col("c_c")),
+                9,
+            ).alias("lift"),
+            "rk",
+        )
+    )
