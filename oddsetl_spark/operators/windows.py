@@ -2035,3 +2035,79 @@ def win_attribution_last_touch(
             "is_attributed"
         ),
     )
+
+
+@register(
+    "win_forecast_backtest",
+    category="windows",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y_c
+  FROM orders GROUP BY 1
+),
+pred AS (
+  SELECT day, y_c,
+         LAG(y_c, 7) OVER (ORDER BY day) AS yhat_c
+  FROM daily
+),
+scored AS (
+  SELECT y_c, yhat_c, abs(y_c - yhat_c) AS ae
+  FROM pred WHERE yhat_c IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+       round(CAST(SUM(ae) AS DOUBLE) / COUNT(*) / 100, 9) AS mae,
+       round(CAST(SUM(CAST(round(ae * 1.0 / y_c, 9) AS DECIMAL(30,9)))
+             AS DOUBLE) / COUNT(*), 9) AS mape,
+       round(CAST(SUM(CAST(round(2.0 * ae / (y_c + yhat_c), 9)
+                      AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*), 9)
+         AS smape
+FROM scored
+""",
+)
+def win_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest of the seasonal-naive baseline (predict today
+    = same weekday last week): MAE, MAPE and sMAPE over the daily
+    series — the yardstick every real forecaster must beat before it
+    earns compute (Holt, the decomposition). Absolute errors are exact
+    cent integers, so MAE is an integer sum with one division; the
+    percentage errors round each ratio to the 9-decimal grid before
+    the exact decimal sum (order-insensitive).
+
+    Scale shape: one daily groupBy + a lag over the calendar-bounded
+    series + one rollup row."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("y_c")
+    )
+    pred = daily.select(
+        "y_c", F.lag("y_c", 7).over(W.orderBy("day")).alias("yhat_c")
+    ).filter(F.col("yhat_c").isNotNull())
+    ae = F.abs(F.col("y_c") - F.col("yhat_c"))
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.round(F.sum(ae).cast("double") / F.count(F.lit(1)) / 100, 9).alias(
+            "mae"
+        ),
+        F.round(
+            F.sum(
+                F.round(ae * 1.0 / F.col("y_c"), 9).cast("decimal(30,9)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mape"),
+        F.round(
+            F.sum(
+                F.round(
+                    2.0 * ae / (F.col("y_c") + F.col("yhat_c")), 9
+                ).cast("decimal(30,9)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("smape"),
+    )
