@@ -2007,3 +2007,82 @@ def etl_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_moved_on_expand"),
     )
+
+
+@register(
+    "etl_currency_normalize",
+    category="etl",
+    oracle="""
+WITH rates AS (
+  SELECT n_nationkey, n_name,
+         1.0 + (n_nationkey % 7) / 10.0 AS rate_to_base
+  FROM nation
+),
+converted AS (
+  SELECT r.n_name AS nation, rg.r_name AS region,
+         CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS local_cents,
+         CAST(FLOOR(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)
+                    * r.rate_to_base + 0.5) AS BIGINT) AS base_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN rates r ON r.n_nationkey = c.c_nationkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region rg ON rg.r_regionkey = n.n_regionkey
+)
+SELECT region, nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(local_cents) AS DOUBLE)/100 AS revenue_local,
+       CAST(SUM(base_cents) AS DOUBLE)/100 AS revenue_base
+FROM converted
+GROUP BY region, nation
+""",
+)
+def etl_currency_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-currency normalization: order totals convert to the base
+    currency through a broadcast per-nation rate table (synthetic
+    deterministic rates), with the conversion applied PER ROW on the
+    exact cent grid and re-floored to base cents BEFORE aggregation —
+    the finance-ETL discipline that makes the converted total equal
+    the sum of converted line amounts (converting the aggregate
+    instead fails reconciliation whenever rates differ within a
+    group). Per (region, nation): order count and revenue in both
+    currencies, all integer sums.
+
+    Scale shape: one fact scan, broadcast rate/dim joins, one
+    map-combined rollup; a dated-rate table would join on (nation,
+    date range) — the join_temporal_scd2 shape."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rates = n.select(
+        "n_nationkey",
+        F.col("n_name").alias("nation"),
+        (1.0 + (F.col("n_nationkey") % 7) / 10.0).alias("rate_to_base"),
+        "n_regionkey",
+    )
+    local_cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    converted = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(rates),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", F.col("r_name").alias("region"))),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select(
+            "region",
+            "nation",
+            local_cents.alias("local_cents"),
+            F.floor(local_cents * F.col("rate_to_base") + 0.5)
+            .cast("long")
+            .alias("base_cents"),
+        )
+    )
+    return converted.groupBy("region", "nation").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("local_cents").cast("double") / 100).alias("revenue_local"),
+        (F.sum("base_cents").cast("double") / 100).alias("revenue_base"),
+    )
