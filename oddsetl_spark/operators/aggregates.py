@@ -3131,3 +3131,87 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@register(
+    "agg_revenue_concentration",
+    category="agg",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev_c,
+         ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey) AS rnk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c
+  FROM per_cust
+)
+SELECT n AS n_customers,
+       CAST(total_c AS DOUBLE)/100 AS total_revenue,
+       round(CAST(SUM(CASE WHEN rnk <= (n + 99) // 100 THEN rev_c
+                  ELSE 0 END) AS DOUBLE) / total_c, 9) AS top1pct_share,
+       round(CAST(SUM(CASE WHEN rnk <= (n + 9) // 10 THEN rev_c
+                  ELSE 0 END) AS DOUBLE) / total_c, 9) AS top10pct_share
+FROM ranked
+GROUP BY n, total_c
+""",
+)
+def agg_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue concentration: the share of total revenue held by the
+    top 1% and top 10% of customers (ceiling head counts, ties by key)
+    — the Pareto readout behind key-account strategy and the
+    skew-awareness twin of etl_skew_report (that one asks whether the
+    JOIN will stall; this asks whether the BUSINESS is concentrated).
+    Exact cent sums and integer rank cutoffs; two divisions at the
+    edge.
+
+    Scale shape: one per-customer rollup, then a rank over the
+    customer frame — the |customers| sort is the only non-mergeable
+    step and at 100 TB runs as the top-k variant (take the head
+    count's worth via TakeOrdered, never a full sort)."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("rev_c")
+    )
+    wall = W.partitionBy()
+    ranked = per_cust.select(
+        "rev_c",
+        F.row_number()
+        .over(W.orderBy(F.desc("rev_c"), F.asc("o_custkey")))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("rev_c").over(wall).alias("total_c"),
+    )
+    k1 = F.floor((F.col("n") + 99) / 100).cast("long")
+    k10 = F.floor((F.col("n") + 9) / 10).cast("long")
+    return ranked.groupBy("n", "total_c").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("rnk") <= k1, F.col("rev_c")).otherwise(0)
+            ).cast("double")
+            / F.first("total_c"),
+            9,
+        ).alias("top1pct_share"),
+        F.round(
+            F.sum(
+                F.when(F.col("rnk") <= k10, F.col("rev_c")).otherwise(0)
+            ).cast("double")
+            / F.first("total_c"),
+            9,
+        ).alias("top10pct_share"),
+    ).select(
+        F.col("n").cast("long").alias("n_customers"),
+        (F.col("total_c").cast("double") / 100).alias("total_revenue"),
+        "top1pct_share",
+        "top10pct_share",
+    )
