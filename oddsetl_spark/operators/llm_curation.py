@@ -1896,3 +1896,60 @@ def curate_target_encoding_loo(
             F.round(te, 9).alias("te_loo"),
         )
     )
+
+
+_KFOLD = 5
+
+
+@register(
+    "curate_kfold_assign",
+    category="curation",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CAST(CAST(('0x' || substr(md5('kfold-v1|'
+              || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % {_KFOLD} AS BIGINT) AS fold
+  FROM documents
+)
+SELECT fold, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned
+GROUP BY fold, source
+""",
+)
+def curate_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k={_KFOLD}) by hashed doc id
+    with the per-(fold, source) census — the cross-validation split
+    that is reproducible across runs, engines and cluster layouts
+    (curate_train_split's md5 discipline, generalized to k folds), and
+    whose census is the balance check: roughly equal fold sizes AND
+    every source represented in every fold, so no fold trains blind to
+    a domain. A release-tagged seed rotates folds between experiments
+    without touching data.
+
+    Scale shape: a narrow hash projection + one map-combined census;
+    fold membership never materializes a shuffle (the fold column IS
+    the partition filter downstream)."""
+    d = table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("kfold-v1|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _KFOLD
+    )
+    return (
+        d.select("doc_id", "source", fold.alias("fold"))
+        .groupBy("fold", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
