@@ -2111,3 +2111,74 @@ def win_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("smape"),
     )
+
+
+@register(
+    "win_churn_rate",
+    category="windows",
+    oracle="""
+WITH monthly AS (
+  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_custkey
+  FROM orders
+),
+flagged AS (
+  SELECT m.month, m.o_custkey,
+         n.o_custkey IS NULL AS churned
+  FROM monthly m
+  LEFT JOIN monthly n
+    ON n.o_custkey = m.o_custkey
+   AND n.month = CAST(m.month + INTERVAL 1 MONTH AS DATE)
+)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churned,
+       round(SUM(CASE WHEN churned THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9)
+         AS churn_rate
+FROM flagged
+GROUP BY month
+""",
+)
+def win_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly churn: customers active in month m with no order in
+    m+1, as a count and rate per month — the retention KPI read from
+    the activity matrix (curate_retention_cohort tracks cohorts
+    forward; churn is the month-over-month complement). The
+    formulation is a self anti-join of the deduped (month, customer)
+    activity pairs against the next month — exact calendar arithmetic,
+    integer counts, one rate division. The final month's 100% churn is
+    the right-censoring artifact every churn dashboard truncates.
+
+    Scale shape: the month-customer dedup is the one pass over orders;
+    the self-join keys on (customer, month) — co-partitioned, no
+    amplification beyond active months per customer."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.select(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("month"),
+        "o_custkey",
+    ).distinct().localCheckpoint()
+    nxt = monthly.select(
+        F.add_months(F.col("month"), -1).alias("month"),
+        F.col("o_custkey").alias("n_custkey"),
+    )
+    flagged = monthly.join(
+        nxt,
+        (F.col("n_custkey") == F.col("o_custkey"))
+        & (nxt["month"] == monthly["month"]),
+        "left",
+    )
+    return flagged.groupBy(monthly["month"].alias("month")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("n_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_churned"),
+        F.round(
+            F.sum(F.when(F.col("n_custkey").isNull(), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            9,
+        ).alias("churn_rate"),
+    )
