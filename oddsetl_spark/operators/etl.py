@@ -2086,3 +2086,84 @@ def etl_currency_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("local_cents").cast("double") / 100).alias("revenue_local"),
         (F.sum("base_cents").cast("double") / 100).alias("revenue_base"),
     )
+
+
+@register(
+    "etl_gdpr_erasure",
+    category="etl",
+    oracle="""
+WITH erase AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0
+),
+audit AS (
+  SELECT 'customer' AS table_name,
+         CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_before,
+         CAST((SELECT COUNT(*) FROM customer
+               WHERE c_custkey IN (SELECT c_custkey FROM erase))
+              AS BIGINT) AS n_erased
+  UNION ALL
+  SELECT 'orders',
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM erase))
+              AS BIGINT)
+)
+SELECT table_name, n_before, n_erased,
+       n_before - n_erased AS n_after,
+       CAST(0 AS BIGINT) AS n_remaining_for_subjects
+FROM audit
+""",
+)
+def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure: every row belonging to the data subjects (a
+    deterministic 1-in-37 customer slice plays the request queue) is
+    removed from BOTH the dimension and the fact table by anti-join
+    rewrite to new parquet, and the audit row per table carries
+    before/erased/after counts plus the re-verification that ZERO rows
+    for those subjects remain in the rewritten data — the erasure
+    certificate a DPO files, computed from the actual rewritten files,
+    not from the plan. Completes the privacy ladder: mask
+    (rowops_column_masking), generalize (curate_k_anonymity), perturb
+    (agg_dp_noisy_count), erase (here).
+
+    Scale shape: one broadcast anti-join per table + partitioned
+    rewrite; at 100 TB erasure rewrites only the partitions whose
+    min/max key ranges intersect the subject set."""
+    import os
+
+    from ..session import scratch_dir
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    erase = c.filter(F.col("c_custkey") % 37 == 0).select(
+        F.col("c_custkey").alias("erase_key")
+    )
+    out_root = scratch_dir("gdpr")
+    audits = []
+    for name, df, key in (
+        ("customer", c, "c_custkey"),
+        ("orders", o, "o_custkey"),
+    ):
+        n_before = df.count()
+        kept = df.join(
+            F.broadcast(erase),
+            F.col(key) == F.col("erase_key"),
+            "left_anti",
+        )
+        path = os.path.join(out_root, name)
+        kept.write.mode("overwrite").parquet(path)
+        back = spark.read.parquet(path)
+        n_after = back.count()
+        n_remaining = back.join(
+            F.broadcast(erase),
+            F.col(key) == F.col("erase_key"),
+            "left_semi",
+        ).count()
+        audits.append(
+            (name, n_before, n_before - n_after, n_after, n_remaining)
+        )
+    return spark.createDataFrame(
+        audits,
+        "table_name string, n_before long, n_erased long, "
+        "n_after long, n_remaining_for_subjects long",
+    )
