@@ -3215,3 +3215,128 @@ def agg_revenue_concentration(
         "top1pct_share",
         "top10pct_share",
     )
+
+
+@register(
+    "agg_spearman_corr",
+    category="agg",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS p
+  FROM lineitem
+),
+qgrid AS (
+  SELECT q, CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before_n
+  FROM pts GROUP BY q
+),
+pgrid AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before_n
+  FROM pts GROUP BY p
+),
+ranked AS (
+  -- doubled average ranks are exact integers even with ties
+  SELECT (2*qg.before_n + qg.g + 1) AS rq2,
+         (2*pg.before_n + pg.g + 1) AS rp2
+  FROM pts t
+  JOIN qgrid qg ON qg.q = t.q
+  JOIN pgrid pg ON pg.p = t.p
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rq2) AS BIGINT) AS sx,
+         CAST(SUM(rp2) AS BIGINT) AS sy,
+         CAST(SUM(CAST(rq2 AS DECIMAL(38,0))*rp2) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(rq2 AS DECIMAL(38,0))*rq2) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(rp2 AS DECIMAL(38,0))*rp2) AS DECIMAL(38,0)) AS syy
+  FROM ranked
+)
+SELECT n,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy/n)
+             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n)
+                  * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy/n)), 9)
+         AS spearman_rho
+FROM m
+""",
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price: Pearson
+    on average ranks, which measures MONOTONE association (robust to
+    outliers and nonlinearity, where agg_pearson_corr sees only
+    linear). Ranks come from grid cumulative counts carried as DOUBLED
+    integers (exact even under ties — the agg_mann_whitney machinery
+    turned correlation), co-moment sums run as exact decimals (rank
+    products pass 2^63 at sf0.1; values stay well under the 15-digit
+    double-exact range after the final cast because the CENTERED
+    moments are small), and one chain rounds once.
+
+    Scale shape: two grid rollups (support-bounded), two broadcast
+    joins back to the rows, one co-moment pass — never a row sort."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("p"),
+    )
+
+    def grid(col):
+        wprev = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return (
+            pts.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("g"))
+            .select(
+                col,
+                "g",
+                F.coalesce(F.sum("g").over(wprev), F.lit(0)).alias(
+                    "before_n"
+                ),
+            )
+        )
+
+    qg = grid("q").select(
+        "q", (2 * F.col("before_n") + F.col("g") + 1).alias("rq2")
+    )
+    pg = grid("p").select(
+        "p", (2 * F.col("before_n") + F.col("g") + 1).alias("rp2")
+    )
+    ranked = pts.join(F.broadcast(qg), "q").join(F.broadcast(pg), "p")
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rq2").alias("sx"),
+        F.sum("rp2").alias("sy"),
+        F.sum(F.col("rq2").cast("decimal(38,0)") * F.col("rp2")).alias(
+            "sxy"
+        ),
+        F.sum(F.col("rq2").cast("decimal(38,0)") * F.col("rq2")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("rp2").cast("decimal(38,0)") * F.col("rp2")).alias(
+            "syy"
+        ),
+    )
+    n = F.col("n")
+    rho = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / n
+    ) / F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / n
+        )
+        * (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy") / n
+        )
+    )
+    return m.select(
+        n.cast("long").alias("n"), F.round(rho, 9).alias("spearman_rho")
+    )
