@@ -57,6 +57,12 @@ INVARIANCE_SET = [
     "graph_label_propagation",
     "mm_video_scene_cut",
     "win_holt_linear",
+    # continuation additions: rank statistics with grid joins, the
+    # user-day range joins, and the streaming SCD2 replay
+    "agg_spearman_corr",
+    "agg_robust_means",
+    "win_dau_wau_mau",
+    "stream_scd2_foreachbatch",
 ]
 
 
