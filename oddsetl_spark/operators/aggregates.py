@@ -3340,3 +3340,124 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         n.cast("long").alias("n"), F.round(rho, 9).alias("spearman_rho")
     )
+
+
+@register(
+    "agg_kruskal_wallis",
+    category="agg",
+    oracle="""
+WITH pts AS (
+  SELECT event_type AS grp,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+grid AS (
+  SELECT cents, CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before_n
+  FROM pts GROUP BY cents
+),
+ranked AS (
+  SELECT t.grp, (2*gr.before_n + gr.g + 1) AS r2
+  FROM pts t JOIN grid gr ON gr.cents = t.cents
+),
+per_grp AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_j,
+         CAST(SUM(r2) AS BIGINT) AS r2_sum
+  FROM ranked GROUP BY grp
+),
+ties AS (
+  SELECT CAST(SUM(g*g*g - g) AS BIGINT) AS tie_term,
+         CAST(SUM(g) AS BIGINT) AS n
+  FROM grid
+)
+SELECT t.n AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       round((12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1))
+              * SUM((CAST(p.r2_sum AS DOUBLE)/2)
+                    * (CAST(p.r2_sum AS DOUBLE)/2) / p.n_j)
+              - 3.0 * (t.n + 1))
+             / (1.0 - CAST(t.tie_term AS DOUBLE)
+                      / (CAST(t.n AS DOUBLE)*t.n*t.n - t.n)), 9)
+         AS h_stat
+FROM per_grp p, ties t
+GROUP BY t.n, t.tie_term
+""",
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all five event types: the k-sample
+    generalization of the Mann-Whitney rank test (does ANY group's
+    value distribution differ?), with the exact tie correction
+    1 - sum(t^3-t)/(N^3-N). Ranks ride as doubled integers on the cent
+    grid (the established rank machinery), per-group rank sums are
+    exact, and H is one identical chain rounded once — the gatekeeper
+    you run before k pairwise U tests inflate your false-positive
+    rate.
+
+    Scale shape: one grid rollup, one broadcast rank join, one
+    per-group rollup — all support- or group-bounded."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    pts = e.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    wprev = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    grid = (
+        pts.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .select(
+            "cents",
+            "g",
+            F.coalesce(F.sum("g").over(wprev), F.lit(0)).alias("before_n"),
+        )
+        .localCheckpoint()
+    )
+    ranked = pts.join(
+        F.broadcast(
+            grid.select(
+                "cents",
+                (2 * F.col("before_n") + F.col("g") + 1).alias("r2"),
+            )
+        ),
+        "cents",
+    )
+    per_grp = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_j"), F.sum("r2").alias("r2_sum")
+    )
+    ties = grid.agg(
+        F.sum(
+            F.col("g") * F.col("g") * F.col("g") - F.col("g")
+        ).alias("tie_term"),
+        F.sum("g").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    h_raw = (
+        12.0
+        / (nd * (F.col("n") + 1))
+        * F.sum(
+            (F.col("r2_sum").cast("double") / 2)
+            * (F.col("r2_sum").cast("double") / 2)
+            / F.col("n_j")
+        )
+        - 3.0 * (F.col("n") + 1)
+    )
+    h = h_raw / (
+        1.0
+        - F.col("tie_term").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    )
+    return (
+        per_grp.crossJoin(F.broadcast(ties))
+        .groupBy("n", "tie_term")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.round(h, 9).alias("h_stat"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_total"),
+            "n_groups",
+            "h_stat",
+        )
+    )
