@@ -3461,3 +3461,102 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h_stat",
         )
     )
+
+
+@register(
+    "agg_jensen_shannon",
+    category="agg",
+    oracle="""
+WITH pts AS (
+  SELECT user_id % 2 AS variant,
+         CAST(FLOOR(value*10 + 0.5) AS BIGINT) AS decile_cents
+  FROM events
+),
+grid AS (
+  SELECT decile_cents,
+         CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS g0,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS g1
+  FROM pts GROUP BY decile_cents
+),
+tot AS (
+  SELECT CAST(SUM(g0) AS BIGINT) AS n0, CAST(SUM(g1) AS BIGINT) AS n1
+  FROM grid
+),
+terms AS (
+  SELECT
+    CASE WHEN g.g0 > 0 THEN
+      CAST(round((g.g0 * 1.0 / t.n0 / 2)
+           * round(ln((g.g0 * 1.0 / t.n0)
+                      / ((g.g0 * 1.0 / t.n0 + g.g1 * 1.0 / t.n1) / 2)), 9),
+           12) AS DECIMAL(30,12))
+    ELSE CAST(0 AS DECIMAL(30,12)) END AS term_p,
+    CASE WHEN g.g1 > 0 THEN
+      CAST(round((g.g1 * 1.0 / t.n1 / 2)
+           * round(ln((g.g1 * 1.0 / t.n1)
+                      / ((g.g0 * 1.0 / t.n0 + g.g1 * 1.0 / t.n1) / 2)), 9),
+           12) AS DECIMAL(30,12))
+    ELSE CAST(0 AS DECIMAL(30,12)) END AS term_q
+  FROM grid g, tot t
+)
+SELECT (SELECT n0 FROM tot) AS n0, (SELECT n1 FROM tot) AS n1,
+       round(CAST(SUM(term_p + term_q) AS DOUBLE), 9) AS jsd_nats
+FROM terms
+""",
+)
+def agg_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the two arms' value
+    distributions on a decile-cent grid: the symmetric, bounded
+    (<= ln 2) divergence that is defined even where one side has mass
+    the other lacks — KL's infinity problem, PSI's smoothing hack,
+    neither needed. Completes the drift toolkit: PSI (binned,
+    interpretable bands), KS (max CDF gap + location), JSD (total
+    distributional distance). Per-cell terms round ln to the 9-grid
+    and the weighted product to the 12-grid before the exact decimal
+    sum (the mutual-information discipline with a finer product grid,
+    since weights here are tiny probabilities).
+
+    Scale shape: one groupBy onto the grid, a 1-row total, per-cell
+    scalar math — support-bounded like the rest of the family."""
+    e = table(spark, sf_dir, "events")
+    pts = e.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.floor(F.col("value") * 10 + 0.5).cast("long").alias(
+            "decile_cents"
+        ),
+    )
+    grid = pts.groupBy("decile_cents").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("g0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("g1"),
+    )
+    tot = grid.agg(
+        F.sum("g0").alias("n0"), F.sum("g1").alias("n1")
+    )
+    j = grid.crossJoin(F.broadcast(tot))
+    p = F.col("g0") * 1.0 / F.col("n0")
+    q = F.col("g1") * 1.0 / F.col("n1")
+    mmid = (p + q) / 2
+    term_p = F.when(
+        F.col("g0") > 0,
+        F.round((p / 2) * F.round(F.log(p / mmid), 9), 12).cast(
+            "decimal(30,12)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(30,12)"))
+    term_q = F.when(
+        F.col("g1") > 0,
+        F.round((q / 2) * F.round(F.log(q / mmid), 9), 12).cast(
+            "decimal(30,12)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(30,12)"))
+    return j.agg(
+        F.first("n0").alias("n0"),
+        F.first("n1").alias("n1"),
+        F.round(F.sum(term_p + term_q).cast("double"), 9).alias(
+            "jsd_nats"
+        ),
+    )
