@@ -177,3 +177,66 @@ def sort_total_order_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("global_rank") % 1000) == 1)
     )
+
+
+@register(
+    "sort_pareto_skyline",
+    category="sorts",
+    oracle="""
+WITH pts AS (
+  SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size_,
+         CAST(MIN(p_partkey) AS BIGINT) AS sample_part
+  FROM part
+  GROUP BY p_retailprice, p_size
+),
+flagged AS (
+  SELECT price, size_, sample_part,
+         CAST(COALESCE(MAX(size_) OVER (ORDER BY price, size_ DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              AS BIGINT) AS best_size_before
+  FROM pts
+)
+SELECT price, size_ AS size, sample_part
+FROM flagged
+WHERE size_ > best_size_before
+""",
+)
+def sort_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over parts: minimize retail price,
+    maximize size — the multi-criteria shortlist query (no frontier
+    point is beaten on both axes at once), the classic database
+    operator behind "cheapest sufficient option" product pickers. The
+    2-D case collapses to ONE sorted pass: order by (price asc, size
+    desc) and keep rows whose size strictly beats the running best —
+    no pairwise dominance join. Distinct (price, size) pairs first
+    (exact-duplicate points share a frontier slot, represented by
+    their min part key) make the frontier and the tie semantics
+    deterministic.
+
+    Scale shape: the sort is the range-partitioned total order
+    sort_total_order_range already demonstrates; the running max then
+    needs only per-range partials merged by the two-pass prefix
+    pattern. Beyond 2-D, skylines need the block-nested or
+    divide-and-conquer join — this is the dimension where the
+    one-pass trick is the honest special case."""
+    from pyspark.sql import Window as W
+
+    p = table(spark, sf_dir, "part")
+    pts = p.groupBy(
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size_"),
+    ).agg(F.min("p_partkey").alias("sample_part"))
+    w = W.orderBy(F.asc("price"), F.desc("size_")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    flagged = pts.select(
+        "price",
+        "size_",
+        "sample_part",
+        F.coalesce(F.max("size_").over(w), F.lit(-1)).alias(
+            "best_size_before"
+        ),
+    )
+    return flagged.filter(
+        F.col("size_") > F.col("best_size_before")
+    ).select("price", F.col("size_").alias("size"), "sample_part")
