@@ -3560,3 +3560,65 @@ def agg_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jsd_nats"
         ),
     )
+
+
+@register(
+    "agg_odds_ratio",
+    category="agg",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(SUM(CASE WHEN user_id % 2 = 1
+                  AND event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN user_id % 2 = 1
+                  AND event_type <> 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                  AND event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                  AND event_type <> 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM events
+)
+SELECT a, b, c, d,
+       round(a * 1.0 * d / (b * 1.0 * c), 9) AS odds_ratio,
+       round((a * 1.0 / (a + b)) / (c * 1.0 / (c + d)), 9)
+         AS relative_risk,
+       round(sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d), 9) AS log_or_se
+FROM cells
+""",
+)
+def agg_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio and relative risk for the 2x2 exposure/outcome table
+    (arm 1 as exposure, purchase as outcome), with the standard error
+    of log-OR (sqrt of the reciprocal cell sums — exp(log OR +/-
+    1.96 se) is the CI) — the epidemiology/experimentation readout
+    that says effect SIZE where the z-test only says significance,
+    and the reminder that OR and RR diverge off rare outcomes. Four
+    exact integer cells; three identical chains rounded once.
+
+    Scale shape: one map-combined pass, arithmetic on one row."""
+    e = table(spark, sf_dir, "events")
+    exp_ = F.col("user_id") % 2 == 1
+    out_ = F.col("event_type") == "purchase"
+    cells = e.agg(
+        F.sum(F.when(exp_ & out_, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(exp_ & ~out_, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~exp_ & out_, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~exp_ & ~out_, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(a * 1.0 * d / (b * 1.0 * c), 9).alias("odds_ratio"),
+        F.round((a * 1.0 / (a + b)) / (c * 1.0 / (c + d)), 9).alias(
+            "relative_risk"
+        ),
+        F.round(
+            F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d), 9
+        ).alias("log_or_se"),
+    )
