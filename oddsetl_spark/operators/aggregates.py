@@ -3622,3 +3622,119 @@ def agg_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d), 9
         ).alias("log_or_se"),
     )
+
+
+@register(
+    "agg_wilcoxon_signed_rank",
+    category="agg",
+    oracle="""
+WITH paired AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                    < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT)
+         - CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                      >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS d
+  FROM events GROUP BY user_id
+),
+nonzero AS (SELECT abs(d) AS ad, d > 0 AS pos FROM paired WHERE d <> 0),
+grid AS (
+  SELECT ad, CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before_n
+  FROM nonzero GROUP BY ad
+),
+ranked AS (
+  SELECT n.pos, (2*gr.before_n + gr.g + 1) AS r2
+  FROM nonzero n JOIN grid gr ON gr.ad = n.ad
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN pos THEN r2 ELSE 0 END) AS BIGINT) AS wplus2,
+         (SELECT CAST(SUM(g*g*g - g) AS BIGINT) FROM grid) AS tie_term
+  FROM ranked
+)
+SELECT n AS n_pairs,
+       CAST(wplus2 AS DOUBLE)/2 AS w_plus,
+       round((CAST(wplus2 AS DOUBLE)/2
+              - CAST(n AS DOUBLE)*(n + 1)/4)
+             / sqrt(CAST(n AS DOUBLE)*(n + 1)*(2*n + 1)/24
+                    - CAST(tie_term AS DOUBLE)/48), 9) AS z_stat
+FROM m
+""",
+)
+def agg_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED data: each user's first-half
+    vs second-half total event value (exact cent differences), signed
+    ranks of |d| with average-rank ties carried as doubled integers,
+    zero differences dropped per the standard treatment, and the
+    tie-corrected normal approximation — the within-subject companion
+    to Mann-Whitney's independent-samples test (pairing removes
+    between-user variance, which is why A/A-to-A/B longitudinal
+    designs use it). Everything before the z chain is integer.
+
+    Scale shape: one per-user rollup, one |d|-grid pass, one rank
+    join — group- and support-bounded throughout."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    half = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    paired = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("ts").cast("timestamp") < half, cents).otherwise(0))
+            - F.sum(
+                F.when(F.col("ts").cast("timestamp") >= half, cents).otherwise(0)
+            )
+        ).alias("d")
+    )
+    nonzero = paired.filter(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("ad"), (F.col("d") > 0).alias("pos")
+    )
+    wprev = W.orderBy("ad").rowsBetween(W.unboundedPreceding, -1)
+    grid = (
+        nonzero.groupBy("ad")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .select(
+            "ad",
+            "g",
+            F.coalesce(F.sum("g").over(wprev), F.lit(0)).alias("before_n"),
+        )
+        .localCheckpoint()
+    )
+    ranked = nonzero.join(
+        F.broadcast(
+            grid.select(
+                "ad", (2 * F.col("before_n") + F.col("g") + 1).alias("r2")
+            )
+        ),
+        "ad",
+    )
+    ties = grid.agg(
+        F.sum(F.col("g") * F.col("g") * F.col("g") - F.col("g")).alias(
+            "tie_term"
+        )
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pos"), F.col("r2")).otherwise(0)).alias(
+            "wplus2"
+        ),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    w_plus = F.col("wplus2").cast("double") / 2
+    z = (w_plus - nd * (F.col("n") + 1) / 4) / F.sqrt(
+        nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24
+        - F.col("tie_term").cast("double") / 48
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        w_plus.alias("w_plus"),
+        F.round(z, 9).alias("z_stat"),
+    )
