@@ -531,7 +531,6 @@ def etl_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitionByRange(partition, bucket) instead of one file per
     value."""
     import os
-    import tempfile
 
     e = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
     frag_dir = scratch_dir("frag")
@@ -603,7 +602,6 @@ def etl_backfill_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
     At 100 TB this is the difference between rewriting 3 partitions and
     rewriting the table."""
     import os
-    import tempfile
 
     lo, hi = "2024-01-05", "2024-01-07"
     e = table(spark, sf_dir, "events").select(
@@ -1365,7 +1363,6 @@ def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     a catalog pointer swap — same contract."""
     import os
     import shutil
-    import tempfile
 
     root = scratch_dir("wap")
     staging = os.path.join(root, "_staging")
@@ -1710,7 +1707,6 @@ def etl_schema_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: schema metadata only — O(columns), zero data scan;
     the report is the same at any table size."""
-    import tempfile
 
     base = table(spark, sf_dir, "orders").limit(10)
     old_df = base.select(

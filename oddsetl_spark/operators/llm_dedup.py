@@ -1274,13 +1274,19 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = newb.join(exact.select("new_id"), "new_id", "left_anti")
 
     def shingles(df, idcol):
+        # Same short-doc guard as _shingles: without the size>=3 filter a
+        # 2-token doc makes sequence(1, 0) DESCEND to [1,0] and
+        # element_at(t, 0) raises INVALID_INDEX_OF_ZERO under ANSI; the
+        # DuckDB oracle's range(1, len-1) is just empty for those docs.
         t = F.split(F.col("text"), " ")
-        return df.select(
+        return df.filter(F.size(t) >= 3).select(
             idcol,
             F.explode(
                 F.array_distinct(
                     F.transform(
-                        F.sequence(F.lit(1), F.size(t) - 2),
+                        F.sequence(
+                            F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))
+                        ),
                         lambda i: F.concat_ws(
                             " ",
                             F.element_at(t, i),

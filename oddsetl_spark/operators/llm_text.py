@@ -1174,12 +1174,18 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps between batches."""
     d = table(spark, sf_dir, "documents")
     t = F.split(F.lower(F.col("text")), " ")
-    sh = d.select(
+    # Short-doc guard (same as llm_dedup._shingles): a <3-token doc would
+    # make sequence(1, 0) descend and element_at(t, 0) raise under ANSI;
+    # the oracle's range(1, len-1) is empty for those docs, so filtering
+    # them out keeps both sides aligned.
+    sh = d.filter(F.size(t) >= 3).select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 2),
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))
+                    ),
                     lambda i: F.concat_ws(
                         " ",
                         F.element_at(t, i),

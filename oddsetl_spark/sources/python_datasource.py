@@ -255,7 +255,6 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     page token; everything downstream (watermark, windows, sink) is
     unchanged. Deterministic feed => full SQL oracle, unlike typical
     connector demos."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -389,7 +388,6 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     the built-in CSV/JSON sinks."""
     import json
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

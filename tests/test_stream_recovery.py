@@ -14,6 +14,8 @@ from __future__ import annotations
 import tempfile
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 import oddsetl_spark  # noqa: F401
@@ -107,11 +109,15 @@ def test_scd2_stream_restart_and_redelivery(spark):
 
     # phase 1: stop after the first committed batch
     q = scd2_start(spark, staged, state_dir, ckpt)
-    while True:
+    deadline = time.time() + 120
+    while time.time() < deadline:
         time.sleep(0.2)
         applied = os.listdir(state_dir + "_markers")
         if applied:
             break
+    else:
+        q.stop()
+        pytest.fail("no batch committed within 120s")
     q.stop()
     q.awaitTermination()
     n_applied_phase1 = len(os.listdir(state_dir + "_markers"))
