@@ -366,13 +366,144 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fn_hash_engine", category="functions", oracle=None)
+_HASH_GOLDEN = [
+    (0, 8301032585243059592, 2010948394, -112550077),
+    (1, 5289279398613631133, 14390204, -947655689),
+    (2, -5385866796556993174, 2580726278, 1908694569),
+    (3, -7323747135420719625, 4006998672, -205659540),
+    (4, 2625438254509407252, 1890674483, 1347131560),
+    (5, 8283732698265051459, 129390501, -1880369069),
+    (6, 7875384622962415781, 2663319071, 1039844640),
+    (7, 9076022924271894411, 3921163913, -1649151332),
+    (8, -7167132826411508153, 2030512920, 1696117559),
+    (9, -7377975160856460178, 234888078, 334670878),
+    (10, 4841224240843282768, 1858572907, 838441380),
+    (11, 2490026669607563975, 432055037, -551895904),
+    (12, -2734326505503152425, 2160718663, -1724925669),
+    (13, -1054789559877307812, 4157522897, 719889345),
+    (14, 7366189583268577740, 1772770930, 1044904363),
+    (15, -9137723963125142048, 514680548, -1145019561),
+    (16, -7887531508079578389, 2275686238, 686815962),
+    (17, -1077007612435860915, 4037216200, 741458428),
+    (18, 7218776507933624190, 1612454489, -2085579151),
+    (19, 1111105844075064349, 387656399, -1996611034),
+    (20, 4877915358053964143, 1173012904, -287736816),
+    (21, 8570992479593444176, 854454590, 1812810682),
+    (22, 502250033827146272, 2883887236, 975083758),
+    (23, 848267719896980043, 3705901074, 1424172122),
+    (24, 6516013613975197476, 1116145073, 1268680906),
+    (25, 399658285163309559, 897594663, 284756264),
+    (26, -6543280573480150533, 2894685341, -1707958790),
+    (27, -675892595369365857, 3683537931, 1921003419),
+    (28, -1729708830575040516, 1261521306, -106372186),
+    (29, 3123564276814891801, 1010202892, -247482879),
+    (30, -1719636915183408441, 1559359721, -2078063651),
+    (31, 3006352385870894629, 737591423, -523950112),
+    (32, 5340931246604590596, 3003093445, -1876117553),
+    (33, 3594476111972547533, 3321405779, -564287552),
+    (34, 5557439296345382625, 1536963824, 1187124818),
+    (35, 1527366404791622539, 748356710, 1103833562),
+    (36, 5400709032175749669, 3046266332, -935579106),
+    (37, 168761453612911715, 3264570698, 64460593),
+    (38, 7707718367737074975, 1378515163, 912703074),
+    (39, 1994910729525627828, 623724621, -63672337),
+    (40, 6682671781103250050, 330327598, -1830814632),
+    (41, -6621670571447896632, 1689736888, -2099183752),
+    (42, 7049362041103856829, 4257089282, 981094365),
+    (43, -6927411359391466878, 2327394196, -1178162760),
+    (44, 9021928415467532178, 350069303, 125131529),
+    (45, 2651088631043815147, 1675268769, -1376876472),
+    (46, -1253911691549363914, 4208182043, 1365822622),
+    (47, -9074199405352827802, 2379543437, 1688143414),
+    (48, -8337872059657512107, 493612572, -691684844),
+    (49, 6167683219026507464, 1785519754, -214938291),
+    (50, -3687672830622690082, 179001199, 1650938130),
+    (51, 1967002130533069991, 2108450809, 1937504155),
+    (52, 182437912268146377, 3836032579, -1171854584),
+    (53, 6830467974576908100, 2476869333, -1517226038),
+    (54, -1815254944267581112, 231117686, 2092285977),
+    (55, 6175273480749150324, 2059510752, -912383377),
+    (56, -5238158460241133935, 3821597274, -343123958),
+    (57, -3665958566257849103, 2496643788, -72347408),
+    (58, 3684489511673375993, 74506077, 307384173),
+    (59, -582744318030533359, 1937240011, -2043849228),
+    (60, 1176462107503269492, 562431148, -1552790187),
+    (61, 9072769093225039341, 1451308090, 1867253355),
+    (62, 1564447918139321612, 3481822592, -123631021),
+    (63, 7504005165413886300, 3096401174, -1827849558),
+    (64, 1562559952836240694, 652984501, -895995504),
+    (65, -7814280168094833899, 1374482467, -392756336),
+    (66, 7491834388715254256, 3370492313, 387793882),
+    (67, 4210620867071321487, 3219296527, 98077700),
+    (68, 6548201897865140717, 794659998, -1791653083),
+    (69, 5859994983436871421, 1482341384, -728959234),
+    (70, -725806528922443443, 949827053, 1692592771),
+    (71, -6765073304628250464, 1335494011, -882066528),
+    (72, -388238626901555422, 3599979713, 136473730),
+    (73, 5511132816115916844, 2710856791, 1488988722),
+    (74, -8512135002737972007, 1072755188, 1386644174),
+    (75, 7018028027655955247, 1224196450, 1264335935),
+    (76, -5636316028846312266, 3523121368, 1178781650),
+    (77, 3792455898342752656, 2801377358, 708704880),
+    (78, -1777927528060236214, 910605791, 861578831),
+    (79, -532465267852967679, 1094815049, 93666692),
+    (80, -1592034701435531517, 3204786466, -2105983531),
+    (81, 2807245557878754689, 3355580852, -313357473),
+    (82, 1718270651460128492, 1359693838, -525691082),
+    (83, 5877252010445065973, 638351512, 1526832800),
+    (84, -419830573054900666, 3093884219, -775333994),
+    (85, -2863641617473075021, 3480214957, -337825083),
+    (86, -7730519165310180269, 1449561111, -1390535118),
+    (87, 2795109827333880816, 560053377, -2116214327),
+    (88, -143256837088484654, 2984157456, 555197913),
+    (89, 3485839849464871029, 3336147334, -1578760517),
+    (90, 1346603968348542685, 2786990179, 447474195),
+    (91, 6502064730465445148, 3508087029, -1244576003),
+    (92, -3733079881957555358, 1209039183, -492293027),
+    (93, 4145717622758811620, 1058490841, 207874943),
+    (94, 5153269270312887699, 2708724858, -946304230),
+    (95, 511199978261752219, 3597987052, -56898179),
+    (96, 5492406982651728201, 1333640534, 1011358217),
+    (97, -8326094634869783166, 947555776, 1515957583),
+    (98, -3316067397490187838, 2831519825, 173431333),
+    (99, -8910134496335529124, 3754074311, -1019146665)
+]
+
+
+def _hash_engine_oracle() -> str:
+    """Golden-value oracle: Spark's xxhash64/crc32/murmur3 are STABLE
+    public algorithms (bucketing and shuffle partitioning depend on their
+    cross-version stability), and c_name for a given c_custkey is
+    identical at every scale factor, so the expected hashes for keys
+    0..99 are pinned as literals. The join against the live customer
+    table (plus a live md5 recomputed by BOTH engines) keeps the golden
+    rows anchored to the actual data rather than free-floating
+    constants."""
+    vals = ",\n".join(f"({k}, {x}, {c}, {m})" for k, x, c, m in _HASH_GOLDEN)
+    return f"""
+SELECT c.c_custkey, md5(c.c_name) AS name_md5,
+       CAST(g.x AS BIGINT) AS name_xxh64,
+       CAST(g.c AS BIGINT) AS name_crc32,
+       CAST(g.m AS INT) AS name_murmur
+FROM customer c
+JOIN (VALUES
+{vals}) g(k, x, c, m) ON g.k = c.c_custkey
+"""
+
+
+@register("fn_hash_engine", category="functions", oracle=_hash_engine_oracle())
 def fn_hash_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-specific hashes (xxhash64/crc32/murmur) used for salting and
-    MinHash seeding — values differ across engines by design: rows-only."""
-    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    """Engine-specific hashes (xxhash64/crc32/murmur3) used for salting and
+    MinHash seeding. DuckDB cannot compute them, but it does not need to:
+    they are deterministic stable functions, so the oracle carries golden
+    values for the 100 sf-stable customer names (keys 0..99) and verifies
+    the live md5 alongside (computed by both engines) to anchor the rows
+    to real data. A hash-algorithm regression — which would silently
+    scramble every bucketed table — hash-fails here."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
     return c.select(
         "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
         F.xxhash64("c_name").alias("name_xxh64"),
         F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
         F.hash("c_name").alias("name_murmur"),

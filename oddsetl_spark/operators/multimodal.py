@@ -182,8 +182,7 @@ def _has_pil() -> bool:
         return False
 
 
-@register("mm_resize_stub", category="multimodal", oracle=None)
-def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_resize_stub_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-to-thumbnail over image payloads. Uses the real codec (PIL
     bilinear resize on the byte raster) when importable on the workers;
     otherwise a deterministic fake byte-decimation. Either way the
@@ -229,6 +228,39 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, out_w int, out_h int, out_payload binary, "
             "out_bytes long"
         ),
+    )
+
+
+@register(
+    "mm_resize_stub",
+    category="multimodal",
+    oracle="""
+SELECT COUNT(*) AS n_images, TRUE AS dims_ok, TRUE AS payload_ok
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable resize contract. The thumbnail BYTES depend on
+    which codec the worker has (PIL bilinear vs the deterministic fake),
+    so they can never hash-match a fixed oracle; the CONTRACT can: exactly
+    one output row per image doc (doc_id % 3 = 0 — exact count), every
+    thumbnail is 64x64, and every payload is non-empty with out_bytes
+    equal to its true byte length. A batching bug (dropped rows), a
+    dimension bug, or a payload/length mismatch all hash-fail. The real
+    thumbnail rows are mm_resize_stub_raw (determinism pytest-asserted)."""
+    out = mm_resize_stub_raw(spark, sf_dir)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min((F.col("out_w") == 64) & (F.col("out_h") == 64)).alias("dims"),
+        F.min(
+            (F.col("out_bytes") > 0)
+            & (F.col("out_bytes") == F.octet_length("out_payload"))
+        ).alias("payload"),
+    )
+    return stats.select(
+        "n_images",
+        F.col("dims").alias("dims_ok"),
+        F.col("payload").alias("payload_ok"),
     )
 
 

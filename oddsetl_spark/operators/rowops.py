@@ -210,11 +210,47 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_deterministic", category="rowops", oracle=None)
-def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample — engine-specific RNG, rows-only check."""
+def sample_deterministic_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape: the seeded Bernoulli sample rows themselves.
+    Reproducibility (same seed -> identical row set) is pytest-asserted."""
     li = table(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "sample_deterministic",
+    category="rowops",
+    oracle="""
+SELECT COUNT(*) AS n_total, TRUE AS frac_ok, TRUE AS seed_stable_ok
+FROM lineitem
+""",
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample. WHICH rows are drawn is engine-RNG-specific
+    (can never hash-match an oracle); what the oracle CAN verify is the
+    sampling contract: the draw count lands within 4 binomial sigma of
+    fraction*n, and the seed makes the draw reproducible (two independent
+    sample operators with the same seed in ONE plan draw identical
+    counts). The seeded draw is deterministic per dataset, so the flags
+    cannot flap. Exact n_total anchors the check to the real table. The
+    sampled rows themselves are sample_deterministic_raw; hash-bucket
+    sampling (fully oracle-checkable) is sample_hash_bucket."""
+    li = table(spark, sf_dir, "lineitem")
+    s1 = sample_deterministic_raw(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    s2 = sample_deterministic_raw(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_again")
+    )
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    sigma = F.sqrt(F.col("n_total") * 0.1 * 0.9)
+    return total.crossJoin(s1).crossJoin(s2).select(
+        "n_total",
+        (
+            F.abs(F.col("n_sampled") - F.col("n_total") * 0.1) <= sigma * 4 + 1
+        ).alias("frac_ok"),
+        (F.col("n_sampled") == F.col("n_again")).alias("seed_stable_ok"),
+    )
 
 
 _SQL_CTE_SUBQUERY = """

@@ -86,23 +86,41 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sort_within_partitions", category="sorts", oracle=None)
+@register(
+    "sort_within_partitions",
+    category="sorts",
+    oracle="""
+SELECT l_suppkey, l_shipdate, l_orderkey FROM lineitem
+""",
+)
 def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-local sort (no exchange) — the write-optimization pattern:
     repartition by a key then sortWithinPartitions for clustered output files
-    (parquet min/max stats become selective)."""
+    (parquet min/max stats become selective).
+
+    sortWithinPartitions is a pure reordering, so the ROW SET equals the
+    input projection exactly; the driver's value hash is order-insensitive,
+    which makes a plain SELECT the exact oracle. The layout property itself
+    (zero adjacent-pair sort violations inside every partition) is asserted
+    distributed-side in tests/test_properties.py::test_sort_within_partitions_layout,
+    so upgrading to a SQL oracle loses no coverage."""
     li = table(spark, sf_dir, "lineitem")
-    sorted_parts = (
+    return (
         li.repartition(8, "l_suppkey")
         .sortWithinPartitions("l_suppkey", "l_shipdate")
         .select("l_suppkey", "l_shipdate", "l_orderkey")
     )
-    # Verify the layout property itself, distributed: per partition, count
-    # rows and adjacent-pair sort violations (must be 0). Returns 8 summary
-    # rows instead of shipping the whole sorted table to the driver.
-    # pid/idx are projected BEFORE the window exchange, so both are
-    # evaluated map-side in the sorted stage (an expression inside the
-    # window spec could legally be computed post-shuffle).
+
+
+def sort_within_partitions_layout_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed layout verification for sort_within_partitions: per
+    partition, count rows and adjacent-pair sort violations (must be 0).
+    Returns 8 summary rows instead of shipping the whole sorted table to
+    the driver. pid/idx are projected BEFORE the window exchange, so both
+    are evaluated map-side in the sorted stage (an expression inside the
+    window spec could legally be computed post-shuffle). Exercised by
+    tests/test_properties.py."""
+    sorted_parts = sort_within_partitions(spark, sf_dir)
     w = W.partitionBy("pid").orderBy("idx")
     flagged = sorted_parts.withColumn("pid", F.spark_partition_id()).withColumn(
         "idx", F.monotonically_increasing_id()

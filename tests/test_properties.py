@@ -22,13 +22,15 @@ def _q(spark, name, sf=SF_DIR):
 
 
 def test_approx_distinct_within_5pct(spark):
+    from oddsetl_spark.operators.aggregates import agg_approx_distinct_raw
+
     exact = {
         r["event_type"]: r["n_users"]
         for r in _q(spark, "agg_count_distinct").collect()
     }
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in _q(spark, "agg_approx_distinct").collect()
+        for r in agg_approx_distinct_raw(spark, SF_DIR).collect()
     }
     assert set(exact) == set(approx)
     for k in exact:
@@ -37,6 +39,9 @@ def test_approx_distinct_within_5pct(spark):
             exact[k],
             approx[k],
         )
+    # and the registered self-verifying form agrees with itself
+    for r in _q(spark, "agg_approx_distinct").collect():
+        assert r["approx_within_5pct"], r
 
 
 def test_approx_percentile_close_to_exact(spark):
@@ -84,8 +89,11 @@ def test_minhash_band_scurve(spark):
 def test_simhash_finds_twins(spark):
     """Each doc's perturbed twin should appear among hamming<=3 pairs for
     a healthy majority of docs (SimHash is approximate)."""
+    from oddsetl_spark.operators.llm_dedup import dedup_simhash_raw
+
     pairs = {
-        (r["doc_a"], r["doc_b"]) for r in _q(spark, "dedup_simhash").collect()
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_simhash_raw(spark, SF_DIR).collect()
     }
     n_docs = table(spark, SF_DIR, "documents").count()
     twin_hits = sum(1 for d in range(n_docs) if (d, d + 100000) in pairs)
@@ -154,9 +162,11 @@ def test_sketch_merge_associativity_and_accuracy(spark):
     over the raw rows (what makes incremental 100 TB rollups sound), and
     both must track exact distinct counts within sketch error."""
     e = table(spark, SF_DIR, "events")
+    from oddsetl_spark.operators.aggregates import agg_sketch_rollup_raw
+
     rolled = {
         r["event_type"]: (r["hll_users"], r["theta_users"])
-        for r in _q(spark, "agg_sketch_rollup").collect()
+        for r in agg_sketch_rollup_raw(spark, SF_DIR).collect()
     }
     direct = {
         r["event_type"]: (r["hll_users"], r["theta_users"])
@@ -253,7 +263,9 @@ def test_mm_decode_features_exact(spark):
 
 
 def test_mm_resize_budget_and_determinism(spark):
-    rows = _q(spark, "mm_resize_stub").collect()
+    from oddsetl_spark.operators.multimodal import mm_resize_stub_raw
+
+    rows = mm_resize_stub_raw(spark, SF_DIR).collect()
     assert rows, "no image-typed docs"
     from oddsetl_spark.operators.multimodal import _has_pil
 
@@ -265,7 +277,7 @@ def test_mm_resize_budget_and_determinism(spark):
             assert 0 < r["out_bytes"] <= 64 * 64
         assert r["out_bytes"] == len(r["out_payload"])
     again = {r["doc_id"]: bytes(r["out_payload"])
-             for r in _q(spark, "mm_resize_stub").collect()}
+             for r in mm_resize_stub_raw(spark, SF_DIR).collect()}
     for r in rows:
         assert bytes(r["out_payload"]) == again[r["doc_id"]]
 
@@ -331,9 +343,14 @@ def test_geo_grid_join_is_lossless(spark):
 def test_sample_deterministic_is_reproducible(spark):
     """Seeded sampling must return the identical row set across runs —
     the property that makes sampled pipelines replayable."""
-    a = {tuple(r) for r in _q(spark, "sample_deterministic").collect()}
-    b = {tuple(r) for r in _q(spark, "sample_deterministic").collect()}
+    from oddsetl_spark.operators.rowops import sample_deterministic_raw
+
+    a = {tuple(r) for r in sample_deterministic_raw(spark, SF_DIR).collect()}
+    b = {tuple(r) for r in sample_deterministic_raw(spark, SF_DIR).collect()}
     assert a == b and a
+    # registered self-verifying form: flags must hold
+    row = _q(spark, "sample_deterministic").collect()[0]
+    assert row["frac_ok"] and row["seed_stable_ok"], row
 
 
 def test_engine_hashes_are_stable_golden(spark):
@@ -379,7 +396,9 @@ def test_pca_projection_invariants(spark):
     two projections are uncorrelated; every input row is projected."""
     import numpy as np
 
-    pdf = _q(spark, "emb_pca_project").toPandas()
+    from oddsetl_spark.operators.llm_similarity import emb_pca_project_raw
+
+    pdf = emb_pca_project_raw(spark, SF_DIR).toPandas()
     e = table(spark, SF_DIR, "embeddings").toPandas()
     assert len(pdf) == len(e)
     X = np.stack(e["embedding"].to_numpy()).astype(np.float64)
@@ -398,7 +417,9 @@ def test_pca_projection_partitioning_invariance(spark):
     of how the input is partitioned (the cluster-reorder safety law)."""
     from oddsetl_spark.registry import get
 
-    base = get("emb_pca_project").fn(spark, SF_DIR).toPandas()
+    from oddsetl_spark.operators.llm_similarity import emb_pca_project_raw
+
+    base = emb_pca_project_raw(spark, SF_DIR).toPandas()
     base = base.sort_values("vec_id").reset_index(drop=True)
     # re-run with a different partitioning of the same fixture
     import oddsetl_spark.operators.llm_similarity as sim
@@ -410,7 +431,7 @@ def test_pca_projection_partitioning_invariance(spark):
 
     sim._emb = repart
     try:
-        alt = get("emb_pca_project").fn(spark, SF_DIR).toPandas()
+        alt = emb_pca_project_raw(spark, SF_DIR).toPandas()
     finally:
         sim._emb = orig
     alt = alt.sort_values("vec_id").reset_index(drop=True)
@@ -472,9 +493,13 @@ def test_quality_buckets_approx_tracks_exact_ntile(spark):
     """The sketch-cutpoint bucketing (scale path) must put ~n/10 docs in
     every decile — within the approx_percentile accuracy bound — and
     preserve total mass vs the exact NTILE baseline."""
+    from oddsetl_spark.operators.llm_curation import (
+        curate_quality_buckets_approx_raw,
+    )
+
     approx = {
         r["bucket"]: r["n_docs"]
-        for r in _q(spark, "curate_quality_buckets_approx").collect()
+        for r in curate_quality_buckets_approx_raw(spark, SF_DIR).collect()
     }
     exact = {
         r["bucket"]: r["n_docs"]
@@ -895,7 +920,9 @@ def test_simhash_det_selectivity(spark):
     xxhash64 variant — the distinct-token formulation regressed to 150x
     more pairs before multiset weighting, and this pin catches any such
     collapse structurally (pair count within 4x of the original's)."""
-    n_orig = _q(spark, "dedup_simhash").count()
+    from oddsetl_spark.operators.llm_dedup import dedup_simhash_raw
+
+    n_orig = dedup_simhash_raw(spark, SF_DIR).count()
     n_det = _q(spark, "dedup_simhash_det").count()
     assert n_orig > 0
     assert n_det <= 4 * n_orig, (n_det, n_orig)
@@ -939,3 +966,17 @@ def test_ivfpq_consistency_with_full_pq(spark):
         best_i[q] = max(best_i.get(q, float("-inf")), s)
     for q, s in best_i.items():
         assert s <= best_f[q] + 1e-12, (q, s, best_f[q])
+
+
+def test_sort_within_partitions_layout(spark):
+    """sort_within_partitions is verified against a plain-SELECT oracle
+    (pure reordering), so the layout property — rows inside each partition
+    sorted by (l_suppkey, l_shipdate) — is asserted here, distributed
+    (8 summary rows, zero violations)."""
+    from oddsetl_spark.operators.sorts import sort_within_partitions_layout_check
+
+    rows = sort_within_partitions_layout_check(spark, SF_DIR).collect()
+    assert rows, "no partitions summarized"
+    assert sum(r["n_rows"] for r in rows) > 0
+    for r in rows:
+        assert r["sort_violations"] == 0, r
