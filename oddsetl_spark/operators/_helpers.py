@@ -139,3 +139,70 @@ def lsum(col: Column) -> Column:
     high-cardinality keys with small groups (e.g. per-order revenue);
     low-cardinality/global sums at scale belong in scaled_group_sums."""
     return F.sum(lng(col)).cast("double") / F.lit(_SCALE_POW)
+
+
+# ---------------------------------------------------------------------------
+# Exact global rank / NTILE without a single-task window.
+#
+# Window.orderBy with no partitionBy funnels EVERY row through one task —
+# the classic 100 TB plan-killer. The decomposition below (the same
+# pattern sorts.sort_total_order_range demonstrates) is exact and fully
+# distributed: repartitionByRange assigns contiguous key ranges, each
+# partition sorts locally, monotonically_increasing_id reads off the
+# local position ((pid << 33) | pos), and the global rank adds the
+# broadcast cumulative count of earlier ranges. The only full-data
+# exchange is the range partitioner; the one window that remains runs
+# over the per-partition COUNTS (num_partitions rows).
+# ---------------------------------------------------------------------------
+
+
+def with_global_rank(
+    df,
+    order_cols: list,
+    payload_cols: list[str],
+    num_partitions: int = 32,
+    rank_alias: str = "_rank",
+    total_alias: str = "_n",
+):
+    """df -> (payload_cols..., rank_alias, total_alias) with the exact
+    1-based global rank under ORDER BY order_cols (which must be a total
+    order — include a unique tiebreaker) and the total row count."""
+    from pyspark.sql import Window as W
+
+    ranged = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    mid = F.monotonically_increasing_id()
+    local = ranged.select(
+        *payload_cols,
+        F.shiftright(mid, 33).cast("int").alias("_pid"),
+        (mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias("_local_rank"),
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    wcum = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy("_pid").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_pn").over(wcum), F.lit(0)).alias("_offset"),
+        F.sum("_pn").over(wall).alias(total_alias),
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        *payload_cols,
+        (F.col("_local_rank") + F.col("_offset")).alias(rank_alias),
+        total_alias,
+    )
+
+
+def ntile_expr(k: int, rank_col: str = "_rank", total_col: str = "_n") -> Column:
+    """Exact NTILE(k) from (global rank, total): the first n%k buckets get
+    ceil(n/k) rows, the rest floor(n/k). Integer `div` arithmetic — no
+    double rounding at any n."""
+    return F.expr(
+        f"CASE WHEN {rank_col} <= ({total_col} % {k}) * (({total_col} div {k}) + 1) "
+        f"THEN ({rank_col} - 1) div (({total_col} div {k}) + 1) + 1 "
+        f"ELSE ({total_col} % {k}) + "
+        f"({rank_col} - ({total_col} % {k}) * (({total_col} div {k}) + 1) - 1) "
+        f"div ({total_col} div {k}) + 1 END"
+    )

@@ -19,11 +19,13 @@ from ._helpers import (
     davg,
     dsum,
     lng,
+    ntile_expr,
     scaled_group_sums,
     sql_davg,
     sql_dsum,
     sql_lavg,
     sql_lsum,
+    with_global_rank,
 )
 
 
@@ -1231,17 +1233,26 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape a cost-based optimizer keeps for selectivity estimation
     (agg_histogram's width_bucket twin covers the equi-WIDTH shape; skew
     makes equi-width useless on heavy-tailed money columns, which is why
-    CBO stats use equi-depth). NTILE is determinized with the full unique
-    key in the ORDER BY so equal prices split identically on both
-    engines. One total-order sort (rangepartitioning exchange) + one
-    small rollup; at 100 TB the approximate twin is
-    approx_percentile's mergeable sketch at the 10 cut points."""
-    li = table(spark, sf_dir, "lineitem")
-    from pyspark.sql import Window as W
+    CBO stats use equi-depth). The bucketing is determinized with the
+    full unique key so equal prices split identically on both engines.
 
-    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    Exact NTILE without the single-task global window: global rank comes
+    from the range-partition + broadcast-offsets decomposition
+    (sort_total_order_range's pattern — repartitionByRange assigns
+    contiguous key ranges, each partition sorts locally,
+    monotonically_increasing_id yields the local position, and the rank
+    offset is the broadcast cumulative count of earlier ranges). The
+    bucket is then pure arithmetic on (rank, n): NTILE(k) gives the
+    first n%k buckets ceil(n/k) rows and the rest floor(n/k). The ONLY
+    full-data exchange in the plan is the range partitioner — the window
+    that remains runs over the ~32-row per-partition counts, not the
+    data (plan-asserted in test_plans). At 100 TB the approximate twin
+    is approx_percentile's mergeable sketch at the 10 cut points."""
+    li = table(spark, sf_dir, "lineitem")
+    keys = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    ranked = with_global_rank(li.select(*keys), keys, ["l_extendedprice"])
     return (
-        li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+        ranked.select("l_extendedprice", ntile_expr(10).cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -3283,49 +3294,42 @@ def agg_revenue_concentration(
     Exact cent sums and integer rank cutoffs; two divisions at the
     edge.
 
-    Scale shape: one per-customer rollup, then a rank over the
-    customer frame — the |customers| sort is the only non-mergeable
-    step and at 100 TB runs as the top-k variant (take the head
-    count's worth via TakeOrdered, never a full sort)."""
-    from pyspark.sql import Window as W
-
+    Scale shape: one per-customer rollup, then the exact global rank
+    over the customer frame via the range-partition +
+    broadcast-offsets decomposition (_helpers.with_global_rank) — no
+    W.partitionBy() single-task window anywhere: at 10^9 customers the
+    rank stage stays as parallel as the range partitioner. Head
+    cutoffs and shares then fold into ONE mergeable global aggregate
+    (map-side partials)."""
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
         ).alias("rev_c")
     )
-    wall = W.partitionBy()
-    ranked = per_cust.select(
-        "rev_c",
-        F.row_number()
-        .over(W.orderBy(F.desc("rev_c"), F.asc("o_custkey")))
-        .alias("rnk"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("rev_c").over(wall).alias("total_c"),
+    ranked = with_global_rank(
+        per_cust, [F.desc("rev_c"), F.asc("o_custkey")], ["rev_c"]
     )
-    k1 = F.floor((F.col("n") + 99) / 100).cast("long")
-    k10 = F.floor((F.col("n") + 9) / 10).cast("long")
-    return ranked.groupBy("n", "total_c").agg(
-        F.round(
-            F.sum(
-                F.when(F.col("rnk") <= k1, F.col("rev_c")).otherwise(0)
-            ).cast("double")
-            / F.first("total_c"),
-            9,
-        ).alias("top1pct_share"),
-        F.round(
-            F.sum(
-                F.when(F.col("rnk") <= k10, F.col("rev_c")).otherwise(0)
-            ).cast("double")
-            / F.first("total_c"),
-            9,
-        ).alias("top10pct_share"),
+    k1 = F.expr("(_n + 99) div 100")
+    k10 = F.expr("(_n + 9) div 10")
+    return ranked.agg(
+        F.max("_n").alias("n_customers"),
+        F.sum("rev_c").alias("total_c"),
+        F.sum(
+            F.when(F.col("_rank") <= k1, F.col("rev_c")).otherwise(0)
+        ).alias("top1"),
+        F.sum(
+            F.when(F.col("_rank") <= k10, F.col("rev_c")).otherwise(0)
+        ).alias("top10"),
     ).select(
-        F.col("n").cast("long").alias("n_customers"),
+        F.col("n_customers").cast("long").alias("n_customers"),
         (F.col("total_c").cast("double") / 100).alias("total_revenue"),
-        "top1pct_share",
-        "top10pct_share",
+        F.round(F.col("top1").cast("double") / F.col("total_c"), 9).alias(
+            "top1pct_share"
+        ),
+        F.round(F.col("top10").cast("double") / F.col("total_c"), 9).alias(
+            "top10pct_share"
+        ),
     )
 
 

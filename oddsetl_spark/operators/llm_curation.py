@@ -29,6 +29,7 @@ from pyspark.sql import Window as W
 
 from ..io import table
 from ..registry import register
+from ._helpers import ntile_expr, with_global_rank
 
 # Knuth multiplicative hash: deterministic, engine-agnostic sampling order.
 _HASH_MULT = 2654435761
@@ -112,12 +113,15 @@ def curate_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile bucketing by a quality signal (avg token length) — the
     "keep the top-N% of the corpus by quality" selection primitive.
 
-    NTILE over a global order is a single-partition sort at the limit; at
-    100 TB replace with approx_percentile cutpoints (one pass, mergeable
-    sketch) + a map-side bucket assignment. The exact NTILE variant is the
-    oracle-checkable baseline; the order carries doc_id as the unique
-    tiebreaker so both engines bucket identically.
-    """
+    Exact NTILE WITHOUT the single-partition global window: global rank
+    via the range-partition + broadcast-offsets decomposition
+    (_helpers.with_global_rank — the sort_total_order_range pattern),
+    then bucket = integer arithmetic on (rank, n) (_helpers.ntile_expr).
+    The only full-data exchange is the range partitioner, so the exact
+    variant now survives 100x itself; the one-pass sketch companion
+    (curate_quality_buckets_approx) remains the cheaper-still scale
+    path. The order carries doc_id as the unique tiebreaker so both
+    engines bucket identically."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     q = d.select(
@@ -125,8 +129,12 @@ def curate_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text").cast("double") / F.size(toks)).alias("avg_tok_len"),
         F.length("text").alias("n_char"),
     )
-    b = q.withColumn(
-        "bucket", F.ntile(10).over(W.orderBy("avg_tok_len", "doc_id"))
+    b = with_global_rank(
+        q,
+        ["avg_tok_len", "doc_id"],
+        ["avg_tok_len", "n_char"],
+    ).select(
+        "avg_tok_len", "n_char", ntile_expr(10).cast("int").alias("bucket")
     )
     return b.groupBy("bucket").agg(
         F.count("*").alias("n_docs"),
@@ -758,14 +766,20 @@ def curate_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     token totals, a cumulative base over the (tiny) bucket frame, then an
     intra-bucket running sum partitioned by bucket — so no stage ever
     runs a single-partition window over the full corpus; this is the
-    shape that packs 100 TB (buckets = input partitions, the bucket
-    frame is O(#partitions) and broadcast back). The oracle computes the
-    same offsets with one global window, proving the two-pass
-    decomposition exact."""
+    shape that packs 100 TB. Buckets are sized FROM THE KEY RANGE (at
+    most 256 contiguous doc_id strata, from one O(1) min/max scalar
+    read), not a fixed id/100 width — a fixed width would grow the
+    base-offset frame as n/100 (a 10^7-row single-task window at 10^9
+    docs), while 256 keeps it O(parallelism) at any n. The oracle
+    computes the same offsets with one global window, proving the
+    two-pass decomposition exact."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    bucketed = d.withColumn("bucket", (F.col("doc_id") / 100).cast("bigint"))
+    bounds = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    lo, hi = int(bounds[0]), int(bounds[1])
+    width = max(1, (hi - lo + 256) // 256)
+    bucketed = d.withColumn("bucket", F.expr(f"(doc_id - {lo}) div {width}"))
     totals = bucketed.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
     wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
     bases = totals.select(

@@ -206,13 +206,31 @@ def test_fuzzy_join_is_equi_not_nested_loop(spark):
 
 def test_pack_chunks_big_window_is_partitioned(spark):
     """The intra-bucket running sum must be a PARTITIONED window; only the
-    O(#buckets) base-offset frame may run single-partition."""
+    O(#buckets) base-offset frame may run single-partition, and that
+    frame must be bounded by the 256-strata bucket sizing (independent of
+    corpus row count)."""
     plan = _plan(spark, "curate_pack_chunks")
     import re
 
     windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
     # at least one window partitioned by bucket must exist
     assert any("bucket" in w for w in windows), plan
+    # and the base-offset frame is O(256), not O(n/100): count the rows
+    # actually flowing through the bucket-total aggregate
+    from oddsetl_spark.io import table
+    from pyspark.sql import functions as F
+
+    d = table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    bounds = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    width = max(1, (int(bounds[1]) - int(bounds[0]) + 256) // 256)
+    n_buckets = (
+        d.select(F.expr(f"(doc_id - {int(bounds[0])}) div {width}").alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets <= 257, n_buckets
 
 
 def test_rrf_query_sides_broadcast(spark):
@@ -439,3 +457,23 @@ def test_matryoshka_query_sides_broadcast(spark):
 def test_file_lineage_uses_metadata_column(spark):
     plan = _plan(spark, "scan_file_lineage")
     assert "_metadata" in plan or "file_name" in plan, plan
+
+
+def test_exact_ntile_rank_has_no_global_data_window(spark):
+    """The three exact-rank operators (equi-depth histogram, quality
+    NTILE, revenue concentration) must use the range-partition +
+    broadcast-offsets decomposition: every Window in the plan runs over
+    the per-partition COUNT rows (_pn, O(num_partitions)), never over a
+    data column — a W.orderBy()-with-no-partition window over the data
+    would funnel every row through one task at 100 TB."""
+    for name in (
+        "agg_histogram_equidepth",
+        "curate_quality_ntile",
+        "agg_revenue_concentration",
+    ):
+        plan = _plan(spark, name)
+        for line in plan.splitlines():
+            s = line.strip()
+            if s.startswith("+- Window") or s.startswith("Window ["):
+                assert "_pn#" in s, (name, s)
+        assert "rangepartitioning" in plan, (name, "missing range exchange")
