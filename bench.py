@@ -25,11 +25,12 @@ from oddsetl_spark.session import get_spark  # noqa: E402
 #   q3 3-way join + top-10    -> join3_topk_revenue  (baseline 1.46 s Spark)
 #   q5 6-way star join        -> join_broadcast_star (baseline 0.081 s DuckDB)
 #   window rank per customer  -> win_topk_per_group  (baseline 0.42 s Spark)
-#   sessionize events         -> win_sessionize_stats (baseline 0.124 s DuckDB;
-#     same sessionize operator as win_sessionize — lag, cumsum, per-session
-#     agg — plus a per-user rollup, so the collected result is ~n_users rows
-#     instead of ~n_sessions: the round-1 win_sessionize number was dominated
-#     by Py4J transfer of 95k session rows, not by execution)
+#   sessionize events         -> BOTH win_sessionize (the round-1
+#     like-for-like row: full ~n_sessions output, Arrow-collected — its
+#     time includes ~0.6 s of result transfer, which is why the stats
+#     variant exists) AND win_sessionize_stats (baseline 0.124 s DuckDB;
+#     same sessionize operator — lag, cumsum, per-session agg — plus a
+#     per-user rollup, so the collected result is ~n_users rows)
 #   cosine top-k              -> sim_cosine_topk     (baseline 2.14 s Spark)
 #   token explode + counts    -> text_token_count    (baseline 0.032 s DuckDB)
 HEADLINE = [
@@ -37,6 +38,7 @@ HEADLINE = [
     "join3_topk_revenue",
     "join_broadcast_star",
     "win_topk_per_group",
+    "win_sessionize",
     "win_sessionize_stats",
     "sim_cosine_topk",
     "text_token_count",
