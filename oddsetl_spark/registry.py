@@ -2,8 +2,12 @@
 
 Every implemented operator from SURVEY.md §2 registers here via the
 `@register` decorator; `__spark_entry__.py` re-exports `queries()` /
-`oracle_sql()` from this module. Queries with `oracle=None` are verified
-by the driver's weaker rows-only check (declared up front in SURVEY §2).
+`oracle_sql()` from this module. Since round 4 every registered query
+carries an oracle (`oracle=None` would fall back to the driver's weaker
+rows-only check): approximate/engine-specific operators verify their
+CONTRACT — exact companion columns plus theoretical-bound flags, golden
+values, or full deterministic replay — with estimate-only production
+shapes kept as *_raw helpers under pytest.
 
 Oracle discipline (SURVEY §5.3 / FIXTURES.md caveats):
 - alias every computed column identically on both sides;

