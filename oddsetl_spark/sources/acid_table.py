@@ -91,20 +91,31 @@ class AcidTable:
             active.extend(m.get("add", []))
         return [os.path.join(self.root, f) for f in active]
 
-    def commit(self, version: int, op: str, add: list[str], remove: list[str]) -> None:
+    def commit(
+        self,
+        version: int,
+        op: str,
+        add: list[str],
+        remove: list[str],
+        stats: dict[str, dict] | None = None,
+    ) -> None:
         """Atomic put-if-absent publish of manifest `version`.
 
         The manifest is fully written + fsynced under a temp name first;
         os.link then either claims the version atomically or raises —
         a crash before the link leaves NO visible change (readers only
         trust linked manifests), a racing writer gets
-        CommitConflictError and must rebase."""
+        CommitConflictError and must rebase. `stats` optionally carries
+        per-file column min/max (relpath -> {col: [lo, hi]}) — the
+        Iceberg-manifest idea that lets readers prune files from the log
+        alone, without opening a single parquet footer."""
         os.makedirs(self.log_dir, exist_ok=True)
         payload = {
             "version": version,
             "op": op,
             "add": add,
             "remove": remove,
+            "stats": stats or {},
         }
         fd, tmp = tempfile.mkstemp(prefix="_tmp_commit_", dir=self.log_dir)
         try:
@@ -135,16 +146,144 @@ class AcidTable:
             if f.endswith(".parquet")
         )
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        return spark.read.parquet(*self.active_files(version))
+    def _collect_stats(
+        self, spark: SparkSession, rel_files: list[str], cols: list[str]
+    ) -> dict[str, dict]:
+        """Per-file min/max for `cols` over freshly written files — ONE
+        distributed pass grouped by the _metadata file path (at scale the
+        writer tasks would emit these with the files; a post-pass keeps
+        the demo simple without changing the manifest contract)."""
+        if not rel_files or not cols:
+            return {}
+        by_base = {os.path.basename(f): f for f in rel_files}
+        df = spark.read.parquet(
+            *[os.path.join(self.root, f) for f in rel_files]
+        )
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        rows = (
+            df.groupBy(F.col("_metadata.file_path").alias("_fp"))
+            .agg(*aggs)
+            .collect()
+        )
+        out: dict[str, dict] = {}
+        for r in rows:
+            rel = by_base[os.path.basename(r["_fp"])]
+            out[rel] = {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols}
+        return out
+
+    def append(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Append-only commit: new files land, nothing is removed. The
+        batch's schema may be a SUPERSET of the table's (schema
+        evolution by addition — old files simply lack the new columns
+        and read as NULL under mergeSchema, the Delta/Iceberg
+        add-column semantics)."""
+        version = self.latest_version()
+        next_v = version + 1
+        add = self._write_files(df, f"commit-{next_v:05d}-append")
+        stats = self._collect_stats(spark, add, stats_cols or [])
+        self.commit(next_v, "append", add=add, remove=[], stats=stats)
+        return next_v
+
+    def file_stats(self, version: int | None = None) -> dict[str, dict]:
+        """relpath -> {col: [min, max]} for the snapshot's active files,
+        folded from the manifests that added them."""
+        if version is None:
+            version = self.latest_version()
+        stats: dict[str, dict] = {}
+        active: list[str] = []
+        for v in self.versions():
+            if v > version:
+                break
+            m = json.load(open(self._manifest_path(v)))
+            removed = set(m.get("remove", []))
+            active = [f for f in active if f not in removed]
+            for f in removed:
+                stats.pop(f, None)
+            active.extend(m.get("add", []))
+            stats.update(m.get("stats", {}))
+        return {f: stats.get(f, {}) for f in active}
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*self.active_files(version))
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Manifest-stats data skipping: read ONLY files whose [min, max]
+        for `col` overlaps [lo, hi] — file elimination happens on the
+        driver against the log's stats, before any parquet footer is
+        opened (on a 100 TB table with range-clustered files this is the
+        difference between listing a handful of files and scanning the
+        world). Files without recorded stats are kept (pruning must be
+        lossless). Returns (df, n_files_scanned, n_files_total)."""
+        all_stats = self.file_stats(version)
+        keep = []
+        for f, st in all_stats.items():
+            s = st.get(col)
+            if s is None or (s[0] <= hi and s[1] >= lo):
+                keep.append(os.path.join(self.root, f))
+        df = spark.read.parquet(*keep)
+        return df, len(keep), len(all_stats)
+
+    def vacuum(self, retain_from_version: int) -> list[str]:
+        """Physically delete data files not referenced by ANY snapshot at
+        or after `retain_from_version` (the retention policy Delta's
+        VACUUM applies by age — by version here for determinism). Time
+        travel earlier than the horizon stops working, by design; the
+        commit log itself is never rewritten."""
+        latest = self.latest_version()
+        referenced: set[str] = set()
+        for v in self.versions():
+            if v >= retain_from_version and v <= latest:
+                referenced.update(
+                    os.path.relpath(p, self.root) for p in self.active_files(v)
+                )
+        deleted = []
+        for dirpath, _dirs, files in os.walk(self.data_dir):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, f)
+                rel = os.path.relpath(full, self.root)
+                if rel not in referenced:
+                    os.unlink(full)
+                    deleted.append(rel)
+        return deleted
 
     # ------------------------------------------------------------ operations
 
     @classmethod
-    def create(cls, spark: SparkSession, df: DataFrame, root: str) -> "AcidTable":
+    def create(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        root: str,
+        stats_cols: list[str] | None = None,
+    ) -> "AcidTable":
         t = cls(root)
         files = t._write_files(df, "commit-00000")
-        t.commit(0, "create", add=files, remove=[])
+        stats = t._collect_stats(spark, files, stats_cols or [])
+        t.commit(0, "create", add=files, remove=[], stats=stats)
         return t
 
     def merge(self, spark: SparkSession, changes: DataFrame, key: str) -> int:
@@ -425,4 +564,112 @@ def table_commit_atomicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n0, n_after_crash == n0, conflict, t.latest_version())],
         "n_rows_v0 long, crash_invisible boolean, conflict_detected boolean, "
         "latest_version int",
+    )
+
+
+@register(
+    "table_stats_skipping",
+    category="acid_table",
+    oracle=f"""
+WITH b AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 10000
+),
+r AS (SELECT MIN(o_orderkey) AS lo0, MAX(o_orderkey) AS hi0 FROM b),
+sel AS (
+  SELECT b.* FROM b, r
+  WHERE o_orderkey BETWEEN lo0 + (hi0 - lo0) // 5
+                       AND lo0 + 2 * ((hi0 - lo0) // 5)
+)
+SELECT COUNT(*) AS n_rows, {sql_lsum('o_totalprice')} AS total_price,
+       TRUE AS pruned_fewer_files, TRUE AS pruning_lossless
+FROM sel
+""",
+)
+def table_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping (the Iceberg manifest idea): the table
+    is created range-clustered on o_orderkey (16 repartitionByRange
+    files, so each file covers a tight key band) with per-file min/max
+    recorded in the commit manifest. A predicate read then eliminates
+    files ON THE DRIVER from the log's stats — no parquet footer is even
+    opened for a pruned file; at 100 TB this is the difference between
+    listing a handful of files and scanning the world. The oracle pins
+    the lossless contract (identical rows/exact cent total to a full
+    scan with the predicate) and the pruning flags assert files were
+    actually skipped; row-level residue is still filtered after the
+    file-level cut (stats prune files, not rows)."""
+    t = AcidTable.create(
+        spark,
+        _base(spark, sf_dir).repartitionByRange(16, "o_orderkey"),
+        scratch_dir("acid_skip"),
+        stats_cols=["o_orderkey"],
+    )
+    # predicate band = the 2nd fifth of the observed key range, so the
+    # query prunes meaningfully at EVERY scale factor (fixed literals
+    # would fall outside the key span at small sf)
+    b = t.read(spark).agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    lo0, hi0 = int(b[0]), int(b[1])
+    lo = lo0 + (hi0 - lo0) // 5
+    hi = lo0 + 2 * ((hi0 - lo0) // 5)
+    pruned, n_scanned, n_total = t.read_pruned(spark, "o_orderkey", lo, hi)
+    full = t.read(spark).filter(F.col("o_orderkey").between(lo, hi))
+    n_full = full.count()
+    return pruned.filter(F.col("o_orderkey").between(lo, hi)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(lng(F.col("o_totalprice"))).cast("double") / 1e6).alias(
+            "total_price"
+        ),
+        F.lit(n_scanned < n_total).alias("pruned_fewer_files"),
+        (F.count(F.lit(1)) == n_full).alias("pruning_lossless"),
+    )
+
+
+@register(
+    "table_schema_evolution",
+    category="acid_table",
+    oracle=f"""
+WITH v0 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 5000
+),
+added AS (
+  SELECT o_orderkey + 20000000 AS o_orderkey, o_totalprice,
+         (o_totalprice > 100000) AS is_big
+  FROM orders WHERE o_orderkey < 3000
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE is_big IS NULL) AS BIGINT) AS n_legacy,
+       CAST(COUNT(*) FILTER (WHERE is_big) AS BIGINT) AS n_big,
+       {sql_lsum('o_totalprice')} AS total_price
+FROM (SELECT o_orderkey, o_totalprice, NULL AS is_big FROM v0
+      UNION ALL SELECT * FROM added)
+""",
+)
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution by column addition: v0 files carry two columns, a
+    later append commits files WITH a third (is_big); a mergeSchema read
+    of the latest snapshot resolves the union schema, surfacing the new
+    column as NULL on pre-evolution rows — the Delta/Iceberg add-column
+    contract (no rewrite of existing data, old readers unaffected, new
+    column back-filled as NULL). The oracle recomputes the evolved state
+    relationally: total rows, legacy-NULL count, true-flag count, exact
+    cent total."""
+    o = table(spark, sf_dir, "orders")
+    v0 = o.filter(F.col("o_orderkey") < 5000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = AcidTable.create(spark, v0.repartition(4), scratch_dir("acid_evo"))
+    added = o.filter(F.col("o_orderkey") < 3000).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        (F.col("o_totalprice") > 100000).alias("is_big"),
+    )
+    t.append(spark, added)
+    return t.read(spark, merge_schema=True).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_big").isNull().cast("long")).alias("n_legacy"),
+        F.sum(F.coalesce(F.col("is_big"), F.lit(False)).cast("long")).alias(
+            "n_big"
+        ),
+        (F.sum(lng(F.col("o_totalprice"))).cast("double") / 1e6).alias(
+            "total_price"
+        ),
     )

@@ -113,3 +113,69 @@ def test_merge_insert_only_appends_without_rewrite(spark):
     v1_files = set(t.active_files(1))
     assert v0_files <= v1_files, "insert-only merge must not rewrite"
     assert t.read(spark).count() == t.read(spark, 0).count() + 10
+
+
+def test_vacuum_removes_only_unreferenced_files(spark):
+    """VACUUM with a retention horizon must delete exactly the files no
+    retained snapshot references: latest stays readable byte-identically,
+    pre-horizon time travel breaks (by design), the log is untouched."""
+    t, _ = _mk(spark, "acid_vac", n_parts=8)
+    t.delete_where(spark, F.col("o_orderkey") % 2 == 0)
+    v = t.compact(spark)
+    latest_before = sorted(map(tuple, t.read(spark).collect()))
+    deleted = t.vacuum(retain_from_version=v)
+    assert deleted, "compaction must have stranded old files"
+    assert sorted(map(tuple, t.read(spark).collect())) == latest_before
+    assert len(t.versions()) == 3, "log must not be rewritten"
+    with pytest.raises(Exception):
+        t.read(spark, 0).collect()  # pre-horizon snapshot gone
+
+
+def test_stats_pruning_is_lossless_and_effective(spark):
+    """Every row matching the predicate must survive file-level pruning
+    (files without overlap are the ONLY ones cut), and on range-clustered
+    files the cut must be substantial."""
+    base = (
+        table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(16, "o_orderkey")
+    )
+    t = AcidTable.create(
+        spark, base, scratch_dir("acid_prune"), stats_cols=["o_orderkey"]
+    )
+    b = t.read(spark).agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    lo = int(b[0]) + (int(b[1]) - int(b[0])) // 4
+    hi = lo + (int(b[1]) - int(b[0])) // 10
+    pruned, n_scanned, n_total = t.read_pruned(spark, "o_orderkey", lo, hi)
+    want = sorted(
+        map(
+            tuple,
+            t.read(spark)
+            .filter(F.col("o_orderkey").between(lo, hi))
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            pruned.filter(F.col("o_orderkey").between(lo, hi)).collect(),
+        )
+    )
+    assert got == want
+    assert n_scanned <= n_total // 2, (n_scanned, n_total)
+
+
+def test_append_evolved_schema_reads_null_for_legacy_rows(spark):
+    t, base = _mk(spark, "acid_evo_t")
+    n0 = t.read(spark).count()
+    newrows = base.limit(7).select(
+        (F.col("o_orderkey") + 30_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("extra").alias("note"),
+    )
+    t.append(spark, newrows)
+    got = t.read(spark, merge_schema=True)
+    assert got.count() == n0 + 7
+    assert got.filter(F.col("note").isNull()).count() == n0

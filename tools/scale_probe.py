@@ -65,6 +65,16 @@ QUERIES = [
     "etl_denormalize_wide",
     "graph_label_propagation",
     "win_bollinger_bands",
+    # round-4 risk set: the de-windowed exact-rank operators (global NTILE
+    # replaced by range-partition + broadcast offsets), the re-bucketed
+    # prefix-sum packer, banded MinHash-LSH, and iterative components —
+    # the five operators VERDICT r3 flagged for empirical curvature proof
+    "agg_histogram_equidepth",
+    "curate_quality_ntile",
+    "agg_revenue_concentration",
+    "curate_pack_chunks",
+    "dedup_minhash_lsh",
+    "dedup_components",
 ]
 
 
