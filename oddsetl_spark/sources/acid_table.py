@@ -673,3 +673,66 @@ def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+@register(
+    "table_changes_feed",
+    category="acid_table",
+    oracle=f"""
+WITH {_MERGE_ORACLE_CTES},
+v2 AS (SELECT * FROM v1 WHERE o_orderkey % 3 <> 0),
+pre AS (SELECT * FROM base EXCEPT ALL SELECT * FROM v2),
+post AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM base),
+upd AS (SELECT o_orderkey FROM pre INTERSECT SELECT o_orderkey FROM post)
+SELECT p.*, CASE WHEN u.o_orderkey IS NOT NULL THEN 'update_pre'
+                 ELSE 'delete' END AS _change_type
+FROM pre p LEFT JOIN upd u USING (o_orderkey)
+UNION ALL
+SELECT p.*, CASE WHEN u.o_orderkey IS NOT NULL THEN 'update_post'
+                 ELSE 'insert' END AS _change_type
+FROM post p LEFT JOIN upd u USING (o_orderkey)
+""",
+)
+def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (CDC) between two snapshots of the ACID table:
+    rows present only in the earlier snapshot surface as delete /
+    update_pre, rows only in the later as insert / update_post, with the
+    update split decided by key co-presence — Delta's CDF read contract,
+    derived purely from the two as-of reads (multiset EXCEPT ALL keeps
+    duplicate-row accounting exact) rather than stored change files.
+    Scale: two snapshot scans + one exceptAll shuffle each on the full
+    row, then a key-level intersect — the no-stored-CDF fallback; a
+    production table would persist per-commit change files and read
+    those instead (the commit log already records exactly which files
+    each version touched, bounding the diff to rewritten files)."""
+    t = AcidTable.create(
+        spark, _base(spark, sf_dir).repartition(4), scratch_dir("acid_cdc")
+    )
+    t.merge(spark, _changes(spark, sf_dir), "o_orderkey")
+    t.delete_where(spark, F.col("o_orderkey") % 3 == 0)
+    a = t.read(spark, 0)
+    b = t.read(spark, 2)
+    pre = a.exceptAll(b).localCheckpoint()
+    post = b.exceptAll(a).localCheckpoint()
+    upd = (
+        pre.select("o_orderkey")
+        .intersect(post.select("o_orderkey"))
+        .withColumnRenamed("o_orderkey", "_uk")
+    )
+    pre_t = pre.join(
+        F.broadcast(upd), pre["o_orderkey"] == upd["_uk"], "left"
+    ).select(
+        *[pre[c] for c in pre.columns],
+        F.when(F.col("_uk").isNotNull(), "update_pre")
+        .otherwise("delete")
+        .alias("_change_type"),
+    )
+    post_t = post.join(
+        F.broadcast(upd), post["o_orderkey"] == upd["_uk"], "left"
+    ).select(
+        *[post[c] for c in post.columns],
+        F.when(F.col("_uk").isNotNull(), "update_post")
+        .otherwise("insert")
+        .alias("_change_type"),
+    )
+    return pre_t.unionByName(post_t)

@@ -880,3 +880,84 @@ def scd2_start(spark, staged: str, state_dir: str, ckpt: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+@register(
+    "stream_acid_sink",
+    category="streaming",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value,
+       5 AS n_versions
+FROM events GROUP BY event_type
+""",
+)
+def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ingestion into the ACID manifest-log table:
+    a 4-batch replay (event_id%4 file split, maxFilesPerTrigger=1) lands
+    each micro-batch as one atomic commit whose op field carries the
+    BATCH ID — the Delta-style txn marker. foreachBatch is
+    at-least-once (Spark re-delivers a batch whose sink ran but whose
+    checkpoint offset write was lost), so before committing batch b the
+    sink scans the log for op == "batch-b" and no-ops on a hit: the
+    commit and the idempotence marker are the SAME atomic manifest
+    publish, which is what upgrades at-least-once delivery to
+    exactly-once table state. The query then runs the WHOLE stream a
+    second time against a FRESH checkpoint (every batch re-delivers) —
+    the markers must no-op all four, leaving exactly 5 manifests
+    (create + 4 batches) and precisely one copy of every event, which
+    the oracle checks against the raw events table.
+
+    Scale: each batch pays one append commit (tiny manifest) — no read
+    of existing data; the log scan is O(commits) driver-side JSON."""
+    from ..sources.acid_table import AcidTable
+
+    pin_session(spark)
+    staged = scratch_dir("acidsink_in")
+    src = table(spark, sf_dir, "events")
+    for i in range(4):
+        src.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staged, f"part-{i:04d}"))
+    root = scratch_dir("acid_stream_tbl")
+    t = AcidTable.create(spark, src.limit(0).coalesce(1), root)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tb = AcidTable(root)
+        marker = f"batch-{batch_id}"
+        if any(m["op"] == marker for m in tb.history()):
+            return  # re-delivered batch: already committed exactly once
+        version = tb.latest_version() + 1
+        add = tb._write_files(batch_df, f"commit-{version:05d}-{marker}")
+        tb.commit(version, marker, add=add, remove=[])
+
+    schema = src.schema
+
+    def run(ckpt: str) -> None:
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(staged, "part-*"))
+        )
+        q = (
+            s.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(scratch_dir("acidsink_ckpt1"))
+    # full re-delivery: fresh checkpoint, same staged input, same table
+    run(scratch_dir("acidsink_ckpt2"))
+    n_versions = len(t.versions())
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+            F.lit(n_versions).alias("n_versions"),
+        )
+    )
