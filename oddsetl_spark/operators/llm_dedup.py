@@ -120,9 +120,12 @@ def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs via shingle inverted-index join."""
-    sh = _shingles(_corpus(spark, sf_dir))
+def _jaccard_pairs(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
+    """Exact near-dup pairs via shingle inverted-index join (over the
+    augmented corpus, or an explicit `corpus` frame)."""
+    sh = _shingles(corpus if corpus is not None else _corpus(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -552,13 +555,42 @@ GROUP BY component
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters = connected components over the near-dup pair
     list, via iterative min-label propagation (converges in <= diameter
-    rounds, O(log n) with path doubling not needed at these diameters).
-    Each round: join labels across edges, take min, localCheckpoint to cut
-    lineage. Oracle: DuckDB recursive CTE reachability."""
+    rounds). Each round: join labels across edges, take min,
+    localCheckpoint to cut lineage. Oracle: full-graph min-label rounds
+    in DuckDB.
+
+    EXACT-DUP CONTRACTION FIRST (round-4 scale fix, probe-measured):
+    jaccard is a function of the TEXT alone, so identical-text docs have
+    identical neighbor sets — the pair graph restricted to one
+    representative per distinct text is a lossless contraction, and
+    components expand back by group membership with labels unchanged
+    (each group's rep is its min doc_id, so the component min over reps
+    IS the component min over docs). Without the contraction the shingle
+    inverted-index self-join is QUADRATIC in duplicate-group size —
+    tools/scale_probe.py measured sec/K ratio 4.3 (4.5 s -> 192 s at
+    K=10, where every doc has 10 identical copies); contracted, the
+    pair-finding cost depends on DISTINCT texts only. This is the
+    standard corpus-pipeline ordering: exact dedup before near-dup."""
+    corpus = _corpus(spark, sf_dir)
+    key = F.md5(F.col("text"))
+    groups = (
+        corpus.select("doc_id", key.alias("k"))
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n"))
+        .localCheckpoint()
+    )
+    membership = (
+        corpus.select("doc_id", key.alias("k"))
+        .join(groups.select("k", "rep_id"), "k")
+        .select("doc_id", "rep_id")
+    )
+    rep_corpus = corpus.join(
+        groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
     # Materialize the (expensive) pair list ONCE; both union branches
     # read the checkpoint instead of re-running the shingle self-join.
     edges_half = (
-        _jaccard_pairs(spark, sf_dir)
+        _jaccard_pairs(spark, sf_dir, corpus=rep_corpus)
         .filter(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_a", "doc_b")
         .localCheckpoint()
@@ -578,8 +610,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("lbl")
     )
     labels = _propagate_min_labels(edges, labels, _CC_ROUNDS)
-    return labels.groupBy(F.col("lbl").alias("component")).agg(
-        F.count(F.lit(1)).alias("n_members"), F.min("node").alias("rep")
+    # expand back: a group is in the full pair graph iff its rep has a
+    # cross-group edge OR the group itself has >=2 identical members
+    # (identity pairs, jaccard = 1); labels carry over unchanged
+    rep_lbl = (
+        groups.join(labels, groups.rep_id == labels.node, "left")
+        .filter(F.col("node").isNotNull() | (F.col("grp_n") >= 2))
+        .select("rep_id", F.coalesce("lbl", F.col("rep_id")).alias("lbl"))
+    )
+    expanded = membership.join(rep_lbl, "rep_id")
+    return expanded.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members"), F.min("doc_id").alias("rep")
     )
 
 
