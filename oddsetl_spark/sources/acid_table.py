@@ -736,3 +736,80 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_change_type"),
     )
     return pre_t.unionByName(post_t)
+
+
+@register(
+    "table_incremental_mv",
+    category="acid_table",
+    oracle=f"""
+WITH {_MERGE_ORACLE_CTES},
+v2 AS (SELECT * FROM v1 WHERE o_orderkey % 3 <> 0)
+SELECT o_custkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100
+         AS revenue,
+       COUNT(*) AS n_orders
+FROM v2 GROUP BY o_custkey
+""",
+)
+def table_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance off the CDC feed: a
+    per-customer revenue aggregate built at v0 is advanced to v2 by
+    applying ONLY the change rows (subtract update_pre/delete, add
+    update_post/insert) — never rescanning the base. The oracle is the
+    FULL recompute over the v2 state, so any drift between delta
+    maintenance and recomputation (the classic IVM soundness bug: missed
+    retraction, double-applied update, zombie group) hash-fails.
+
+    Exactness: revenue is maintained as integer cents (floor half-up),
+    so subtract-then-add is associative and drift-free — delta
+    maintenance on raw doubles would accumulate rounding and could never
+    hash-match. Scale: the MV update shuffles only |changed rows|
+    grouped by key + one outer join MV-vs-delta on the MV key — the
+    whole point of IVM at 100 TB; groups whose count reaches zero are
+    retracted."""
+    t = AcidTable.create(
+        spark, _base(spark, sf_dir).repartition(4), scratch_dir("acid_mv")
+    )
+    t.merge(spark, _changes(spark, sf_dir), "o_orderkey")
+    t.delete_where(spark, F.col("o_orderkey") % 3 == 0)
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    mv0 = (
+        t.read(spark, 0)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("rev_c"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    # CDC rows v0 -> v2, signed: retractions count -1, additions +1
+    a = t.read(spark, 0)
+    b = t.read(spark, 2)
+    pre = a.exceptAll(b).select(
+        "o_custkey", (-cents).alias("d_rev"), F.lit(-1).alias("d_n")
+    )
+    post = b.exceptAll(a).select(
+        "o_custkey", cents.alias("d_rev"), F.lit(1).alias("d_n")
+    )
+    delta = (
+        pre.unionByName(post)
+        .groupBy("o_custkey")
+        .agg(F.sum("d_rev").alias("d_rev"), F.sum("d_n").alias("d_n"))
+    )
+    mv2 = (
+        mv0.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("rev_c"), F.lit(0))
+                + F.coalesce(F.col("d_rev"), F.lit(0))
+            ).alias("rev_c"),
+            (
+                F.coalesce(F.col("n_orders"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 0)  # zero-count groups retract
+    )
+    return mv2.select(
+        "o_custkey",
+        (F.col("rev_c").cast("double") / 100).alias("revenue"),
+        "n_orders",
+    )
