@@ -229,18 +229,35 @@ class AcidTable:
         hi,
         version: int | None = None,
     ) -> tuple[DataFrame, int, int]:
-        """Manifest-stats data skipping: read ONLY files whose [min, max]
-        for `col` overlaps [lo, hi] — file elimination happens on the
-        driver against the log's stats, before any parquet footer is
-        opened (on a 100 TB table with range-clustered files this is the
-        difference between listing a handful of files and scanning the
-        world). Files without recorded stats are kept (pruning must be
-        lossless). Returns (df, n_files_scanned, n_files_total)."""
+        """Single-predicate convenience over read_pruned_multi."""
+        return self.read_pruned_multi(spark, {col: (lo, hi)}, version)
+
+    def read_pruned_multi(
+        self,
+        spark: SparkSession,
+        preds: dict[str, tuple],
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Manifest-stats data skipping: read ONLY files whose recorded
+        [min, max] overlaps EVERY predicate's [lo, hi] — file elimination
+        happens on the driver against the log's stats, before any parquet
+        footer is opened (on a 100 TB table with clustered files this is
+        the difference between listing a handful of files and scanning
+        the world). A file missing stats for a predicate column is kept
+        for that predicate (pruning must be lossless). With a Z-ordered
+        layout, several predicates prune multiplicatively — each file is
+        narrow on every interleaved dimension at once. Returns
+        (df, n_files_scanned, n_files_total)."""
         all_stats = self.file_stats(version)
         keep = []
         for f, st in all_stats.items():
-            s = st.get(col)
-            if s is None or (s[0] <= hi and s[1] >= lo):
+            ok = True
+            for col, (lo, hi) in preds.items():
+                s = st.get(col)
+                if s is not None and (s[0] > hi or s[1] < lo):
+                    ok = False
+                    break
+            if ok:
                 keep.append(os.path.join(self.root, f))
         df = spark.read.parquet(*keep)
         return df, len(keep), len(all_stats)
@@ -812,4 +829,58 @@ def table_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         (F.col("rev_c").cast("double") / 100).alias("revenue"),
         "n_orders",
+    )
+
+
+@register(
+    "table_zorder_skipping",
+    category="acid_table",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows, {sql_lsum('l_extendedprice')} AS total_price,
+       TRUE AS pruned_half, TRUE AS pruning_lossless
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND CAST(floor(l_extendedprice / 1000) AS BIGINT) BETWEEN 10 AND 30
+""",
+)
+def table_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER for the ACID table: lineitem is laid out by the
+    Morton interleave of (quantity, price-bucket) — repartitionByRange on
+    the z-value makes every file narrow in BOTH dimensions at once — and
+    per-file min/max for both dimensions land in the commit manifest. A
+    2-D predicate then prunes files MULTIPLICATIVELY from the log's
+    stats (the layout single-column range clustering cannot give: sorted
+    by quantity alone, every file spans the full price range and a price
+    predicate prunes nothing). The oracle pins losslessness (identical
+    rows/exact cents to a full scan) and the flags assert at least half
+    the files were eliminated by stats alone. The z expression is
+    opt_zorder_cluster's, reused as the physical write layout here."""
+    from .file_sources import _z_col
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("pbucket"),
+    )
+    lz = li.withColumn("z", _z_col(F.col("l_quantity"), F.col("pbucket")))
+    t = AcidTable.create(
+        spark,
+        lz.repartitionByRange(16, "z").drop("z"),
+        scratch_dir("acid_zorder"),
+        stats_cols=["l_quantity", "pbucket"],
+    )
+    preds = {"l_quantity": (10, 20), "pbucket": (10, 30)}
+    pruned, n_scanned, n_total = t.read_pruned_multi(spark, preds)
+    residue = (
+        F.col("l_quantity").between(10, 20) & F.col("pbucket").between(10, 30)
+    )
+    n_full = t.read(spark).filter(residue).count()
+    return pruned.filter(residue).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(lng(F.col("l_extendedprice"))).cast("double") / 1e6).alias(
+            "total_price"
+        ),
+        F.lit(n_scanned * 2 <= n_total).alias("pruned_half"),
+        (F.count(F.lit(1)) == n_full).alias("pruning_lossless"),
     )
