@@ -3854,3 +3854,100 @@ def agg_wilcoxon_signed_rank(
         w_plus.alias("w_plus"),
         F.round(z, 9).alias("z_stat"),
     )
+
+
+@register(
+    "agg_sketch_set_algebra",
+    category="agg",
+    oracle="""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM events) a
+  JOIN (SELECT DISTINCT event_type FROM events) b
+    ON a.event_type < b.event_type
+)
+SELECT p.type_a, p.type_b,
+       (SELECT COUNT(*) FROM u x JOIN u y
+         ON x.user_id = y.user_id
+        WHERE x.event_type = p.type_a AND y.event_type = p.type_b)
+         AS n_intersect,
+       (SELECT COUNT(*) FROM u x
+        WHERE x.event_type = p.type_a
+          AND NOT EXISTS (SELECT 1 FROM u y
+                          WHERE y.event_type = p.type_b
+                            AND y.user_id = x.user_id))
+         AS n_diff,
+       TRUE AS intersect_ok, TRUE AS diff_ok
+FROM pairs p
+""",
+)
+def agg_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA (Apache DataSketches, built into Spark 4):
+    per-event-type user sketches combined with theta_intersection and
+    theta_difference to estimate audience overlap ("users who click AND
+    purchase") and exclusion — the segment-overlap workload that makes
+    Theta strictly more useful than HLL (HLL unions only; Theta's KMV
+    retention supports the full set algebra). One sketch per type is
+    built ONCE and reused across all pairs — at 100 TB that is the whole
+    point: pairwise overlaps of kilobyte sketches instead of pairwise
+    self-joins of the raw fact table. Sketch binaries are
+    engine-specific, so the driver check carries exact intersection /
+    difference counts (the verification twin) plus flags asserting each
+    estimate within max(10%, 5) — below the default k=4096 retained
+    hashes Theta is exact, so on these fixtures the flags are tight."""
+    e = table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    est = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.theta_sketch_estimate(
+                F.theta_intersection("sk_a", "sk_b")
+            ).alias("est_intersect"),
+            F.theta_sketch_estimate(
+                F.theta_difference("sk_a", "sk_b")
+            ).alias("est_diff"),
+        )
+    )
+    u = e.select("event_type", "user_id").distinct()
+    ua = u.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = u.select(F.col("event_type").alias("type_b"), "user_id")
+    exact_i = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_intersect"))
+    )
+    sizes = u.groupBy(F.col("event_type").alias("type_a")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    exact = (
+        est.join(exact_i, ["type_a", "type_b"], "left")
+        .join(sizes, "type_a")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("n_intersect", F.lit(0)).alias("n_intersect"),
+            (F.col("n_a") - F.coalesce("n_intersect", F.lit(0))).alias("n_diff"),
+            "est_intersect",
+            "est_diff",
+        )
+    )
+    tol_i = F.greatest(F.col("n_intersect") * 0.1, F.lit(5.0))
+    tol_d = F.greatest(F.col("n_diff") * 0.1, F.lit(5.0))
+    return exact.select(
+        "type_a",
+        "type_b",
+        "n_intersect",
+        "n_diff",
+        (F.abs(F.col("est_intersect") - F.col("n_intersect")) <= tol_i).alias(
+            "intersect_ok"
+        ),
+        (F.abs(F.col("est_diff") - F.col("n_diff")) <= tol_d).alias("diff_ok"),
+    )

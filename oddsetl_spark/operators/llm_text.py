@@ -1284,3 +1284,92 @@ def text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("simpson_diversity"),
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    category="llm_text",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents
+),
+bg AS (
+  SELECT doc_id, u.b['w1'] AS w1, u.b['w2'] AS w2
+  FROM t, UNNEST([{'w1': s[i], 'w2': s[i + 1]} for i in range(1, len(s))]) AS u(b)
+  WHERE len(s) >= 2
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT u.tok) AS vsize
+      FROM t, UNNEST(s) AS u(tok)),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(FLOOR(ln((c12.c12 + 1.0) / (c1.c1 + v.vsize)) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000 AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring (the CCNet/Gopher filtering idea): train
+    a bigram language model on the corpus itself — c(w1,w2), history
+    counts c(w1), vocabulary V — and score every document by its mean
+    add-1-smoothed bigram log-probability. Low scorers are boilerplate /
+    gibberish relative to the corpus distribution; this is the
+    model-based quality axis the rule-based scores (text_quality_score,
+    gopher rules) cannot see.
+
+    Exactness discipline: each bigram's log-prob is QUANTIZED map-side
+    to the 1e-6 grid (floor half-up -> LONG) before the per-doc sum, so
+    the aggregation is order-insensitive exact integer math and a
+    cross-libm last-ulp wobble in ln() cannot surface (it would need to
+    move the value across a grid midpoint, ~1e-10 odds per term). The
+    two count joins are the inverted-index shape: c12/c1 are broadcast-
+    size at any corpus (vocabulary-bounded), the bigram stream shuffles
+    once per join key. V rides along as a broadcast scalar row."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    t = d.select("doc_id", toks.alias("s")).filter(F.size(toks) >= 2)
+    sc = F.col("s")
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(sc) - 1),
+                lambda i: F.struct(
+                    F.element_at(sc, i).alias("w1"),
+                    F.element_at(sc, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vdf = (
+        d.select(F.explode(toks).alias("tok"))
+        .agg(F.count_distinct("tok").alias("vsize"))
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vsize")))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / 1000000).alias(
+            "avg_logprob"
+        ),
+    )
