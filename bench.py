@@ -49,6 +49,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("oddsetl-bench")
+    # Parity with BASELINE.md's measurement config (local[8],
+    # shuffle.partitions=16): at sf0.1 the 32-partition session default
+    # makes every shuffle stage scheduling-bound (BASELINE.md
+    # "Interpretation" bullet 3); 16 measurably shaves the window-heavy
+    # rows. Runtime-settable, so sibling sessions are unaffected.
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
 
     available = registry.all_queries()
     names = [n for n in HEADLINE if n in available]
