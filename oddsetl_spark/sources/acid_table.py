@@ -884,3 +884,99 @@ def table_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_scanned * 2 <= n_total).alias("pruned_half"),
         (F.count(F.lit(1)) == n_full).alias("pruning_lossless"),
     )
+
+
+class ConstraintViolation(RuntimeError):
+    """A commit-time CHECK constraint rejected the batch."""
+
+
+def append_with_constraints(
+    t: AcidTable,
+    spark: SparkSession,
+    df: DataFrame,
+    checks: dict[str, "F.Column"],
+) -> int:
+    """Delta-style commit-time CHECK constraints: the batch is validated
+    with ONE aggregate pass (count of violators per named rule) BEFORE
+    any manifest publishes; a single violation rejects the whole batch —
+    files may have landed in the data directory, but without a manifest
+    they are invisible (the same orphan guarantee crash atomicity rides
+    on), so enforcement is atomic by construction. Raises
+    ConstraintViolation listing the failed rules."""
+    viols = df.agg(
+        *[
+            F.sum((~c).cast("long")).alias(name)
+            for name, c in checks.items()
+        ]
+    ).first()
+    failed = {n: viols[n] for n in checks if (viols[n] or 0) > 0}
+    if failed:
+        raise ConstraintViolation(str(sorted(failed.items())))
+    return t.append(spark, df)
+
+
+@register(
+    "table_check_constraints",
+    category="acid_table",
+    oracle=f"""
+WITH v0 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 5000
+),
+good AS (
+  SELECT o_orderkey + 40000000 AS o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey < 2000 AND o_totalprice > 0
+)
+SELECT COUNT(*) AS n_rows, {sql_lsum('o_totalprice')} AS total_price,
+       TRUE AS bad_batch_rejected, TRUE AS bad_batch_invisible,
+       2 AS n_versions
+FROM (SELECT * FROM v0 UNION ALL SELECT * FROM good)
+""",
+)
+def table_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time CHECK constraint enforcement: a batch carrying NULL
+    keys and non-positive prices is validated against the table's rules
+    before its manifest can publish — the whole batch is rejected
+    atomically (its files stay orphaned and invisible), then a clean
+    batch commits normally. The oracle pins the end state: base + good
+    batch only, exactly two manifests, and flags for the rejection and
+    the invisibility of the rejected rows. This is Delta's CHECK /
+    NOT NULL contract: a constraint is only worth having if a violating
+    writer cannot make ANY of its rows visible."""
+    o = table(spark, sf_dir, "orders")
+    v0 = o.filter(F.col("o_orderkey") < 5000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = AcidTable.create(spark, v0.repartition(4), scratch_dir("acid_check"))
+    checks = {
+        "key_not_null": F.col("o_orderkey").isNotNull(),
+        "price_positive": F.col("o_totalprice") > 0,
+    }
+    bad = o.filter(F.col("o_orderkey") < 2000).select(
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderkey") + 40_000_000)
+        .alias("o_orderkey"),
+        (F.col("o_totalprice") * -1).alias("o_totalprice"),
+    )
+    n_before = t.read(spark).count()
+    try:
+        append_with_constraints(t, spark, bad, checks)
+        rejected = False
+    except ConstraintViolation:
+        rejected = True
+    invisible = t.read(spark).count() == n_before
+    good = o.filter(
+        (F.col("o_orderkey") < 2000) & (F.col("o_totalprice") > 0)
+    ).select(
+        (F.col("o_orderkey") + 40_000_000).alias("o_orderkey"),
+        "o_totalprice",
+    )
+    append_with_constraints(t, spark, good, checks)
+    return t.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(lng(F.col("o_totalprice"))).cast("double") / 1e6).alias(
+            "total_price"
+        ),
+        F.lit(rejected).alias("bad_batch_rejected"),
+        F.lit(invisible).alias("bad_batch_invisible"),
+        F.lit(len(t.versions())).alias("n_versions"),
+    )

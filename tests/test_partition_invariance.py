@@ -63,6 +63,13 @@ INVARIANCE_SET = [
     "agg_robust_means",
     "win_dau_wau_mau",
     "stream_scd2_foreachbatch",
+    # round-4 additions: the ACID layer's COW merge + log replay, the
+    # de-windowed exact global rank, and the contracted components must
+    # all be bit-identical under hostile partitioning
+    "table_merge_acid",
+    "table_time_travel",
+    "agg_histogram_equidepth",
+    "dedup_components",
 ]
 
 
