@@ -15,7 +15,7 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "join_dynamic_partition_pruning", "geo_grid_join",
             "win_sessionize_stats", "dedup_embedding_cosine",
             "curate_contamination", "mm_kmeans_iterate", "opt_zorder_cluster",
-            "text_bigram_lm", "win_funnel_stages", "sim_ann_pq",
+            "text_bigram_lm_score", "win_funnel_stages", "sim_ann_pq",
             "curate_semdedup", "graph_triangle_count", "text_heavy_hitters",
             "sim_maxsim_multivec", "win_ewma", "graph_link_prediction",
             "text_chunk_sliding", "sort_total_order_range",
@@ -23,7 +23,13 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "join_temporal_scd2", "emb_matryoshka_eval",
             "etl_expectations_quarantine", "scan_file_lineage",
             "etl_denormalize_wide", "sim_ivf_pq", "agg_ks_test",
-            "dedup_incremental_batch", "win_dau_wau_mau"]
+            "dedup_incremental_batch", "win_dau_wau_mau",
+            # round-4: de-windowed exact ranks, contracted components,
+            # and the ACID layer's heavy queries
+            "agg_histogram_equidepth", "curate_quality_ntile",
+            "agg_revenue_concentration", "curate_pack_chunks",
+            "dedup_components", "table_merge_acid", "table_zorder_skipping",
+            "agg_sketch_set_algebra"]
 
 NOTES = {
     "etl_denormalize_wide": "seven joins, every dimension side broadcast "
@@ -77,7 +83,7 @@ NOTES = {
         "(c_id,pos) exchange; localCheckpoint caps plan depth per round.",
     "opt_zorder_cluster": "Morton z-value is a pure codegen projection "
         "(no UDF, no shuffle); single exchange for the z-bucket rollup.",
-    "text_bigram_lm": "bigram model tables broadcast back onto the corpus "
+    "text_bigram_lm_score": "bigram model tables broadcast back onto the corpus "
         "bigrams; the only exchanges are the model-count rollups and the "
         "final per-doc aggregation.",
     "win_funnel_stages": "three same-key (user_id) aggregations; later "
@@ -102,6 +108,28 @@ NOTES = {
         "in a partial HashAggregate before the only exchange.",
     "win_ewma": "higher-order aggregate() fold inside the projection over "
         "ONE user_id window exchange — no Python eval, no second shuffle.",
+    "agg_histogram_equidepth": "exact NTILE without a global window: ONE "
+        "rangepartitioning exchange, local sort, broadcast per-partition "
+        "offsets; the only Window runs over the ~32 count rows (_pn).",
+    "curate_quality_ntile": "same range-partition + broadcast-offset "
+        "decomposition; no single-task window anywhere in the plan.",
+    "agg_revenue_concentration": "per-customer rollup then the distributed "
+        "exact rank; head-share cutoffs fold into one mergeable aggregate.",
+    "curate_pack_chunks": "distributed prefix sum: <=256 key-range buckets, "
+        "base offsets broadcast, intra-bucket running sum partitioned by "
+        "bucket — the packer that survives any corpus size.",
+    "dedup_components": "exact-dup contraction first (distinct texts only "
+        "enter the inverted-index pair join), then min-label rounds on the "
+        "contracted graph with localCheckpoint lineage cuts.",
+    "table_merge_acid": "copy-on-write MERGE: one base scan finds affected "
+        "files via _metadata.file_path + broadcast semi-join; rewrite "
+        "touches those files only, the rest carry by reference.",
+    "table_zorder_skipping": "Morton-interleaved repartitionByRange write; "
+        "2-D predicate prunes files from manifest stats on the driver "
+        "before any parquet footer opens.",
+    "agg_sketch_set_algebra": "one Theta sketch per segment, reused across "
+        "all pair combinations; overlap estimates are kilobyte sketch ops, "
+        "the raw fact table is scanned exactly once per side.",
     "graph_link_prediction": "wedge self-join on the shared neighbor plus "
         "anti/degree joins — every stage an equi-join or mergeable "
         "aggregate; no nested loop anywhere.",
