@@ -980,3 +980,70 @@ def table_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(invisible).alias("bad_batch_invisible"),
         F.lit(len(t.versions())).alias("n_versions"),
     )
+
+
+@register(
+    "table_stream_source",
+    category="acid_table",
+    oracle="""
+SELECT v.v AS version, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS cum_events
+FROM UNNEST(range(0, 4)) AS v(v)
+JOIN events e ON e.event_id % 4 <= v.v
+GROUP BY v.v, e.event_type
+""",
+)
+def table_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACID table as a STREAMING SOURCE (Delta streaming-source
+    semantics): an append-only table's commit log is a replayable change
+    stream — each commit's added files are one micro-batch, and a
+    consumer's offset is simply the last processed version. Four
+    commits land events split by event_id%4; the consumer then walks the
+    log from its cursor, reading ONLY the files each manifest added
+    (never rescanning the table), and emits the cumulative per-type
+    counts after every batch. The oracle recomputes each cumulative
+    state relationally, so a consumer that missed a commit's files,
+    double-read them, or leaked a later commit into an earlier offset
+    diverges. Scale: per batch the consumer touches |added files| — the
+    log IS the incremental-processing index; no directory diffing, no
+    full-table scans."""
+    src = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = AcidTable.create(
+        spark,
+        src.filter(F.col("event_id") % 4 == 0).coalesce(2),
+        scratch_dir("acid_src"),
+    )
+    for i in range(1, 4):
+        t.append(spark, src.filter(F.col("event_id") % 4 == i).coalesce(2))
+
+    # consumer: cursor over the log, one micro-batch per commit
+    outs = []
+    cursor = -1
+    for m in t.history():
+        v = m["version"]
+        assert v == cursor + 1, "gap in the commit stream"
+        cursor = v
+        batch_files = [os.path.join(t.root, f) for f in m["add"]]
+        batch = spark.read.parquet(*batch_files)
+        counts = batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        outs.append(counts.withColumn("version", F.lit(v)))
+    all_deltas = outs[0]
+    for o in outs[1:]:
+        all_deltas = all_deltas.unionByName(o)
+    # cumulative state after each batch = sum of deltas with version <= v
+    a = all_deltas.alias("a")
+    b = all_deltas.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.version") <= F.col("a.version"))
+            & (F.col("b.event_type") == F.col("a.event_type")),
+        )
+        .groupBy(
+            F.col("a.version").alias("version"),
+            F.col("a.event_type").alias("event_type"),
+        )
+        .agg(F.sum("b.d").alias("cum_events"))
+    )
