@@ -179,3 +179,62 @@ def test_append_evolved_schema_reads_null_for_legacy_rows(spark):
     got = t.read(spark, merge_schema=True)
     assert got.count() == n0 + 7
     assert got.filter(F.col("note").isNull()).count() == n0
+
+
+def test_partition_overwrite_swaps_only_batch_partitions(spark):
+    """Dynamic overwrite must remove exactly the batch's partitions'
+    files and carry every other partition by reference; the rejected
+    'half-replaced reader' state must be unrepresentable (single
+    manifest)."""
+    from oddsetl_spark.sources.acid_table import overwrite_partitions
+
+    e = table(spark, SF_DIR, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("event_day"),
+    )
+    t = AcidTable(scratch_dir("acid_po_t"))
+    out = os.path.join(t.data_dir, "commit-00000")
+    e.write.partitionBy("event_day").parquet(out)
+    add, stats = [], {}
+    for dirpath, _dirs, files in os.walk(out):
+        for fname in files:
+            if fname.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, fname), t.root)
+                add.append(rel)
+                pv = os.path.basename(dirpath).split("=", 1)[1]
+                stats[rel] = {"event_day": [pv, pv]}
+    t.commit(0, "create", add=sorted(add), remove=[], stats=stats)
+    day = sorted({v[0] for v in (s["event_day"] for s in stats.values())})
+    target = sorted({s["event_day"][0] for s in stats.values()})[0]
+    repl = e.filter(F.col("event_day") == target)
+    v = overwrite_partitions(t, spark, repl, "event_day")
+    assert v == 1 and len(t.versions()) == 2
+    old = set(t.active_files(0))
+    new = set(t.active_files(1))
+    removed = old - new
+    st = t.file_stats(0)
+    for p in removed:
+        rel = os.path.relpath(p, t.root)
+        assert st[rel]["event_day"][0] == target, rel
+    carried = {p for p in old if f"event_day={target}/" not in p}
+    assert carried <= new, "untouched partitions must carry by reference"
+
+
+def test_stream_source_cursor_sees_each_commit_once(spark):
+    """Walking the log from a cursor must deliver every appended file
+    exactly once across batches."""
+    src = table(spark, SF_DIR, "events").select("event_id")
+    t = AcidTable.create(
+        spark, src.filter(F.col("event_id") % 2 == 0).coalesce(1),
+        scratch_dir("acid_src_t"),
+    )
+    t.append(spark, src.filter(F.col("event_id") % 2 == 1).coalesce(1))
+    seen = []
+    for m in t.history():
+        seen.extend(m["add"])
+    assert len(seen) == len(set(seen)), "a file delivered twice"
+    total = sum(
+        spark.read.parquet(os.path.join(t.root, f)).count() for f in seen
+    )
+    assert total == src.count()
