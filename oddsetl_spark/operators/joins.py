@@ -1002,3 +1002,62 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("m_date")).alias("prev_date"),
         (F.col("m_date").isNotNull() & ~fresh).alias("dropped_stale"),
     )
+
+
+@register(
+    "join_fuzzy_blocked",
+    category="joins",
+    oracle="""
+WITH names AS (
+  SELECT p_name AS name, MIN(p_partkey) AS name_id
+  FROM part GROUP BY p_name
+),
+dirty AS (
+  SELECT name_id + 500000 AS dirty_id,
+         substr(name, 1, 5) || substr(name, 7) AS dirty_name
+  FROM names WHERE name_id % 3 = 0
+),
+cand AS (
+  SELECT n.name_id, d.dirty_id, n.name, d.dirty_name,
+         levenshtein(n.name, d.dirty_name) AS dist
+  FROM names n JOIN dirty d
+    ON substr(n.name, 1, 4) = substr(d.dirty_name, 1, 4)
+)
+SELECT name_id, dirty_id, name, dirty_name, CAST(dist AS INT) AS dist
+FROM cand WHERE dist <= 2
+""",
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (edit-distance join) with BLOCKING — the
+    record-linkage primitive behind dedupe/merge of dirty catalogs: a
+    'dirty' side is manufactured by dropping one character from every
+    third distinct part name, then matched back with levenshtein <= 2,
+    but ONLY within blocks sharing a 4-char name prefix. The block join
+    is an ordinary equi-join, so the quadratic edit-distance work is
+    confined to per-block candidate sets (work ~ sum of block_left x
+    block_right, never |L| x |R|) — the same sum-of-buckets-squared
+    budget every LSH operator here runs on; at 100 TB the block key
+    graduates to q-gram or phonetic buckets, the plan shape is
+    unchanged. Both engines implement unit-cost Levenshtein, so
+    distances hash-match exactly."""
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.min("p_partkey").alias("name_id")
+    )
+    dirty = names.filter(F.col("name_id") % 3 == 0).select(
+        (F.col("name_id") + 500000).alias("dirty_id"),
+        F.concat(
+            F.substring("name", 1, 5), F.expr("substr(name, 7)")
+        ).alias("dirty_name"),
+    )
+    cand = names.join(
+        dirty,
+        F.substring("name", 1, 4) == F.substring("dirty_name", 1, 4),
+    ).select(
+        "name_id",
+        "dirty_id",
+        "name",
+        "dirty_name",
+        F.levenshtein("name", "dirty_name").alias("dist"),
+    )
+    return cand.filter(F.col("dist") <= 2)
