@@ -477,3 +477,38 @@ def test_exact_ntile_rank_has_no_global_data_window(spark):
             if s.startswith("+- Window") or s.startswith("Window ["):
                 assert "_pn#" in s, (name, s)
         assert "rangepartitioning" in plan, (name, "missing range exchange")
+
+
+def test_fuzzy_join_is_equi_block_join_not_nested_loop(spark):
+    """The levenshtein refine must ride an equi-join on the block key —
+    a BroadcastNestedLoopJoin would mean the blocking failed and every
+    pair gets an edit-distance evaluation."""
+    plan = _plan(spark, "join_fuzzy_blocked")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan
+
+
+def test_acid_merge_broadcasts_change_keys(spark):
+    """The COW merge's affected-file probe and anti/semi refines must
+    broadcast the (small) change-key side — the base is scanned, never
+    shuffled on the merge key."""
+    from oddsetl_spark.io import table as _t
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.sources.acid_table import AcidTable
+    from oddsetl_spark.plans.report import executed_plan
+    from pyspark.sql import functions as F
+
+    base = (
+        _t(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") < 10000)
+        .select("o_orderkey", "o_totalprice")
+        .repartition(4)
+    )
+    t = AcidTable.create(spark, base, scratch_dir("acid_plan"))
+    changes = base.limit(20).select(
+        "o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice")
+    )
+    t.merge(spark, changes, "o_orderkey")
+    plan = executed_plan(t.read(spark))
+    # the read side is plain parquet scans — no join residue in the table
+    assert "Join" not in plan, plan
