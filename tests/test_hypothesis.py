@@ -105,3 +105,33 @@ def test_sessionize_gap_invariant_generated(spark, gaps):
     expected = 1 + sum(1 for g in gaps[1:] if g > 1800)
     assert n_sessions == expected
     assert sess.agg(F.sum("count")).collect()[0][0] == len(ts)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    k=st.integers(min_value=1, max_value=12),
+)
+@_FAST
+def test_ntile_expr_matches_native_ntile(spark, n, k):
+    """The distributed-rank NTILE arithmetic (_helpers.ntile_expr) must
+    reproduce Spark's native NTILE(k) for ANY (n, k): first n%k buckets
+    get ceil(n/k) rows, the rest floor(n/k) — this is the formula the
+    three de-windowed exact-rank operators stand on."""
+    from pyspark.sql import Window as W
+
+    from oddsetl_spark.operators._helpers import ntile_expr
+
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("_rank"), F.lit(n).alias("_n")
+    )
+    ours = {
+        r["_rank"]: r["b"]
+        for r in df.select("_rank", ntile_expr(k).cast("int").alias("b")).collect()
+    }
+    native = {
+        r["id"]: r["b"]
+        for r in spark.range(1, n + 1)
+        .select("id", F.ntile(k).over(W.orderBy("id")).alias("b"))
+        .collect()
+    }
+    assert ours == native
