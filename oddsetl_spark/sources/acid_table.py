@@ -1093,7 +1093,8 @@ def overwrite_partitions(
     category="acid_table",
     oracle="""
 WITH base AS (
-  SELECT event_id, event_type, CAST(ts AS DATE) AS event_day, value
+  SELECT event_id, event_type,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS event_day, value
   FROM events
 ),
 days AS (
