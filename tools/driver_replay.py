@@ -5,7 +5,7 @@ value compare the pytest suite uses (including the pandas-path twin that
 mimics the driver's canonicalizer). Prints one line per query and a final
 summary. Run from a foreign cwd to exercise the sys.path shim:
 
-    cd /tmp && python /root/repo/tools/driver_replay.py [sf_dir]
+    cd /tmp && python /root/repo/tools/driver_replay.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -19,6 +19,7 @@ REPO = "/root/repo"
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query names: narrow the replay
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", f"{REPO}/__spark_entry__.py"
     )
@@ -30,6 +31,10 @@ def main() -> None:
 
     spark = get_spark()
     qs = entry.queries()
+    if only:
+        unknown = only - set(qs)
+        assert not unknown, f"unknown queries: {sorted(unknown)}"
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entry.oracle_sql()
     ok_sql = ok_rows = 0
     failures: list[tuple[str, str]] = []
