@@ -1061,3 +1061,141 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("name", "dirty_name").alias("dist"),
     )
     return cand.filter(F.col("dist") <= 2)
+
+
+# --- user-space Bloom filter membership -----------------------------------
+
+_BLOOM_M = 8192  # bit positions
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_sql_pos(i: int, expr: str) -> str:
+    return (
+        f"('0x' || substr(md5(concat('{i}:', CAST({expr} AS VARCHAR))), 1, 15))"
+        f"::BIGINT % {_BLOOM_M}"
+    )
+
+
+@register(
+    "join_bloom_membership",
+    category="joins",
+    oracle=f"""
+WITH build AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bits AS (
+  SELECT DISTINCT pos FROM build, LATERAL (
+    VALUES ({_bloom_sql_pos(0, "c_custkey")}),
+           ({_bloom_sql_pos(1, "c_custkey")}),
+           ({_bloom_sql_pos(2, "c_custkey")})
+  ) AS h(pos)
+),
+probe AS (SELECT DISTINCT o_custkey FROM orders),
+probe_bits AS (
+  SELECT o_custkey, pos FROM probe, LATERAL (
+    VALUES ({_bloom_sql_pos(0, "o_custkey")}),
+           ({_bloom_sql_pos(1, "o_custkey")}),
+           ({_bloom_sql_pos(2, "o_custkey")})
+  ) AS h(pos)
+),
+classified AS (
+  SELECT p.o_custkey,
+         (COUNT(b.pos) = {_BLOOM_K}) AS bloom_pos,
+         MAX(CASE WHEN m.c_custkey IS NOT NULL THEN 1 ELSE 0 END) = 1
+           AS is_member
+  FROM probe_bits p
+  LEFT JOIN bits b ON b.pos = p.pos
+  LEFT JOIN build m ON m.c_custkey = p.o_custkey
+  GROUP BY p.o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_members,
+       CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+         AS bloom_positive,
+       CAST(SUM(CASE WHEN bloom_pos AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positive,
+       CAST(SUM(CASE WHEN is_member AND NOT bloom_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS missed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set
+FROM classified
+""",
+)
+def join_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-space Bloom-filter membership pruning — the pattern behind
+    join_runtime_bloomfilter, built explicitly so the filter itself is
+    portable (e.g. shipped to another system) and its error is measured.
+
+    Build side: BUILDING-segment customer keys hash into k=3
+    positions of an m=8192-bit filter with the cross-engine md5
+    family (see dedup_minhash_det). The bit set is <= k x |build| rows of
+    a single int — broadcast-sized by construction no matter how large
+    the probe side grows. Probe: distinct order custkeys re-derive their
+    k positions and broadcast-join the bit set; a key is bloom-positive
+    iff all k positions hit. The exact membership twin (broadcast semi
+    join on the same dim) classifies every probe key so the output
+    reports the measured false-positive count next to the filter's fill —
+    missed MUST be 0 (no false negatives, asserted by the oracle match).
+    At 100 TB the probe side never shuffles: both joins broadcast the
+    tiny build artifacts."""
+    cust = table(spark, sf_dir, "customer")
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+
+    def _pos(i: int, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    def _positions(df: DataFrame, key: str) -> DataFrame:
+        return df.select(
+            F.col(key),
+            F.explode(
+                F.array(*[_pos(i, F.col(key)) for i in range(_BLOOM_K)])
+            ).alias("pos"),
+        )
+
+    bits = _positions(build, "c_custkey").select("pos").distinct()
+    probe = table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    probe_bits = _positions(probe, "o_custkey")
+    hit = probe_bits.join(
+        F.broadcast(bits), "pos", "left"
+    ).groupBy("o_custkey").agg(
+        (F.count(bits["pos"]) == _BLOOM_K).alias("bloom_pos")
+    )
+    classified = hit.join(
+        F.broadcast(build),
+        hit["o_custkey"] == build["c_custkey"],
+        "left",
+    ).select(
+        "o_custkey",
+        "bloom_pos",
+        F.col("c_custkey").isNotNull().alias("is_member"),
+    )
+    n_bits = bits.count()  # O(1) scalar: filter fill, reported as a column
+    return classified.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("bloom_positive"),
+        F.sum(F.when(F.col("bloom_pos") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("false_positive"),
+        F.sum(F.when(F.col("is_member") & ~F.col("bloom_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("missed"),
+        F.lit(n_bits).cast("long").alias("bits_set"),
+    )
