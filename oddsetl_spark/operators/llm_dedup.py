@@ -1507,3 +1507,76 @@ def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per")), 9
         ).alias("threshold"),
     )
+
+
+@register(
+    "dedup_substring_spans",
+    category="llm_dedup",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+           AS h
+  FROM tok, LATERAL unnest(range(1, len(t) - 6)) AS r(i)
+),
+shared AS (
+  SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       round(SUM(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 9) AS dup_ratio
+FROM spans s LEFT JOIN shared sh ON sh.h = s.h
+GROUP BY s.doc_id
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection, the span-level complement of
+    doc-level near-dup dedup (the approach of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": memorization comes from
+    repeated SPANS, which doc-level MinHash cannot see).
+
+    Every 8-token window of every document is hashed once with the
+    cross-engine md5-60bit family (the shuffle then carries one int64 per
+    span instead of ~50 bytes of text — the same trick a suffix-array
+    pipeline plays before sorting); an inverted index groupBy finds spans
+    present in >1 distinct doc; a join back labels each doc's spans and
+    rolls up the per-doc duplicated-span ratio. Work is linear in total
+    span count, the only shuffles are the span-hash groupBy and the
+    hash-keyed join back (co-partitioned, no re-exchange) — nothing is
+    pairwise. At 100 TB, span filtering (count>1) happens at the
+    aggregation, so the join-back side is only the genuinely shared tail.
+    DuckDB replays the identical windows/hashes: exact hash-match."""
+    d = table(spark, sf_dir, "documents")
+    spans = _shingles(d.select("doc_id", "text"), k=8).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    shared = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    labeled = spans.join(shared.withColumnRenamed("h", "h2"),
+                         F.col("h") == F.col("h2"), "left")
+    return labeled.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("h2").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_spans"),
+        F.round(
+            F.sum(F.when(F.col("h2").isNotNull(), 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            9,
+        ).alias("dup_ratio"),
+    )

@@ -1373,3 +1373,139 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+def _cms_sql_bucket(j: int, expr: str) -> str:
+    return (
+        f"('0x' || substr(md5(concat('{j}:', {expr})), 1, 15))::BIGINT % 16"
+    )
+
+
+@register(
+    "text_cms_heavy_hitters",
+    category="llm_text",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tot AS (SELECT COUNT(*) AS total FROM tok),
+cells AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cell
+  FROM (
+    SELECT token, j,
+           CASE j WHEN 0 THEN {_cms_sql_bucket(0, "token")}
+                  WHEN 1 THEN {_cms_sql_bucket(1, "token")}
+                  WHEN 2 THEN {_cms_sql_bucket(2, "token")}
+                  ELSE {_cms_sql_bucket(3, "token")} END AS bucket
+    FROM tok CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(j)
+  ) GROUP BY j, bucket
+),
+heavy AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM tok GROUP BY token
+  HAVING COUNT(*) >= (SELECT total FROM tot) / 256.0
+),
+est AS (
+  SELECT h.token, h.exact_n, MIN(c.cell) AS cms_est
+  FROM heavy h
+  CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(j)
+  JOIN cells c
+    ON c.j = d.j
+   AND c.bucket = CASE d.j WHEN 0 THEN {_cms_sql_bucket(0, "h.token")}
+                           WHEN 1 THEN {_cms_sql_bucket(1, "h.token")}
+                           WHEN 2 THEN {_cms_sql_bucket(2, "h.token")}
+                           ELSE {_cms_sql_bucket(3, "h.token")} END
+  GROUP BY h.token, h.exact_n
+)
+SELECT token, exact_n, cms_est,
+       CAST(cms_est - exact_n AS BIGINT) AS overestimate
+FROM est
+""",
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows x w=16 buckets) with its error measured
+    against exact counts — the streaming-sketch completion of the sketch
+    family (HLL distinct, Theta set algebra, equi-depth histograms).
+    w=16 is sized to the fixtures' 31-token vocabulary so bucket
+    collisions — the error CMS trades for fixed memory — actually occur
+    and the overestimate column is non-trivial; production would size
+    w ~ e/eps (e.g. 2^20 cells for eps ~ 2.7e-6 of stream mass).
+
+    Sketch build: each token occurrence maps to one bucket per row via the
+    cross-engine md5 family; the whole sketch is the groupBy(j, bucket)
+    count — at most d*w = 64 cells regardless of stream size, reached by
+    a map-side-combining shuffle of at most d*w partials per task (THE
+    point of CMS at 100 TB: fixed memory, one pass, mergeable across
+    executors/days by cell-wise addition). Query: heavy tokens (exact
+    share >= 1/256, computed as the verification twin) re-derive their d
+    bucket coordinates and broadcast-join the tiny sketch; the estimate
+    is the min over rows. CMS guarantees cms_est >= exact_n (every
+    oracle-matched row re-proves it) and the reported overestimate
+    column shows the collision error at w=16 directly."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(_toks(F.col("text"))).alias("token"))
+    )
+
+    def bucket(j: int, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 16
+        )
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            bucket(j, F.col("token")).alias("bucket"),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("jb")
+        )
+        .select("jb.j", "jb.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell"))
+    )
+    total = toks.count()  # O(1) scalar: the heavy-hitter threshold
+    heavy = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .filter(F.col("exact_n") >= total / 256.0)
+    )
+    probes = heavy.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(j, F.col("token")).alias("bucket"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("jb"),
+    ).select("token", "exact_n", "jb.j", "jb.bucket")
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("long").alias(
+            "overestimate"
+        ),
+    )
