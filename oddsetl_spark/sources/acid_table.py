@@ -98,6 +98,8 @@ class AcidTable:
         add: list[str],
         remove: list[str],
         stats: dict[str, dict] | None = None,
+        dv: list[str] | None = None,
+        dv_remove: list[str] | None = None,
     ) -> None:
         """Atomic put-if-absent publish of manifest `version`.
 
@@ -116,6 +118,8 @@ class AcidTable:
             "add": add,
             "remove": remove,
             "stats": stats or {},
+            "dv": dv or [],
+            "dv_remove": dv_remove or [],
         }
         fd, tmp = tempfile.mkstemp(prefix="_tmp_commit_", dir=self.log_dir)
         try:
@@ -375,6 +379,117 @@ class AcidTable:
                     survivors, f"commit-{next_v:05d}-delete"
                 )
         self.commit(next_v, "delete", add=add, remove=rel_affected)
+        return next_v
+
+    def dv_files(self, version: int | None = None) -> list[str]:
+        """Deletion-vector files live to snapshot `version`: every
+        ``dv`` added by commits <= version, minus those a later purge
+        cleared (``dv_remove``)."""
+        if version is None:
+            version = self.latest_version()
+        dvs: list[str] = []
+        for v in self.versions():
+            if v > version:
+                break
+            m = json.load(open(self._manifest_path(v)))
+            cleared = set(m.get("dv_remove", []))
+            dvs = [f for f in dvs if f not in cleared]
+            dvs.extend(m.get("dv", []))
+        return [os.path.join(self.root, f) for f in dvs]
+
+    def delete_where_dv(self, spark: SparkSession, cond) -> int:
+        """Merge-on-read DELETE via positional deletion vectors (the
+        Delta DV / Iceberg positional-delete mechanic): instead of
+        rewriting every file containing a match (copy-on-write's write
+        amplification), write only the tiny (file_name, row_index) set
+        of deleted positions and commit it alongside the untouched data
+        files. A 100 TB table deleting 0.01% of rows writes megabytes,
+        not the terabytes COW would rewrite; readers pay one broadcast
+        anti-join until a purge re-materializes."""
+        version = self.latest_version()
+        next_v = version + 1
+        matches = (
+            self.read_with_dv(spark, version, _keep_meta=True)
+            .filter(cond)
+            .select(
+                F.col("_fname").alias("file_name"),
+                F.col("_ridx").alias("row_index"),
+            )
+        )
+        out = os.path.join(self.data_dir, f"commit-{next_v:05d}-dv")
+        matches.coalesce(1).write.mode("error").parquet(out)
+        rel = os.path.join("data", f"commit-{next_v:05d}-dv")
+        dv = sorted(
+            os.path.join(rel, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        self.commit(next_v, "delete-dv", add=[], remove=[], dv=dv)
+        return next_v
+
+    def read_with_dv(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        _keep_meta: bool = False,
+    ) -> DataFrame:
+        """Snapshot read that applies live deletion vectors: scan the
+        active files with their (file_name, row_index) position, then
+        broadcast-anti-join the DV set. The base NEVER shuffles — the DV
+        side is broadcast-sized by the merge-on-read contract."""
+        df = self.read(spark, version).select(
+            "*",
+            F.col("_metadata.file_name").alias("_fname"),
+            F.col("_metadata.row_index").alias("_ridx"),
+        )
+        dvs = self.dv_files(version)
+        if dvs:
+            dv = spark.read.parquet(*dvs).select(
+                F.col("file_name").alias("_fname"),
+                F.col("row_index").alias("_ridx"),
+            )
+            df = df.join(F.broadcast(dv), ["_fname", "_ridx"], "left_anti")
+        return df if _keep_meta else df.drop("_fname", "_ridx")
+
+    def purge_dv(self, spark: SparkSession) -> int:
+        """Re-materialize: rewrite the active set with deletion vectors
+        applied and clear them in the same atomic commit — the OPTIMIZE
+        step that turns merge-on-read debt back into clean scans."""
+        version = self.latest_version()
+        dvs = self.dv_files(version)
+        rel_dvs = [os.path.relpath(p, self.root) for p in dvs]
+        survivors = self.read_with_dv(spark, version)
+        rel_data = [
+            os.path.relpath(p, self.root) for p in self.active_files(version)
+        ]
+        next_v = version + 1
+        add = self._write_files(survivors, f"commit-{next_v:05d}-purge")
+        self.commit(
+            next_v, "purge", add=add, remove=rel_data, dv_remove=rel_dvs
+        )
+        return next_v
+
+    def restore(self, version: int) -> int:
+        """RESTORE TO VERSION v as a NEW commit (Delta RESTORE): the
+        snapshot's file set is re-published at the head of the log, so
+        the rollback is itself versioned, auditable, and reversible —
+        nothing is deleted, history stays intact."""
+        head = self.latest_version()
+        want = {
+            os.path.relpath(p, self.root) for p in self.active_files(version)
+        }
+        have = {
+            os.path.relpath(p, self.root) for p in self.active_files(head)
+        }
+        dv_now = [os.path.relpath(p, self.root) for p in self.dv_files(head)]
+        next_v = head + 1
+        self.commit(
+            next_v,
+            "restore",
+            add=sorted(want - have),
+            remove=sorted(have - want),
+            dv_remove=dv_now,
+        )
         return next_v
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
@@ -1176,4 +1291,95 @@ def table_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_id") >= 90_000_000).cast("long")).alias(
             "n_replaced"
         ),
+    )
+
+
+@register(
+    "table_deletion_vectors",
+    category="acid_table",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey < 10000
+),
+v1 AS (SELECT * FROM base WHERE NOT (o_orderkey % 3 = 0)),
+v2 AS (SELECT * FROM v1 WHERE NOT (o_totalprice > 150000.0))
+SELECT 0 AS version, 'create' AS op, COUNT(*) AS n_rows,
+       {sql_lsum('o_totalprice')} AS total_price,
+       CAST(4 AS BIGINT) AS files_written FROM base
+UNION ALL
+SELECT 1, 'delete-dv', COUNT(*), {sql_lsum('o_totalprice')},
+       CAST(0 AS BIGINT) FROM v1
+UNION ALL
+SELECT 2, 'delete-dv', COUNT(*), {sql_lsum('o_totalprice')},
+       CAST(0 AS BIGINT) FROM v2
+UNION ALL
+SELECT 3, 'purge', COUNT(*), {sql_lsum('o_totalprice')},
+       CAST(4 AS BIGINT) FROM v2
+""",
+)
+def table_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via positional deletion vectors — the public
+    Delta-DV / Iceberg-positional-delete mechanic, measured end to end:
+    two DV deletes land WITHOUT rewriting a single data file (the
+    files_written column comes from the actual manifests, and the
+    oracle pins the DV commits to 0 data files), every snapshot read applies the live DV set as
+    a broadcast anti-join on (file_name, row_index), and a final purge
+    re-materializes survivors and clears the vectors in one atomic
+    commit. Row counts and exact cent totals for all four versions must
+    match the relational recomputation — so a DV that dropped the wrong
+    positions, leaked across versions, or survived the purge diverges.
+    At 100 TB this is the difference between writing megabytes of
+    positions and rewriting terabytes of parquet for a 0.01% delete."""
+    t = AcidTable.create(
+        spark, _base(spark, sf_dir).repartition(4), scratch_dir("acid_dv")
+    )
+    t.delete_where_dv(spark, F.col("o_orderkey") % 3 == 0)
+    t.delete_where_dv(spark, F.col("o_totalprice") > 150000.0)
+    t.purge_dv(spark)
+    outs = []
+    for v, m in zip(t.versions(), t.history()):
+        outs.append(
+            t.read_with_dv(spark, version=v).agg(
+                F.lit(v).alias("version"),
+                F.lit(m["op"]).alias("op"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.sum(lng(F.col("o_totalprice"))).cast("double") / 1e6)
+                .alias("total_price"),
+                F.lit(len(m["add"])).cast("long").alias("files_written"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+@register(
+    "table_restore_rollback",
+    category="acid_table",
+    oracle=f"""
+WITH {_MERGE_ORACLE_CTES}
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(4 AS BIGINT) AS history_n
+FROM v1
+""",
+)
+def table_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION as a forward commit (Delta RESTORE semantics):
+    after create -> MERGE -> bad DELETE, rolling back to the post-MERGE
+    snapshot re-publishes that file set at the head of the log — the
+    rollback is itself a versioned, auditable commit and the full
+    history (history_n = 4 manifests) stays intact, so the "bad" state
+    remains reachable for forensics. The read-back must be row-for-row
+    the v1 MERGE result; a restore that grabbed the wrong file set, or
+    deleted history instead of appending, diverges immediately."""
+    t = AcidTable.create(
+        spark, _base(spark, sf_dir).repartition(4), scratch_dir("acid_restore")
+    )
+    t.merge(spark, _changes(spark, sf_dir), "o_orderkey")
+    t.delete_where(spark, F.col("o_orderkey") % 3 == 0)  # the bad delete
+    t.restore(1)
+    return t.read(spark).withColumn(
+        "history_n", F.lit(len(t.versions())).cast("long")
     )

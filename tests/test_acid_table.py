@@ -238,3 +238,42 @@ def test_stream_source_cursor_sees_each_commit_once(spark):
         spark.read.parquet(os.path.join(t.root, f)).count() for f in seen
     )
     assert total == src.count()
+
+
+def test_dv_delete_leaves_data_files_untouched(spark):
+    """Merge-on-read contract: a DV delete changes the visible row-set
+    but the ACTIVE DATA FILE SET is byte-identical — no rewrite, only a
+    deletion-vector artifact; purge then clears every vector and the
+    row-set survives re-materialization exactly."""
+    t, base = _mk(spark, "acid_dv_mor")
+    v0_files = set(t.active_files(0))
+    t.delete_where_dv(spark, F.col("o_orderkey") % 5 == 0)
+    assert set(t.active_files(1)) == v0_files, "DV delete must not rewrite"
+    assert len(t.dv_files(1)) == 1, "one DV artifact expected"
+    expect = set(
+        r["o_orderkey"]
+        for r in base.filter(F.col("o_orderkey") % 5 != 0).collect()
+    )
+    got1 = set(r["o_orderkey"] for r in t.read_with_dv(spark, 1).collect())
+    assert got1 == expect
+    # a plain snapshot read at v1 still sees the un-deleted base (the DV
+    # is metadata; appliers must opt in via read_with_dv)
+    assert t.read(spark, 1).count() == base.count()
+    t.purge_dv(spark)
+    assert t.dv_files(2) == [], "purge must clear the vectors"
+    assert set(t.active_files(2)) != v0_files, "purge rewrites"
+    got2 = set(r["o_orderkey"] for r in t.read_with_dv(spark, 2).collect())
+    assert got2 == expect
+
+
+def test_restore_is_a_forward_commit(spark):
+    """RESTORE republizes an old snapshot at the head: row-set equals the
+    target version, history keeps every manifest, and the restored-away
+    state stays readable by time travel."""
+    t, base = _mk(spark, "acid_restore_fwd")
+    t.delete_where(spark, F.col("o_orderkey") % 2 == 0)
+    n1 = t.read(spark, 1).count()
+    t.restore(0)
+    assert t.versions() == [0, 1, 2]
+    assert t.read(spark).count() == base.count(), "head == v0 content"
+    assert t.read(spark, 1).count() == n1, "history remains reachable"
