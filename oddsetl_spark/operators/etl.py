@@ -2163,3 +2163,117 @@ def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, n_before long, n_erased long, "
         "n_after long, n_remaining_for_subjects long",
     )
+
+
+def _bitemporal_oracle() -> str:
+    from ..registry import get as _get
+
+    return f"""
+WITH dim AS ({_get("etl_scd2").oracle}),
+orig AS (
+  SELECT o_custkey, o_orderpriority, version, effective_from, effective_to,
+         effective_from + INTERVAL 7 DAY AS tx_from,
+         CASE WHEN version = 2 THEN effective_from + INTERVAL 37 DAY END
+           AS tx_to,
+         FALSE AS is_correction
+  FROM dim
+),
+corr AS (
+  SELECT o_custkey, o_orderpriority || '*' AS o_orderpriority, version,
+         effective_from, effective_to,
+         effective_from + INTERVAL 37 DAY AS tx_from,
+         CAST(NULL AS TIMESTAMP) AS tx_to,
+         TRUE AS is_correction
+  FROM dim WHERE version = 2
+),
+bt AS (SELECT * FROM orig UNION ALL SELECT * FROM corr)
+SELECT t.asof_tx, b.o_custkey, b.o_orderpriority AS prio_at_v, b.version,
+       b.is_correction
+FROM bt b
+CROSS JOIN (VALUES (DATE '1997-06-01'), (DATE '1999-01-01')) AS t(asof_tx)
+WHERE b.tx_from <= t.asof_tx
+  AND (b.tx_to IS NULL OR t.asof_tx < b.tx_to)
+  AND b.effective_from <= DATE '1997-06-15'
+  AND (b.effective_to IS NULL OR DATE '1997-06-15' < b.effective_to)
+"""
+
+
+@register(
+    "etl_bitemporal_asof",
+    category="etl",
+    oracle=_bitemporal_oracle(),
+)
+def etl_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of query: VALID time (when the fact was true in the
+    world) x TRANSACTION time (when the warehouse learned it) — the
+    join_temporal_scd2 lookup extended with the second axis auditors and
+    reproducible-training-set builders need ("what did we BELIEVE on
+    June 1 about the state on June 15?").
+
+    The bitemporal dimension composes etl_scd2's valid-time versions
+    (oracle inlined verbatim, so validity ranges stay hash-checked) with
+    a deterministic transaction-time overlay: every version is recorded
+    7 days after it became effective, and version-2 rows get a later
+    correction (recorded at +37 days, '*'-suffixed) that supersedes the
+    original record via disjoint [tx_from, tx_to) windows. Two as-of
+    transaction times straddle the corrections, so the same valid-time
+    question returns DIFFERENT answers — the pre-correction row at the
+    early tx time, the corrected row at the late one — which is exactly
+    the property the oracle pins. Both axes filter with half-open
+    ranges; per (tx, key) at most one row survives (valid ranges
+    partition time per key; tx windows are disjoint by construction).
+    Scale: the dim is versions-per-key small — the pattern broadcasts
+    against a fact stream exactly like join_temporal_scd2; asserting the
+    dim-state logic needs no fact side."""
+    from ..registry import get as _get
+
+    dim = _get("etl_scd2").fn(spark, sf_dir)
+    orig = dim.select(
+        "o_custkey",
+        "o_orderpriority",
+        "version",
+        "effective_from",
+        "effective_to",
+        F.date_add("effective_from", 7).alias("tx_from"),
+        F.when(
+            F.col("version") == 2, F.date_add("effective_from", 37)
+        ).alias("tx_to"),
+        F.lit(False).alias("is_correction"),
+    )
+    corr = dim.filter(F.col("version") == 2).select(
+        "o_custkey",
+        F.concat(F.col("o_orderpriority"), F.lit("*")).alias(
+            "o_orderpriority"
+        ),
+        "version",
+        "effective_from",
+        "effective_to",
+        F.date_add("effective_from", 37).alias("tx_from"),
+        F.lit(None).cast("date").alias("tx_to"),
+        F.lit(True).alias("is_correction"),
+    )
+    bt = orig.unionByName(corr)
+    txs = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.to_date(F.lit("1997-06-01")), F.to_date(F.lit("1999-01-01"))
+            )
+        ).alias("asof_tx")
+    )
+    v = F.to_date(F.lit("1997-06-15"))
+    return (
+        bt.crossJoin(F.broadcast(txs))
+        .filter(
+            (F.col("tx_from") <= F.col("asof_tx"))
+            & (F.col("tx_to").isNull() | (F.col("asof_tx") < F.col("tx_to")))
+            & (F.col("effective_from") <= v)
+            & (F.col("effective_to").isNull() | (v < F.col("effective_to")))
+        )
+        .select(
+            "asof_tx",
+            "o_custkey",
+            F.col("o_orderpriority").alias("prio_at_v"),
+            "version",
+            "is_correction",
+        )
+    )
