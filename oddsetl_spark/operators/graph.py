@@ -794,3 +794,124 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_edge_ends"),
         F.round(r, 9).alias("assortativity"),
     )
+
+
+def _ppr_oracle() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, _ITERS + 1):
+        iters.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, {_D} * SUM(r.pr / dg.d) AS pr
+  FROM edges e JOIN {prev} r ON e.src = r.node
+               JOIN deg dg ON e.src = dg.src
+  GROUP BY e.dst
+),
+r{i} AS MATERIALIZED (
+  SELECT node, SUM(pr) AS pr FROM (
+    SELECT node, pr FROM c{i}
+    UNION ALL
+    SELECT node, pr0 AS pr FROM restart
+  ) GROUP BY node
+)"""
+        )
+        prev = f"r{i}"
+    blocks = ",\n".join(iters)
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS MATERIALIZED (
+  SELECT c AS src, s + {_SUPP_OFFSET} AS dst FROM pairs
+  UNION ALL
+  SELECT s + {_SUPP_OFFSET} AS src, c AS dst FROM pairs
+), deg AS MATERIALIZED (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), seeds AS MATERIALIZED (
+  SELECT DISTINCT p.c AS node
+  FROM pairs p JOIN customer ON c_custkey = p.c
+  WHERE c_nationkey = 0
+), restart AS MATERIALIZED (
+  SELECT node, {1 - _D} / (SELECT COUNT(*) FROM seeds) AS pr0 FROM seeds
+), r0 AS (
+  SELECT node, 1.0 / (SELECT COUNT(*) FROM seeds) AS pr FROM seeds
+),
+{blocks}
+SELECT node, ROUND(pr, 6) AS ppr FROM {prev}
+"""
+
+
+@register(
+    "graph_personalized_pagerank",
+    category="graph",
+    oracle=_ppr_oracle(),
+    heavy=True,
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (d=0.85, 3 rounds) on the trade graph, with
+    ALL teleport mass restarting at a seed set (nation-0 customers) —
+    the similarity-to-a-cohort measure behind related-entity retrieval
+    and seed-expansion curation (find suppliers "close to" one market's
+    buyers), vs graph_pagerank's global importance.
+
+    Same scale posture as graph_pagerank: the edge list shuffles once
+    and is persisted co-located; the rank vector starts as |seeds| rows
+    and only grows to the seeds' 3-hop frontier — on a power-law graph
+    that is a small fraction of nodes, so every iteration joins a big
+    static side with a SMALL moving side (broadcastable under AQE).
+    Each round is contributions (edges x ranks, groupBy dst) unioned
+    with the restart vector and re-summed — the union-groupBy form of
+    pr = (1-d)*restart + d*contrib that needs no outer join. The oracle
+    unrolls the identical three rounds; ranks stay raw doubles on both
+    sides until one final 6-dp round."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.col("c").alias("src"), (F.col("s") + _SUPP_OFFSET).alias("dst")
+    )
+    rev = pairs.select(
+        (F.col("s") + _SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
+    )
+    edges = fwd.unionAll(rev)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edged = edges.join(deg, "src").persist()
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 0)
+    seeds = (
+        pairs.select(F.col("c").alias("node"))
+        .distinct()
+        .join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("node"))),
+            "node",
+            "left_semi",
+        )
+    ).persist()
+    try:
+        n_seeds = seeds.count()  # O(1) scalar: restart normalization
+        restart = seeds.select(
+            "node", (F.lit(1.0 - _D) / n_seeds).alias("pr")
+        )
+        ranks = seeds.select("node", (F.lit(1.0) / n_seeds).alias("pr"))
+        for _ in range(_ITERS):
+            contrib = (
+                edged.join(ranks, edged["src"] == ranks["node"])
+                .select("dst", (F.col("pr") / F.col("d")).alias("w"))
+                .groupBy("dst")
+                .agg((F.lit(_D) * F.sum("w")).alias("pr"))
+                .withColumnRenamed("dst", "node")
+            )
+            ranks = (
+                contrib.unionByName(restart)
+                .groupBy("node")
+                .agg(F.sum("pr").alias("pr"))
+            )
+        out = ranks.select("node", F.round("pr", 6).alias("ppr"))
+        out = out.localCheckpoint()  # materialize before unpersisting edges
+    finally:
+        edged.unpersist()
+        seeds.unpersist()
+    return out
