@@ -961,3 +961,85 @@ def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_versions).alias("n_versions"),
         )
     )
+
+
+@register(
+    "stream_outer_join_timeout",
+    category="streaming",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(ts AS TIMESTAMP) AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+bound AS (
+  SELECT least((SELECT MAX(click_ts) FROM clicks),
+               (SELECT MAX(purchase_ts) FROM purchases))
+         - INTERVAL 2 HOUR AS evict
+)
+SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id, p.purchase_ts
+FROM clicks c
+LEFT JOIN purchases p
+  ON p.user_id = c.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+WHERE p.purchase_id IS NOT NULL
+   OR c.click_ts < (SELECT evict FROM bound)
+""",
+)
+def stream_outer_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: clicks that never see a purchase
+    within their 1-hour band must STILL emit (purchase columns NULL) —
+    but only once the watermark proves no match can arrive. This is the
+    semantics gap between an inner stream join (silently drops) and the
+    attribution pipelines that need "click, unconverted" rows.
+
+    The NULL-emission set is exactly watermark-determined, and the
+    oracle pins it: the global watermark is the MIN across both inputs'
+    (max event time - 1h delay) — multipleWatermarkPolicy=min, the
+    default — and an unmatched click emits iff its join window is fully
+    below that final watermark, i.e. click_ts + 1h band < min(max_click,
+    max_purchase) - 1h. Clicks inside the final 2h frontier stay held in
+    state when the finite replay drains — the oracle's WHERE reproduces
+    the cut, so a leak in either direction (early NULLs, or matched rows
+    double-emitted as NULL) hash-fails. The final no-data micro-batch
+    (noDataMicroBatches=true) is what flushes the evictions. At 100 TB
+    the band bounds state exactly as in stream_stream_join; the outer
+    emission adds no extra state, only the eviction-time emit."""
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="soj")
+    clicks = (
+        read_events_stream(spark, staged)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "left_outer",
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
+    return run_to_table(joined, mode="append", tag="soj")
