@@ -3951,3 +3951,109 @@ def agg_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.abs(F.col("est_diff") - F.col("n_diff")) <= tol_d).alias("diff_ok"),
     )
+
+
+@register(
+    "agg_pivot_multi",
+    category="agg",
+    oracle=f"""
+SELECT n.n_name,
+       {sql_dsum("CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice ELSE 0 END")} AS F_total,
+       CAST(COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F_n,
+       {sql_dsum("CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice ELSE 0 END")} AS O_total,
+       CAST(COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O_n,
+       {sql_dsum("CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice ELSE 0 END")} AS P_total,
+       CAST(COUNT(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P_n
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with MULTIPLE aggregates per pivot value (total AND count
+    per status) — one shuffle produces the whole fan-out; the pivot
+    value list stays explicit so no distinct-values pre-job runs (at
+    scale that pre-job is a full extra scan). Spark names the columns
+    <value>_<agg alias>; the oracle mirrors with CASE pairs."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    out = (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            dsum(F.col("o_totalprice")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .na.fill(0)
+    )
+    return out
+
+
+@register(
+    "agg_wilson_ci",
+    category="agg",
+    oracle="""
+WITH c AS (
+  SELECT n.n_name,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+           AS k
+  FROM orders o
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, n, k,
+       round(k * 1.0 / n, 9) AS p_hat,
+       round((k * 1.0 / n + 1.9208 / n
+              - 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                            + 0.9604 / (n * n)))
+             / (1 + 3.8416 / n), 9) AS ci_lo,
+       round((k * 1.0 / n + 1.9208 / n
+              + 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                            + 0.9604 / (n * n)))
+             / (1 + 3.8416 / n), 9) AS ci_hi
+FROM c
+""",
+)
+def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for a per-group proportion
+    (share of finalized orders by nation) — the interval that behaves at
+    small n and p near 0/1 where the normal approximation fails, i.e.
+    what an experiment-analysis layer should report instead of +-1.96*se.
+    One join + one groupBy; the interval is closed-form scalar double
+    math on exact integer (k, n) — every engine computes sqrt and the
+    rational terms bit-identically from the same integers (no float
+    aggregation anywhere), so 9-dp rounding is belt-and-braces.
+    Constants: z=1.96, z^2=3.8416, z^2/2=1.9208, z^2/4=0.9604."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    nn = F.col("n")
+    half = 1.96 * F.sqrt(p * (1 - p) / nn + 0.9604 / (nn * nn))
+    denom = 1 + 3.8416 / nn
+    return counts.select(
+        "n_name",
+        "n",
+        "k",
+        F.round(p, 9).alias("p_hat"),
+        F.round((p + 1.9208 / nn - half) / denom, 9).alias("ci_lo"),
+        F.round((p + 1.9208 / nn + half) / denom, 9).alias("ci_hi"),
+    )

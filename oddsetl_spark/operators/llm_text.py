@@ -1509,3 +1509,55 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate"
         ),
     )
+
+
+@register(
+    "text_kwic_concordance",
+    category="llm_text",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+hits AS (
+  SELECT doc_id, i AS pos, len(t) AS n_toks, t
+  FROM tok, LATERAL unnest(range(1, len(t) + 1)) AS r(i)
+  WHERE t[i] = 'join'
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       coalesce(array_to_string(t[greatest(pos - 2, 1):pos - 1], ' '), '')
+         AS left_ctx,
+       coalesce(array_to_string(t[pos + 1:least(pos + 2, n_toks)], ' '), '')
+         AS right_ctx
+FROM hits
+""",
+)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for a target token ('join'): every
+    occurrence with its 2-token left/right context — the corpus-inspection
+    view linguists and data-curation debuggers pull when deciding whether
+    a filter term is safe ("is 'join' a SQL keyword or a verb here?").
+    Pure per-row array work: split once, posexplode, slice the SAME array
+    for context — zero shuffle, zero self-join (the naive formulation
+    joins tokens to tokens on (doc, pos +- k): a shuffle of the whole
+    corpus per context side). 1-based positions keep the slicing identical
+    to the SQL twin's list indexing."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    hit = d.select(
+        "doc_id",
+        F.size("t").alias("n_toks"),
+        "t",
+        F.posexplode("t").alias("pos0", "tok"),
+    ).filter(F.col("tok") == "join")
+    p = F.col("pos0") + 1  # 1-based
+    lo = F.greatest(p - 2, F.lit(1))
+    return hit.select(
+        "doc_id",
+        p.cast("long").alias("pos"),
+        F.concat_ws(" ", F.slice("t", lo, p - lo)).alias("left_ctx"),
+        F.concat_ws(
+            " ",
+            F.slice("t", p + 1, F.least(p + 2, F.col("n_toks")) - p),
+        ).alias("right_ctx"),
+    )
