@@ -512,3 +512,67 @@ def test_acid_merge_broadcasts_change_keys(spark):
     plan = executed_plan(t.read(spark))
     # the read side is plain parquet scans — no join residue in the table
     assert "Join" not in plan, plan
+
+
+def test_interval_union_single_window_exchange(spark):
+    """The sweep-line decomposition shares one (user_id) partitioning for
+    the two windows AND the island agg — exactly one data exchange."""
+    plan = _plan(spark, "win_interval_union_length").split("== Initial Plan ==")[0]
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 1, f"expected 1 exchange, saw {n_ex}\n{plan}"
+    assert "Window" in plan
+
+
+def test_bloom_membership_broadcasts_bits(spark):
+    """Both the bit-set join and the exact-membership twin must broadcast;
+    the probe side never shuffle-joins."""
+    plan = _plan(spark, "join_bloom_membership")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_substring_spans_no_cartesian(spark):
+    """Span sharing goes through the hashed inverted index — an equi join,
+    never a cross/nested-loop pairwise product."""
+    plan = _plan(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_sketch_is_bounded_aggregate(spark):
+    """The sketch build must be a hash aggregate (map-side combinable to
+    d*w cells) feeding a BROADCAST join to the probes — the probe side
+    must not shuffle against the sketch."""
+    plan = _plan(spark, "text_cms_heavy_hitters")
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_stream_outer_join_null_emission_bounded(spark):
+    """Contract check on the materialized result: every NULL-purchase row
+    sits strictly below the final-watermark eviction bound, and at least
+    one row of each kind exists (matched, unconverted)."""
+    from pyspark.sql import functions as F
+
+    from oddsetl_spark.io import table
+
+    out = registry.get("stream_outer_join_timeout").fn(spark, SF_DIR)
+    e = table(spark, SF_DIR, "events")
+    bound = (
+        e.filter(F.col("event_type") == "click")
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    pbound = (
+        e.filter(F.col("event_type") == "purchase")
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    import datetime
+
+    evict = min(bound, pbound) - datetime.timedelta(hours=2)
+    nulls = out.filter(F.col("purchase_id").isNull())
+    assert nulls.count() > 0, "no unconverted clicks emitted"
+    assert out.filter(F.col("purchase_id").isNotNull()).count() > 0
+    late = nulls.filter(F.col("click_ts") >= evict).count()
+    assert late == 0, f"{late} NULL rows leaked past the eviction bound"
