@@ -1561,3 +1561,126 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("t", p + 1, F.least(p + 2, F.col("n_toks")) - p),
         ).alias("right_ctx"),
     )
+
+
+def _bpe_merge_cte(i: int) -> str:
+    return f"""
+p{i} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM w{i-1}, LATERAL unnest(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+),
+w{i} AS MATERIALIZED (
+  SELECT word, freq,
+         list_reduce(
+           list_prepend([CAST('' AS VARCHAR)], list_transform(syms, c -> [c])),
+           (acc, e) -> CASE
+              WHEN acc[-1] = b.l AND e[1] = b.r
+                THEN acc[1:len(acc)-1] || [acc[-1] || e[1]]
+              ELSE acc || e END
+         )[2:] AS syms
+  FROM w{i-1}, b{i} AS b
+)"""
+
+
+@register(
+    "text_bpe_train",
+    category="llm_text",
+    oracle=f"""
+WITH words AS (
+  SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+  GROUP BY t
+),
+w0 AS (SELECT word, freq, split(word, '') AS syms FROM words),
+{_bpe_merge_cte(1)},
+{_bpe_merge_cte(2)},
+{_bpe_merge_cte(3)}
+SELECT 1 AS step, b1.l, b1.r, b1.cnt AS pair_count,
+       (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM w1)
+         AS corpus_symbols
+FROM b1
+UNION ALL
+SELECT 2, b2.l, b2.r, b2.cnt,
+       (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM w2) FROM b2
+UNION ALL
+SELECT 3, b3.l, b3.r, b3.cnt,
+       (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM w3) FROM b3
+""",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training, 3 iterations — the tokenizer-
+    training primitive, run exactly the way HF tokenizers do it at scale:
+    on the WORD-FREQUENCY table, not the raw corpus (the corpus collapses
+    to |vocab| rows once, then every merge iteration is O(vocab), not
+    O(corpus)). Per iteration: (1) adjacent-pair counts — zip_with the
+    symbol list against its own tail, explode, one map-side-combined
+    groupBy; (2) argmax pair with (count DESC, pair ASC) tiebreak — an
+    O(1) driver scalar, the same documented fixpoint-control pattern as
+    kmeans/pagerank; (3) apply the merge with a LEFT-TO-RIGHT
+    NON-OVERLAPPING fold over each symbol list (array-accumulator
+    aggregate(); a string replace would eat shared boundary characters
+    and over-merge 'a a b' on pair (a,b)). The oracle unrolls the same
+    three iterations with DuckDB's list_reduce (list-valued accumulator,
+    '' sentinel) — merge choices, pair counts, AND the shrinking corpus
+    symbol totals all hash-match."""
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(_toks(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select("word", "freq", F.split(F.col("word"), "").alias("syms"))
+    )
+    rows = []
+    cur = words
+    for step in (1, 2, 3):
+        pairs = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l"), F.col("r")
+        ).limit(1).collect()[0]  # O(1) driver scalar: the argmax pair
+        l, r = best["l"], best["r"]
+        merged = cur.select(
+            "word",
+            "freq",
+            F.slice(
+                F.aggregate(
+                    F.col("syms"),
+                    F.array(F.lit("")),
+                    lambda acc, x: F.when(
+                        (F.element_at(acc, -1) == l) & (x == F.lit(r)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.concat(F.element_at(acc, -1), x)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ),
+                2,
+                1_000_000,
+            ).alias("syms"),
+        ).localCheckpoint()  # cut lineage: next iteration re-reads rows, not the fold chain
+        n_syms = merged.agg(
+            F.sum(F.col("freq") * F.size("syms")).cast("long")
+        ).collect()[0][0]
+        rows.append((step, l, r, int(best["cnt"]), int(n_syms)))
+        cur = merged
+    return spark.createDataFrame(
+        rows, "step int, l string, r string, pair_count long, corpus_symbols long"
+    )
