@@ -2277,3 +2277,104 @@ def etl_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_correction",
         )
     )
+
+
+@register(
+    "etl_recon_tolerance",
+    category="etl",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 20000
+),
+tgt AS (
+  SELECT o_orderkey,
+         o_totalprice
+           + CASE WHEN o_orderkey % 11 = 0 THEN 100.0
+                  WHEN o_orderkey % 5 = 0 THEN 0.005
+                  ELSE 0.0 END AS o_totalprice
+  FROM orders
+  WHERE o_orderkey < 20000 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_totalprice
+  FROM orders WHERE o_orderkey < 20000 AND o_orderkey % 89 = 0
+),
+joined AS (
+  SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         s.o_totalprice AS src_price, t.o_totalprice AS tgt_price
+  FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN src_price IS NULL THEN 'missing_src'
+            WHEN tgt_price IS NULL THEN 'missing_tgt'
+            WHEN src_price = tgt_price THEN 'equal'
+            WHEN abs(CAST(FLOOR(src_price*1000 + 0.5) AS BIGINT)
+                     - CAST(FLOOR(tgt_price*1000 + 0.5) AS BIGINT)) <= 10
+              THEN 'within_tol'
+            ELSE 'drift' END AS status,
+       CAST(FLOOR(src_price*1000 + 0.5) AS BIGINT) AS src_milli,
+       CAST(FLOOR(tgt_price*1000 + 0.5) AS BIGINT) AS tgt_milli
+FROM joined
+""",
+)
+def etl_recon_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-target reconciliation with a value tolerance — the
+    migration/replication audit that classifies every key as equal /
+    within_tol / drift / missing on either side, instead of a bare
+    count(*) comparison that hides compensating errors. One full outer
+    join on the key (both sides shuffle once; at 100 TB pre-bucketed
+    replicas co-locate and the exchange disappears). The tolerance
+    compare happens on the exact milli-unit integer grid
+    (|floor(1000x+.5) diff| <= 10 ≡ within 1 cent) so engines agree
+    bit-for-bit — a raw double abs(a-b) <= 0.01 flips on
+    representation error at the boundary, and prices are REPORTED on the
+    same grid (a round(x, 2) display would diverge on exact .xx5 halves:
+    Spark rounds the shortest repr, DuckDB the binary expansion). The target is a deterministic
+    perturbation of the source: sub-tolerance noise (key%5), real drift
+    (key%11, precedence-tested), dropped keys (%97) and alien keys
+    (%89 shifted) — every classification path is exercised and
+    hash-pinned."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 20000)
+    src = o.select("o_orderkey", "o_totalprice")
+    tgt = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            (
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") % 11 == 0, 100.0)
+                .when(F.col("o_orderkey") % 5 == 0, 0.005)
+                .otherwise(0.0)
+            ).alias("o_totalprice"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 89 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    s, t = src.alias("s"), tgt.alias("t")
+    joined = s.join(
+        t, F.col("s.o_orderkey") == F.col("t.o_orderkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("s.o_orderkey"), F.col("t.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.col("s.o_totalprice").alias("src_price"),
+        F.col("t.o_totalprice").alias("tgt_price"),
+    )
+    grid = lambda c: F.floor(c * 1000 + 0.5).cast("long")  # noqa: E731
+    return joined.select(
+        "o_orderkey",
+        F.when(F.col("src_price").isNull(), "missing_src")
+        .when(F.col("tgt_price").isNull(), "missing_tgt")
+        .when(F.col("src_price") == F.col("tgt_price"), "equal")
+        .when(
+            F.abs(grid(F.col("src_price")) - grid(F.col("tgt_price"))) <= 10,
+            "within_tol",
+        )
+        .otherwise("drift")
+        .alias("status"),
+        grid(F.col("src_price")).alias("src_milli"),
+        grid(F.col("tgt_price")).alias("tgt_milli"),
+    )
