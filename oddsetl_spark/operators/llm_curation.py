@@ -1997,3 +1997,135 @@ def curate_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold", "source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "curate_decision_stump",
+    category="curation",
+    oracle="""
+WITH labeled AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN (o_totalprice > 200000.0) <> (o_orderkey % 7 = 0)
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS k
+  FROM labeled
+),
+grid AS (SELECT unnest([50000.0, 100000.0, 150000.0, 200000.0,
+                        250000.0, 300000.0, 350000.0]) AS thr),
+splits AS (
+  SELECT g.thr,
+         CAST(COUNT(CASE WHEN l.x <= g.thr THEN 1 END) AS BIGINT) AS n_le,
+         CAST(SUM(CASE WHEN l.x <= g.thr THEN l.y ELSE 0 END) AS BIGINT)
+           AS k_le
+  FROM labeled l CROSS JOIN grid g
+  GROUP BY g.thr
+),
+gains AS (
+  SELECT thr, n_le, k_le, t.n - n_le AS n_gt, t.k - k_le AS k_gt,
+         round(
+           (CASE WHEN t.k IN (0, t.n) THEN 0.0 ELSE
+             -((t.k*1.0/t.n) * ln(t.k*1.0/t.n)
+               + ((t.n-t.k)*1.0/t.n) * ln((t.n-t.k)*1.0/t.n)) END)
+           - (n_le*1.0/t.n) *
+             (CASE WHEN n_le = 0 OR k_le IN (0, n_le) THEN 0.0 ELSE
+               -((k_le*1.0/n_le) * ln(k_le*1.0/n_le)
+                 + ((n_le-k_le)*1.0/n_le) * ln((n_le-k_le)*1.0/n_le)) END)
+           - ((t.n-n_le)*1.0/t.n) *
+             (CASE WHEN t.n-n_le = 0 OR t.k-k_le IN (0, t.n-n_le)
+               THEN 0.0 ELSE
+               -(((t.k-k_le)*1.0/(t.n-n_le)) * ln((t.k-k_le)*1.0/(t.n-n_le))
+                 + ((t.n-n_le-(t.k-k_le))*1.0/(t.n-n_le))
+                   * ln((t.n-n_le-(t.k-k_le))*1.0/(t.n-n_le))) END)
+         , 9) AS gain
+  FROM splits, tot t
+)
+SELECT thr, n_le, k_le, n_gt, k_gt, gain,
+       ROW_NUMBER() OVER (ORDER BY gain DESC, thr) = 1 AS is_best
+FROM gains
+""",
+)
+def curate_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump (1R) split finder: best single threshold on a
+    numeric feature by information gain — the quality-classifier
+    bootstrap a curation pipeline runs before any real model exists
+    (and the exact inner loop of a distributed tree learner's split
+    evaluation). The label is a noisy threshold function of the feature
+    (price>200k XOR key%7) so a genuine optimum exists at thr=200000.
+
+    Shape that scales: the candidate grid (7 thresholds) cross-joins as
+    a BROADCAST against the labeled rows and one map-side-combined
+    groupBy(threshold) produces every split's sufficient statistics
+    (n_le, k_le) in a single pass — the shuffle carries |grid| x
+    n_partitions partial rows, never the data. Gains are closed-form
+    scalar doubles from exact integer counts (fixed evaluation order,
+    0*ln0 guarded); ln() ulp noise is absorbed by 9-dp rounding and the
+    winner is chosen on the ROUNDED gain with a threshold tiebreak, so
+    the argmax is engine-stable."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    labeled = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            (F.col("o_totalprice") > 200000.0)
+            != (F.col("o_orderkey") % 7 == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    tot = labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("k"),
+    )
+    grid = spark.createDataFrame(
+        [(float(t),) for t in (50000, 100000, 150000, 200000, 250000, 300000, 350000)],
+        "thr double",
+    )
+    splits = (
+        labeled.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.count(F.when(F.col("x") <= F.col("thr"), 1))
+            .cast("long")
+            .alias("n_le"),
+            F.sum(F.when(F.col("x") <= F.col("thr"), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("k_le"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+
+    def ent(k, n):
+        p = k * 1.0 / n
+        q = (n - k) * 1.0 / n
+        return F.when((k == 0) | (k == n) | (n == 0), 0.0).otherwise(
+            -(p * F.log(p) + q * F.log(q))
+        )
+
+    n, k = F.col("n"), F.col("k")
+    n_le, k_le = F.col("n_le"), F.col("k_le")
+    n_gt, k_gt = n - n_le, k - k_le
+    gain = F.round(
+        ent(k, n)
+        - (n_le * 1.0 / n) * ent(k_le, n_le)
+        - (n_gt * 1.0 / n) * ent(k_gt, n_gt),
+        9,
+    )
+    gains = splits.select(
+        "thr",
+        "n_le",
+        "k_le",
+        n_gt.alias("n_gt"),
+        k_gt.alias("k_gt"),
+        gain.alias("gain"),
+    )
+    w = W.orderBy(F.col("gain").desc(), F.col("thr"))
+    # partition-less window over exactly |grid| = 7 rows — bounded, not a
+    # data-sized global window
+    return gains.select(
+        "*", (F.row_number().over(w) == 1).alias("is_best")
+    )
