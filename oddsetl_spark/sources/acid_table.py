@@ -307,12 +307,28 @@ class AcidTable:
         t.commit(0, "create", add=files, remove=[], stats=stats)
         return t
 
-    def merge(self, spark: SparkSession, changes: DataFrame, key: str) -> int:
+    def merge(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        key: str,
+        as_of_version: int | None = None,
+        tag: str = "",
+    ) -> int:
         """Copy-on-write MERGE: keys present in the base are updated in
         place (only their containing files rewritten), unmatched change
         keys are appended. One base scan finds affected files via the
-        _metadata file path; untouched files carry over by reference."""
-        version = self.latest_version()
+        _metadata file path; untouched files carry over by reference.
+
+        `as_of_version` pins the snapshot the rewrite is computed FROM
+        (default: current head). A stale writer — one whose target commit
+        version is already taken because another writer won the race —
+        gets CommitConflictError and must call merge_with_rebase (commit
+        blind-retrying would publish a rewrite of files the winner may
+        have already removed: lost update)."""
+        version = (
+            self.latest_version() if as_of_version is None else as_of_version
+        )
         files = self.active_files(version)
         base = self.read(spark, version)
         tagged = spark.read.parquet(*files).select(
@@ -343,15 +359,48 @@ class AcidTable:
                 F.broadcast(base.select(key).distinct()), key, "left_semi"
             )
             add += self._write_files(
-                kept.unionByName(updates), f"commit-{next_v:05d}-rewrite"
+                kept.unionByName(updates), f"commit-{next_v:05d}{tag}-rewrite"
             )
         inserts = changes.join(
             F.broadcast(base.select(key).distinct()), key, "left_anti"
         )
         if inserts.limit(1).count() > 0:
-            add += self._write_files(inserts, f"commit-{next_v:05d}-insert")
+            add += self._write_files(
+                inserts, f"commit-{next_v:05d}{tag}-insert"
+            )
         self.commit(next_v, "merge", add=add, remove=rel_affected)
         return next_v
+
+    def merge_with_rebase(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        key: str,
+        as_of_version: int,
+        max_retries: int = 3,
+    ) -> tuple[int, int]:
+        """Optimistic-concurrency MERGE for a writer whose snapshot went
+        stale: try to commit the rewrite computed at `as_of_version`; on
+        CommitConflictError REBASE — recompute the whole merge against
+        the new head (the Delta/Iceberg conflict rule reduced to its safe
+        core: rather than proving the winner's file set is disjoint and
+        grafting, recompute from current state, which is always correct
+        for key-level MERGE because the change set itself is
+        deterministic). Returns (committed_version, n_retries)."""
+        retries = 0
+        base_v = as_of_version
+        while True:
+            try:
+                v = self.merge(
+                    spark, changes, key,
+                    as_of_version=base_v, tag=f"-try{retries}",
+                )
+                return v, retries
+            except CommitConflictError:
+                retries += 1
+                if retries > max_retries:
+                    raise
+                base_v = self.latest_version()  # rebase onto the new head
 
     def delete_where(self, spark: SparkSession, cond) -> int:
         """Copy-on-write DELETE: rewrite only files containing matches."""
@@ -1382,4 +1431,79 @@ def table_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.restore(1)
     return t.read(spark).withColumn(
         "history_n", F.lit(len(t.versions())).cast("long")
+    )
+
+
+@register(
+    "table_conflict_rebase",
+    category="acid_table",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey < 10000
+),
+a AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice
+  FROM base WHERE o_orderkey % 7 = 0
+),
+b AS (
+  SELECT o_orderkey, o_custkey, 'Y' AS o_orderstatus,
+         o_totalprice + 500.0 AS o_totalprice
+  FROM base WHERE o_orderkey % 7 = 3
+),
+final AS (
+  SELECT * FROM a
+  UNION ALL SELECT * FROM b
+  UNION ALL
+  SELECT bs.* FROM base bs
+  ANTI JOIN a ON bs.o_orderkey = a.o_orderkey
+  ANTI JOIN b ON bs.o_orderkey = b.o_orderkey
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(1 AS BIGINT) AS loser_retries,
+       CAST(3 AS BIGINT) AS history_n
+FROM final
+""",
+)
+def table_conflict_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency conflict and REBASE: two writers prepare
+    MERGEs against the SAME snapshot v0; writer A publishes v1 first, so
+    writer B's put-if-absent on v1 fails (the os.link EEXIST race — the
+    same atomic primitive Delta's put-if-absent / Iceberg's swap rely
+    on). B then REBASES: recomputes its copy-on-write rewrite against
+    the new head and commits v2 — recomputation (not blind re-commit) is
+    what prevents the lost update when A rewrote the very files B's
+    stale plan carried by reference. The oracle pins the end state (both
+    change sets applied over the base), B's retry count (exactly 1) and
+    the history length (3 manifests) — a blind retry that clobbers A's
+    rewrite, or a rebase that double-applies B, diverges. The loser's
+    pre-conflict data files stay orphaned and invisible (VACUUM's job),
+    which test_orphan_data_files_are_invisible already pins."""
+    t = AcidTable.create(
+        spark, _base(spark, sf_dir).repartition(4), scratch_dir("acid_race")
+    )
+    base = _base(spark, sf_dir)
+    changes_a = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    )
+    changes_b = base.filter(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("Y").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 500.0).alias("o_totalprice"),
+    )
+    # Both writers snapshot v0. A wins the race for v1...
+    t.merge(spark, changes_a, "o_orderkey", as_of_version=0, tag="-writerA")
+    # ...so B's commit of its v0-based plan conflicts and must rebase.
+    _, retries = t.merge_with_rebase(
+        spark, changes_b, "o_orderkey", as_of_version=0
+    )
+    return t.read(spark).select(
+        "*",
+        F.lit(retries).cast("long").alias("loser_retries"),
+        F.lit(len(t.versions())).cast("long").alias("history_n"),
     )
