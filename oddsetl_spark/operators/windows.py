@@ -2286,3 +2286,72 @@ def win_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.sum("cov").cast("long").alias("covered_us"),
     )
+
+
+@register(
+    "win_time_weighted_avg",
+    category="windows",
+    oracle="""
+WITH seg AS (
+  SELECT user_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+           AS next_us
+  FROM events
+),
+w AS (
+  SELECT user_id,
+         next_us - t_us AS dur_us,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_grid
+  FROM seg WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dur_us) AS BIGINT) AS span_us,
+       round(CAST(SUM(CAST(v_grid AS HUGEINT) * dur_us) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE) / 1000000, 9) AS twap
+FROM w GROUP BY user_id
+""",
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds until the
+    next one, so its weight is the segment duration — the correct
+    average for irregularly-sampled state (sensor readings, prices,
+    connection counts), where the row-weighted mean over-counts bursts.
+    One window (lead over the user timeline, single shuffle) then one
+    groupBy on the same key — the exchange is reused. The weighted sum
+    runs entirely on exact integers: value on the 1e-6 grid x duration
+    in microseconds, accumulated in DECIMAL(38)/HUGEINT (the products
+    reach ~1e23 over multi-year spans — int64 overflows, which ANSI mode
+    surfaces loudly), so cross-engine summation order cannot diverge;
+    ONE double division at
+    the end, 9-dp rounded. The last observation per user has no
+    following segment and is excluded (standard left-closed TWAP)."""
+    e = table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(t_us, "event_id")
+    seg = e.select(
+        "user_id",
+        lng(F.col("value")).alias("v_grid"),
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dur = F.col("next_us") - F.col("t_us")
+    return (
+        seg.select("user_id", "v_grid", dur.alias("dur_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("dur_us").cast("long").alias("span_us"),
+            F.round(
+                F.sum(
+                    F.col("v_grid").cast("decimal(38,0)") * F.col("dur_us")
+                ).cast("double")
+                / F.sum("dur_us").cast("double")
+                / 1e6,
+                9,
+            ).alias("twap"),
+        )
+    )
