@@ -916,7 +916,10 @@ def _det_seeds() -> list[tuple[int, int]]:
 _DET_AB = _det_seeds()
 
 
-def _minhash_det_oracle() -> str:
+def _det_cand_ctes() -> str:
+    """The md5-family signature/banding/candidate CTE chain, shared by
+    the det-MinHash pair oracle and the candidate-quality eval oracle
+    (expects the _SQL_CORPUS CTEs in scope)."""
     sig_cols = ",\n         ".join(
         f"min(({a} * h + {b}) % {_DET_P}) AS s{i}"
         for i, (a, b) in enumerate(_DET_AB)
@@ -926,11 +929,7 @@ def _minhash_det_oracle() -> str:
         f"WHEN {b} THEN concat(s{2 * b}, '|', s{2 * b + 1})"
         for b in range(_DET_BANDS)
     ) + " END"
-    eq_sum = " + ".join(
-        f"CAST(sa.s{i} = sb.s{i} AS INT)" for i in range(_DET_K)
-    )
     return f"""
-WITH {_SQL_CORPUS},
 hp AS MATERIALIZED (
   SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_DET_P} AS h
   FROM shingled
@@ -949,7 +948,16 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_det_oracle() -> str:
+    eq_sum = " + ".join(
+        f"CAST(sa.s{i} = sb.s{i} AS INT)" for i in range(_DET_K)
+    )
+    return f"""
+WITH {_SQL_CORPUS},
+{_det_cand_ctes()}
 SELECT c.doc_a, c.doc_b,
        ({eq_sum}) / 16.0 AS est_sim,
        round(j.jaccard, 9) AS jaccard
@@ -980,6 +988,47 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical in DuckDB, so signatures, band collisions, estimated
     similarity (matching-signature fraction) and refined Jaccard all
     hash-match. est_sim divides by 16 (dyadic) — exact in IEEE double."""
+    sig, cand = _det_sig_cand(spark, sf_dir)
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(_DET_K)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(_DET_K)],
+    )
+    est = sum(
+        [
+            F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
+            for i in range(_DET_K)
+        ],
+        F.lit(0),
+    ) / F.lit(16.0)
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_sim", est)
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", "est_sim", F.round("jaccard", 9).alias("jaccard"))
+    )
+
+
+def _det_sig_cand(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared md5-family MinHash build: (signatures+shingle sets, LSH
+    banding candidate pairs) — used by dedup_minhash_det and the
+    candidate-quality eval."""
     k = 3
     tc = F.col("toks")
     sh_set = F.array_distinct(
@@ -1049,38 +1098,7 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh_set").alias("sh_a"),
-        F.col("n_sh").alias("na"),
-        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(_DET_K)],
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh_set").alias("sh_b"),
-        F.col("n_sh").alias("nb"),
-        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(_DET_K)],
-    )
-    est = sum(
-        [
-            F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
-            for i in range(_DET_K)
-        ],
-        F.lit(0),
-    ) / F.lit(16.0)
-    return (
-        cand.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .withColumn("est_sim", est)
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= _JACCARD_TAU)
-        .select("doc_a", "doc_b", "est_sim", F.round("jaccard", 9).alias("jaccard"))
-    )
+    return sig, cand
 
 
 _SIM_BITS = 60  # 15 hex chars of md5 -> 60 usable bits, int64-safe
@@ -1579,4 +1597,67 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             9,
         ).alias("dup_ratio"),
+    )
+
+
+@register(
+    "dedup_candidate_eval",
+    category="llm_dedup",
+    oracle=f"""
+WITH {_SQL_CORPUS},
+{_det_cand_ctes()},
+truth AS (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {_JACCARD_TAU}
+),
+m AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+    (SELECT CAST(COUNT(*) AS BIGINT)
+     FROM cand c JOIN truth t
+       ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS tp
+)
+SELECT n_truth, n_candidates, tp,
+       n_candidates - tp AS fp,
+       n_truth - tp AS fn,
+       round(tp * 1.0 / n_candidates, 9) AS precision,
+       round(tp * 1.0 / n_truth, 9) AS recall
+FROM m
+""",
+)
+def dedup_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality evaluation of the MinHash-LSH pipeline against
+    EXACT ground truth: precision/recall of the banding candidate set vs
+    the inverted-index exact-Jaccard pairs at tau=0.8 — the measurement
+    that justifies (or indicts) a banding configuration before you run
+    it over 100 TB, where a recall miss silently leaves duplicates in
+    the training set. Reuses the shared md5-family build (_det_sig_cand)
+    so the evaluated pipeline IS the production one, and the exact truth
+    comes from the independent shingle inverted index — two different
+    algorithms, one hash-checked scoreboard. Set sizes here: candidates
+    carry band collisions (FPs die in the refine step; their count is
+    the wasted-refine cost), truth-minus-candidates is the
+    irrecoverable-FN count the S-curve predicts (dedup_lsh_s_curve)."""
+    _, cand = _det_sig_cand(spark, sf_dir)
+    truth = _jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= _JACCARD_TAU
+    ).select("doc_a", "doc_b")
+    tp_df = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.count()  # O(1) scalars: the scoreboard
+    n_cand = cand.count()
+    tp = tp_df.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_cand,
+                tp,
+                n_cand - tp,
+                n_truth - tp,
+                round(tp * 1.0 / n_cand, 9),
+                round(tp * 1.0 / n_truth, 9),
+            )
+        ],
+        "n_truth long, n_candidates long, tp long, fp long, fn long, "
+        "precision double, recall double",
     )
