@@ -75,6 +75,15 @@ QUERIES = [
     "curate_pack_chunks",
     "dedup_minhash_lsh",
     "dedup_components",
+    # round-4 continuation additions: the sweep-line interval union (one
+    # window exchange), the hashed span inverted index, the CMS build
+    # (fixed d*w cells regardless of K), Bloom membership (broadcast bit
+    # set), and personalized PageRank (persisted edges, moving ranks)
+    "win_interval_union_length",
+    "dedup_substring_spans",
+    "text_cms_heavy_hitters",
+    "join_bloom_membership",
+    "graph_personalized_pagerank",
 ]
 
 
