@@ -76,19 +76,83 @@ class AcidTable:
             json.load(open(self._manifest_path(v))) for v in self.versions()
         ]
 
-    def active_files(self, version: int | None = None) -> list[str]:
-        """Replay the log up to `version` (latest if None): the snapshot's
-        file set is adds minus later removes, in commit order."""
-        if version is None:
-            version = self.latest_version()
+    def _checkpoint_path(self, version: int) -> str:
+        # leading "_" keeps checkpoints out of versions()' manifest listing
+        return os.path.join(self.log_dir, f"_checkpoint-{version:020d}.json")
+
+    def checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f[len("_checkpoint-"):].split(".")[0])
+            for f in os.listdir(self.log_dir)
+            if f.startswith("_checkpoint-") and f.endswith(".json")
+        )
+
+    def _fold_state(
+        self, version: int
+    ) -> tuple[list[str], dict[str, dict], list[str]]:
+        """(active relpaths, per-file stats, live DV relpaths) at
+        `version` — seeded from the newest checkpoint <= version (so the
+        fold opens O(tail) manifests, not O(commits); the Delta
+        checkpoint idea), then replaying only the later manifests."""
         active: list[str] = []
+        stats: dict[str, dict] = {}
+        dvs: list[str] = []
+        start = 0
+        ckpts = [c for c in self.checkpoints() if c <= version]
+        if ckpts:
+            cp = json.load(open(self._checkpoint_path(ckpts[-1])))
+            active = list(cp["active"])
+            stats = dict(cp["stats"])
+            dvs = list(cp["dv"])
+            start = ckpts[-1] + 1
         for v in self.versions():
+            if v < start:
+                continue
             if v > version:
                 break
             m = json.load(open(self._manifest_path(v)))
             removed = set(m.get("remove", []))
             active = [f for f in active if f not in removed]
+            for f in removed:
+                stats.pop(f, None)
             active.extend(m.get("add", []))
+            stats.update(m.get("stats", {}))
+            cleared = set(m.get("dv_remove", []))
+            dvs = [f for f in dvs if f not in cleared]
+            dvs.extend(m.get("dv", []))
+        return active, stats, dvs
+
+    def checkpoint(self, version: int | None = None) -> int:
+        """Materialize the folded snapshot state as a checkpoint file, so
+        later reads replay only manifests AFTER it. Written atomically
+        (temp + rename); the manifest log itself is never touched, so a
+        checkpoint can always be discarded or rebuilt."""
+        if version is None:
+            version = self.latest_version()
+        active, stats, dvs = self._fold_state(version)
+        payload = {
+            "version": version,
+            "active": active,
+            "stats": stats,
+            "dv": dvs,
+        }
+        fd, tmp = tempfile.mkstemp(prefix="_tmp_ckpt_", dir=self.log_dir)
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._checkpoint_path(version))
+        return version
+
+    def active_files(self, version: int | None = None) -> list[str]:
+        """Replay the log up to `version` (latest if None): the snapshot's
+        file set is adds minus later removes, in commit order — seeded
+        from the newest checkpoint at or before `version`."""
+        if version is None:
+            version = self.latest_version()
+        active, _stats, _dvs = self._fold_state(version)
         return [os.path.join(self.root, f) for f in active]
 
     def commit(
@@ -200,18 +264,7 @@ class AcidTable:
         folded from the manifests that added them."""
         if version is None:
             version = self.latest_version()
-        stats: dict[str, dict] = {}
-        active: list[str] = []
-        for v in self.versions():
-            if v > version:
-                break
-            m = json.load(open(self._manifest_path(v)))
-            removed = set(m.get("remove", []))
-            active = [f for f in active if f not in removed]
-            for f in removed:
-                stats.pop(f, None)
-            active.extend(m.get("add", []))
-            stats.update(m.get("stats", {}))
+        active, stats, _dvs = self._fold_state(version)
         return {f: stats.get(f, {}) for f in active}
 
     def read(
@@ -436,14 +489,7 @@ class AcidTable:
         cleared (``dv_remove``)."""
         if version is None:
             version = self.latest_version()
-        dvs: list[str] = []
-        for v in self.versions():
-            if v > version:
-                break
-            m = json.load(open(self._manifest_path(v)))
-            cleared = set(m.get("dv_remove", []))
-            dvs = [f for f in dvs if f not in cleared]
-            dvs.extend(m.get("dv", []))
+        _active, _stats, dvs = self._fold_state(version)
         return [os.path.join(self.root, f) for f in dvs]
 
     def delete_where_dv(self, spark: SparkSession, cond) -> int:
@@ -1506,4 +1552,62 @@ def table_conflict_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.lit(retries).cast("long").alias("loser_retries"),
         F.lit(len(t.versions())).cast("long").alias("history_n"),
+    )
+
+
+@register(
+    "table_log_checkpoint",
+    category="acid_table",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderkey % 12 AS residue
+  FROM orders WHERE o_orderkey < 20000
+)
+SELECT residue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_lsum('o_totalprice')} AS total_price,
+       CAST(12 AS BIGINT) AS n_commits,
+       CAST(10 AS BIGINT) AS ckpt_version,
+       CAST(1 AS BIGINT) AS manifests_after_ckpt
+FROM base GROUP BY residue
+""",
+)
+def table_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log checkpointing — the Delta checkpoint mechanic that keeps
+    snapshot reconstruction O(tail), not O(commits): after 11 commits
+    (create + 10 appends) a checkpoint materializes the folded state, and
+    every later read seeds from it, replaying only the manifests behind
+    it (here exactly ONE — the post-checkpoint append; the
+    manifests_after_ckpt column is computed from the actual log listing).
+    On a table with years of streaming commits this is the difference
+    between opening a million manifests per query plan and opening a
+    handful. The read-back after checkpoint + one more append must equal
+    the full relational state (per-residue counts and exact cent totals);
+    time travel BEFORE the checkpoint still folds from scratch —
+    test_checkpoint_equivalence pins byte-equality of both paths."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 20000)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_orderkey") % 12).alias("residue"),
+        )
+    )
+    t = AcidTable.create(
+        spark, o.filter(F.col("residue") == 0), scratch_dir("acid_ckpt")
+    )
+    for i in range(1, 11):
+        t.append(spark, o.filter(F.col("residue") == i))
+    ckpt_v = t.checkpoint()  # folds create + 10 appends
+    t.append(spark, o.filter(F.col("residue") == 11))
+    tail = len([v for v in t.versions() if v > ckpt_v])
+    return t.read(spark).groupBy("residue").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum(lng(F.col("o_totalprice"))).cast("double") / 1e6).alias(
+            "total_price"
+        ),
+        F.lit(len(t.versions())).cast("long").alias("n_commits"),
+        F.lit(ckpt_v).cast("long").alias("ckpt_version"),
+        F.lit(tail).cast("long").alias("manifests_after_ckpt"),
     )

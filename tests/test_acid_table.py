@@ -277,3 +277,35 @@ def test_restore_is_a_forward_commit(spark):
     assert t.versions() == [0, 1, 2]
     assert t.read(spark).count() == base.count(), "head == v0 content"
     assert t.read(spark, 1).count() == n1, "history remains reachable"
+
+
+def test_checkpoint_equivalence(spark):
+    """The checkpoint is a pure cache: folding from it must equal folding
+    the full log — for the head, for versions after it, AND for versions
+    before it (which ignore it); deleting the checkpoint file restores
+    the from-scratch path bit-identically."""
+    t, base = _mk(spark, "acid_ckpt_eq")
+    t.delete_where(spark, F.col("o_orderkey") % 5 == 0)
+    t.merge(
+        spark,
+        base.filter(F.col("o_orderkey") % 7 == 1).withColumn(
+            "o_orderstatus", F.lit("Z")
+        ),
+        "o_orderkey",
+    )
+    before = {
+        v: (t.active_files(v), t.file_stats(v), t.dv_files(v))
+        for v in t.versions()
+    }
+    cv = t.checkpoint(1)
+    assert cv == 1
+    after = {
+        v: (t.active_files(v), t.file_stats(v), t.dv_files(v))
+        for v in t.versions()
+    }
+    assert before == after, "checkpointed fold diverged from full fold"
+    os.unlink(t._checkpoint_path(1))
+    assert {
+        v: (t.active_files(v), t.file_stats(v), t.dv_files(v))
+        for v in t.versions()
+    } == before
