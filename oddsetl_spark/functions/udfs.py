@@ -309,3 +309,70 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "udtf_table_arg",
+    category="udfs",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       min(CAST(ts AS TIMESTAMP)) AS first_ts,
+       max(CAST(ts AS TIMESTAMP)) AS last_ts
+FROM events
+WHERE user_id < 40
+GROUP BY user_id
+""",
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic UDTF over a TABLE argument: the function
+    receives WHOLE ROWS of a relation, PARTITION BY routes each key's
+    rows to one eval stream in arrival order, and terminate() emits the
+    per-partition summary — the SQL-surface twin of
+    applyInPandasWithState for bounded per-key state machines, callable
+    by analysts as a plain table function. State here is O(1) per key
+    (counts, distinct-type set, ts bounds), shuffled once on user_id by
+    the PARTITION BY clause. The oracle is the equivalent relational
+    aggregate, so a partition-routing bug (rows of one user split across
+    eval streams) double-counts and hash-fails."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "user_id: bigint, n_events: bigint, n_types: bigint, "
+        "first_ts: timestamp, last_ts: timestamp"
+    ))
+    class UserSummary:
+        def __init__(self):
+            self._uid = None
+            self._n = 0
+            self._types = set()
+            self._lo = None
+            self._hi = None
+
+        def eval(self, row):
+            self._uid = row["user_id"]
+            self._n += 1
+            self._types.add(row["event_type"])
+            ts = row["ts"]
+            if self._lo is None or ts < self._lo:
+                self._lo = ts
+            if self._hi is None or ts > self._hi:
+                self._hi = ts
+
+        def terminate(self):
+            if self._uid is not None:
+                yield (
+                    self._uid,
+                    self._n,
+                    len(self._types),
+                    self._lo,
+                    self._hi,
+                )
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    e.createOrReplaceTempView("udtf_events")
+    spark.udtf.register("user_summary", UserSummary)
+    return spark.sql(
+        "SELECT * FROM user_summary(TABLE(udtf_events) PARTITION BY user_id)"
+    )
