@@ -70,6 +70,15 @@ INVARIANCE_SET = [
     "table_time_travel",
     "agg_histogram_equidepth",
     "dedup_components",
+    # round-4 continuation: the sweep-line island windows, the hashed span
+    # inverted index, driver-looped BPE merges (argmax must not depend on
+    # partial-agg layout), the watermark-pinned stream outer join, and the
+    # DV read path (broadcast anti-join over positions)
+    "win_interval_union_length",
+    "dedup_substring_spans",
+    "text_bpe_train",
+    "stream_outer_join_timeout",
+    "table_deletion_vectors",
 ]
 
 
