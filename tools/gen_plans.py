@@ -29,9 +29,35 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "agg_histogram_equidepth", "curate_quality_ntile",
             "agg_revenue_concentration", "curate_pack_chunks",
             "dedup_components", "table_merge_acid", "table_zorder_skipping",
-            "agg_sketch_set_algebra"]
+            "agg_sketch_set_algebra",
+            # round-4 continuation
+            "win_interval_union_length", "join_bloom_membership",
+            "dedup_substring_spans", "text_cms_heavy_hitters",
+            "graph_personalized_pagerank", "table_deletion_vectors",
+            "win_time_weighted_avg", "dedup_candidate_eval",
+            "text_bpe_train", "curate_decision_stump"]
 
 NOTES = {
+    "win_interval_union_length": "one (user_id) exchange feeds both sweep "
+        "windows AND the island agg; frames support-bounded.",
+    "join_bloom_membership": "bit set and dim broadcast twice; probe side "
+        "aggregates without a shuffle join.",
+    "dedup_substring_spans": "span text hashed to int64 BEFORE the "
+        "inverted-index shuffle; join back co-partitioned on the hash.",
+    "text_cms_heavy_hitters": "sketch is a 64-cell hash aggregate "
+        "(map-side combined); probes broadcast-join it.",
+    "graph_personalized_pagerank": "edges persisted once; each round joins "
+        "the small moving rank vector and re-aggregates on dst.",
+    "table_deletion_vectors": "DV read path: scan + broadcast anti-join on "
+        "(file_name, row_index); base never shuffles.",
+    "win_time_weighted_avg": "lead window and the TWAP agg share one "
+        "(user_id) exchange; weighted sums in DECIMAL(38).",
+    "dedup_candidate_eval": "banding candidates and exact truth are two "
+        "independent equi-join pipelines; scoreboard is three counts.",
+    "text_bpe_train": "per-iteration pair counts map-side combine on the "
+        "word table; merge applied as a narrow array fold.",
+    "curate_decision_stump": "7-row threshold grid broadcast; one pass of "
+        "conditional partial aggs; argmax window over 7 rows.",
     "etl_denormalize_wide": "seven joins, every dimension side broadcast "
         "(7 BroadcastHashJoins, zero SMJ); key filter pushed to the fact scan.",
     "sim_ivf_pq": "codes join candidates on vec_id; probes and 128-entry LUTs "
