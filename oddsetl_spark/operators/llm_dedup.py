@@ -1639,13 +1639,21 @@ def dedup_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wasted-refine cost), truth-minus-candidates is the
     irrecoverable-FN count the S-curve predicts (dedup_lsh_s_curve)."""
     _, cand = _det_sig_cand(spark, sf_dir)
-    truth = _jaccard_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= _JACCARD_TAU
-    ).select("doc_a", "doc_b")
-    tp_df = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
-    n_truth = truth.count()  # O(1) scalars: the scoreboard
-    n_cand = cand.count()
-    tp = tp_df.count()
+    cand = cand.persist()  # counted twice (scoreboard + tp semi-join)
+    truth = (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    try:
+        tp_df = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+        n_truth = truth.count()  # O(1) scalars: the scoreboard
+        n_cand = cand.count()
+        tp = tp_df.count()
+    finally:
+        cand.unpersist()
+        truth.unpersist()
     return spark.createDataFrame(
         [
             (

@@ -129,8 +129,15 @@ class AcidTable:
         later reads replay only manifests AFTER it. Written atomically
         (temp + rename); the manifest log itself is never touched, so a
         checkpoint can always be discarded or rebuilt."""
+        head = self.latest_version()
         if version is None:
-            version = self.latest_version()
+            version = head
+        if version > head:
+            raise ValueError(
+                f"cannot checkpoint v{version}: head is v{head} — a "
+                "future-stamped checkpoint would make later folds skip "
+                "real manifests"
+            )
         active, stats, dvs = self._fold_state(version)
         payload = {
             "version": version,
@@ -139,11 +146,16 @@ class AcidTable:
             "dv": dvs,
         }
         fd, tmp = tempfile.mkstemp(prefix="_tmp_ckpt_", dir=self.log_dir)
-        with os.fdopen(fd, "w") as f:
-            json.dump(payload, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._checkpoint_path(version))
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._checkpoint_path(version))
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
         return version
 
     def active_files(self, version: int | None = None) -> list[str]:
@@ -332,6 +344,11 @@ class AcidTable:
                 referenced.update(
                     os.path.relpath(p, self.root) for p in self.active_files(v)
                 )
+                # live deletion vectors are part of the snapshot: deleting
+                # one would resurrect rows at every retained version
+                referenced.update(
+                    os.path.relpath(p, self.root) for p in self.dv_files(v)
+                )
         deleted = []
         for dirpath, _dirs, files in os.walk(self.data_dir):
             for f in files:
@@ -382,6 +399,18 @@ class AcidTable:
         version = (
             self.latest_version() if as_of_version is None else as_of_version
         )
+        # Copy-on-write and merge-on-read must not mix blindly: a rewrite
+        # computed from read() would copy DV-deleted rows into fresh files
+        # (resurrection) and strand the vectors. Re-materialize first.
+        if self.dv_files(version):
+            if as_of_version is not None:
+                raise ValueError(
+                    "merge against a DV-bearing snapshot: purge_dv first "
+                    "(a stale rewrite cannot safely carry live deletion "
+                    "vectors)"
+                )
+            self.purge_dv(spark)
+            version = self.latest_version()
         files = self.active_files(version)
         base = self.read(spark, version)
         tagged = spark.read.parquet(*files).select(
@@ -456,7 +485,10 @@ class AcidTable:
                 base_v = self.latest_version()  # rebase onto the new head
 
     def delete_where(self, spark: SparkSession, cond) -> int:
-        """Copy-on-write DELETE: rewrite only files containing matches."""
+        """Copy-on-write DELETE: rewrite only files containing matches.
+        Live deletion vectors are purged first (see merge)."""
+        if self.dv_files(self.latest_version()):
+            self.purge_dv(spark)
         version = self.latest_version()
         files = self.active_files(version)
         tagged = spark.read.parquet(*files).select(
@@ -576,14 +608,22 @@ class AcidTable:
         have = {
             os.path.relpath(p, self.root) for p in self.active_files(head)
         }
-        dv_now = [os.path.relpath(p, self.root) for p in self.dv_files(head)]
+        dv_now = {
+            os.path.relpath(p, self.root) for p in self.dv_files(head)
+        }
+        # the target snapshot's visible row-set includes its DVs: restore
+        # must re-publish those too, not just the data-file set
+        dv_want = {
+            os.path.relpath(p, self.root) for p in self.dv_files(version)
+        }
         next_v = head + 1
         self.commit(
             next_v,
             "restore",
             add=sorted(want - have),
             remove=sorted(have - want),
-            dv_remove=dv_now,
+            dv=sorted(dv_want - dv_now),
+            dv_remove=sorted(dv_now - dv_want),
         )
         return next_v
 
@@ -591,6 +631,8 @@ class AcidTable:
         """OPTIMIZE: rewrite the active set into `target_files` files,
         content byte-identical (row-set equality is what the oracle
         checks), then swap atomically in one commit."""
+        if self.dv_files(self.latest_version()):
+            self.purge_dv(spark)  # see merge: COW must not strand live DVs
         version = self.latest_version()
         files = self.active_files(version)
         rel = [os.path.relpath(p, self.root) for p in files]

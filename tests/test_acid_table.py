@@ -309,3 +309,66 @@ def test_checkpoint_equivalence(spark):
         v: (t.active_files(v), t.file_stats(v), t.dv_files(v))
         for v in t.versions()
     } == before
+
+
+def test_cow_after_dv_does_not_resurrect(spark):
+    """Mixing merge-on-read with copy-on-write: a COW merge/delete/compact
+    on a DV-bearing table must purge first — never copy DV-deleted rows
+    into fresh files (resurrection) or strand/destroy live vectors."""
+    t, base = _mk(spark, "acid_dv_mix")
+    t.delete_where_dv(spark, F.col("o_orderkey") % 5 == 0)
+    expect = set(
+        r["o_orderkey"]
+        for r in base.filter(F.col("o_orderkey") % 5 != 0).collect()
+    )
+    changes = base.filter(F.col("o_orderkey") % 7 == 1).withColumn(
+        "o_orderstatus", F.lit("Z")
+    )
+    t.merge(spark, changes, "o_orderkey")
+    got = set(r["o_orderkey"] for r in t.read_with_dv(spark).collect())
+    # merged keys that were DV-deleted come back as updates (MERGE
+    # semantics: unmatched-in-base keys insert); everything else must
+    # respect the DV delete
+    merged_keys = set(r["o_orderkey"] for r in changes.collect())
+    assert got == expect | merged_keys
+    assert t.dv_files() == [], "merge must leave no stranded vectors"
+    # compact on a DV-bearing table likewise purges, not resurrects
+    t2, base2 = _mk(spark, "acid_dv_mix2")
+    t2.delete_where_dv(spark, F.col("o_orderkey") % 3 == 0)
+    t2.compact(spark)
+    got2 = set(r["o_orderkey"] for r in t2.read_with_dv(spark).collect())
+    assert got2 == set(
+        r["o_orderkey"]
+        for r in base2.filter(F.col("o_orderkey") % 3 != 0).collect()
+    )
+
+
+def test_vacuum_retains_live_deletion_vectors(spark):
+    """VACUUM must treat live DV artifacts as referenced: deleting one
+    would resurrect rows in every retained snapshot."""
+    t, base = _mk(spark, "acid_dv_vac")
+    t.delete_where_dv(spark, F.col("o_orderkey") % 5 == 0)
+    deleted = t.vacuum(retain_from_version=0)
+    assert deleted == [], f"vacuum removed referenced files: {deleted}"
+    n = t.read_with_dv(spark).count()
+    assert n == base.filter(F.col("o_orderkey") % 5 != 0).count()
+
+
+def test_restore_to_dv_era_snapshot(spark):
+    """RESTORE to a version whose visible row-set depends on live DVs must
+    re-publish those vectors, not just the data-file set."""
+    t, base = _mk(spark, "acid_dv_restore")
+    t.delete_where_dv(spark, F.col("o_orderkey") % 5 == 0)  # v1
+    t.purge_dv(spark)  # v2 (clears DVs, rewrites)
+    t.restore(1)  # back to the DV-era snapshot
+    got = set(r["o_orderkey"] for r in t.read_with_dv(spark).collect())
+    assert got == set(
+        r["o_orderkey"]
+        for r in base.filter(F.col("o_orderkey") % 5 != 0).collect()
+    ), "restore dropped the target version's deletion vectors"
+
+
+def test_checkpoint_rejects_future_version(spark):
+    t, _ = _mk(spark, "acid_ckpt_future")
+    with pytest.raises(ValueError, match="future"):
+        t.checkpoint(t.latest_version() + 5)

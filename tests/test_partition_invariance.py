@@ -79,6 +79,10 @@ INVARIANCE_SET = [
     "text_bpe_train",
     "stream_outer_join_timeout",
     "table_deletion_vectors",
+    # raw-double rank sums rounded only at the end: pin that 6-dp rounding
+    # keeps absorbing layout effects for both PageRank variants
+    "graph_pagerank",
+    "graph_personalized_pagerank",
 ]
 
 
