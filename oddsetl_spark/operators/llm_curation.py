@@ -2129,3 +2129,84 @@ def curate_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gains.select(
         "*", (F.row_number().over(w) == 1).alias("is_best")
     )
+
+
+@register(
+    "curate_domain_resample",
+    category="curation",
+    oracle="""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before FROM documents
+  GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_before) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM counts
+),
+keep_p AS (
+  SELECT c.source, c.n_before,
+         least(1.0, (t.n * 1.0 / t.n_sources) / c.n_before) AS p_keep
+  FROM counts c, tot t
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_after
+  FROM documents d JOIN keep_p k ON k.source = d.source
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        / 1152921504606846976.0 < k.p_keep
+  GROUP BY d.source
+)
+SELECT k.source, k.n_before,
+       CAST(coalesce(kt.n_after, 0) AS BIGINT) AS n_after,
+       round(k.p_keep, 9) AS p_keep
+FROM keep_p k LEFT JOIN kept kt ON kt.source = k.source
+""",
+)
+def curate_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing by deterministic hash thinning: each source
+    keeps documents with probability p = min(1, target_share /
+    current_share) (target = uniform), decided by the doc's OWN md5
+    uniform draw — no RNG state, no sampling seed to ship, and the same
+    doc survives on every engine, every partition layout, and every
+    re-run (the growable-sample property sample_hash_bucket demonstrates,
+    applied to the curation act itself). Where curate_domain_mix REPORTS
+    skew and curate_source_cap clips hard counts, this op executes a
+    proportional downsample toward the target mix in one broadcast join +
+    map-side filter — at 100 TB the decision is a per-row hash compare,
+    nothing shuffles but the tiny per-source rate table. The md5-60bit /
+    2^60 uniform divides by a power of two, so the double compare is
+    exact in both engines."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    tot = counts.agg(
+        F.sum("n_before").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    keep_p = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_before",
+        F.least(
+            F.lit(1.0),
+            (F.col("n") * 1.0 / F.col("n_sources")) / F.col("n_before"),
+        ).alias("p_keep"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    kept = (
+        d.join(F.broadcast(keep_p), "source")
+        .filter(u < F.col("p_keep"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+    )
+    return keep_p.join(kept, "source", "left").select(
+        "source",
+        "n_before",
+        F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
+        F.round("p_keep", 9).alias("p_keep"),
+    )

@@ -1043,3 +1043,116 @@ def stream_outer_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
     return run_to_table(joined, mode="append", tag="soj")
+
+
+@register(
+    "stream_two_sink_txn",
+    category="streaming",
+    oracle="""
+WITH agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000 AS total_value
+  FROM events GROUP BY event_type
+),
+audit AS (
+  SELECT 'audit' AS sink, CAST(NULL AS VARCHAR) AS event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000 AS total_value
+  FROM events
+)
+SELECT 'agg' AS sink, event_type, n, total_value FROM agg
+UNION ALL
+SELECT sink, event_type, n, total_value FROM audit
+""",
+)
+def stream_two_sink_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once fan-out of ONE stream into TWO sinks (a per-type
+    rollup table and a row-count audit table) — the consistency problem
+    foreachBatch leaves to the user: Spark guarantees at-least-once batch
+    REPLAY, not multi-sink atomicity, so a crash between the two writes
+    must not let one sink run ahead of the other. The landing protocol is
+    the txn-id pattern: each sink writes its batch under a
+    batch-{id}-named subdir (idempotent: a replayed batch OVERWRITES its
+    own subdir, never appends a duplicate), and a marker file commits the
+    batch only after BOTH sinks landed; readers union exactly the marked
+    batch dirs. Deterministic end-to-end, so both sinks hash-match their
+    relational twins — an unmarked (torn) batch or a double-applied
+    replay diverges on counts. At 100 TB each batch-dir write is ordinary
+    distributed parquet; the marker is one rename."""
+    import os as _os
+
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="twosink")
+    root = scratch_dir("twosink_out")
+    ckpt = scratch_dir("twosink_ckpt")
+    agg_dir = _os.path.join(root, "agg")
+    audit_dir = _os.path.join(root, "audit")
+    marks_dir = _os.path.join(root, "_commits")
+    for d in (agg_dir, audit_dir, marks_dir):
+        _os.makedirs(d, exist_ok=True)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            # idempotent per-batch subdirs: a replay overwrites, not appends
+            batch_df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 1_000_000 + 0.5).cast("long"))
+                .alias("v_grid"),
+            ).write.mode("overwrite").parquet(
+                _os.path.join(agg_dir, f"batch-{batch_id:05d}")
+            )
+            batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 1_000_000 + 0.5).cast("long"))
+                .alias("v_grid"),
+            ).write.mode("overwrite").parquet(
+                _os.path.join(audit_dir, f"batch-{batch_id:05d}")
+            )
+        finally:
+            batch_df.unpersist()
+        # both sinks landed: publish the batch atomically (one rename)
+        tmp = _os.path.join(marks_dir, f"._tmp-{batch_id:05d}")
+        open(tmp, "w").close()
+        _os.replace(tmp, _os.path.join(marks_dir, f"batch-{batch_id:05d}"))
+
+    s = read_events_stream(spark, staged).select("event_type", "value")
+    q = (
+        s.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    committed = sorted(
+        f for f in _os.listdir(marks_dir) if f.startswith("batch-")
+    )
+    agg_parts = [_os.path.join(agg_dir, b) for b in committed]
+    audit_parts = [_os.path.join(audit_dir, b) for b in committed]
+    agg = (
+        spark.read.parquet(*agg_parts)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            (F.sum("v_grid").cast("double") / 1e6).alias("total_value"),
+        )
+        .select(F.lit("agg").alias("sink"), "event_type", "n", "total_value")
+    )
+    audit = (
+        spark.read.parquet(*audit_parts)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            (F.sum("v_grid").cast("double") / 1e6).alias("total_value"),
+        )
+        .select(
+            F.lit("audit").alias("sink"),
+            F.lit(None).cast("string").alias("event_type"),
+            "n",
+            "total_value",
+        )
+    )
+    return agg.unionByName(audit)
