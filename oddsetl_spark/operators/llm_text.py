@@ -1633,6 +1633,10 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .select("word", "freq", F.split(F.col("word"), "").alias("syms"))
+        # materialize the word table ONCE: every iteration runs 3 actions
+        # (pair count, argmax, symbol total) and without the cut each one
+        # would re-run the corpus explode+groupBy
+        .localCheckpoint()
     )
     rows = []
     cur = words
