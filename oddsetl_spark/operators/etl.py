@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..io import table
 from ..registry import register
 from ..session import scratch_dir
-from ._helpers import dsum, sql_dsum
+from ._helpers import dsum, lng, sql_dsum
 
 
 @register(
@@ -2377,4 +2377,52 @@ def etl_recon_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         grid(F.col("src_price")).alias("src_milli"),
         grid(F.col("tgt_price")).alias("tgt_milli"),
+    )
+
+
+@register(
+    "etl_rfm_features",
+    category="etl",
+    oracle="""
+WITH cutoff AS (SELECT TIMESTAMP '1999-01-01 00:00:00' AS t),
+w AS (
+  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS d, o_totalprice
+  FROM orders, cutoff WHERE CAST(o_orderdate AS TIMESTAMP) < cutoff.t
+)
+SELECT o_custkey,
+       CAST(date_diff('day', MAX(d), (SELECT t FROM cutoff)) AS BIGINT)
+         AS recency_days,
+       CAST(COUNT(*) AS BIGINT) AS frequency,
+       CAST(SUM(CAST(FLOOR(o_totalprice*1000000 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000 AS monetary,
+       CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT) AS tenure_days
+FROM w GROUP BY o_custkey
+""",
+)
+def etl_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM feature engineering as-of a training cutoff — the
+    leakage-safe feature block every churn/LTV model starts from:
+    Recency (days from last order to the cutoff), Frequency (orders in
+    the window), Monetary (exact-grid revenue), plus tenure. The cutoff
+    filter makes the features reproducible AS OF a date (no peeking
+    past it — the bug curate_leakage_safe_split exists to catch at the
+    split level). One groupBy on the entity key; day arithmetic on
+    exact date differences, money on the 1e-6 grid — hash-exact."""
+    cutoff = "1999-01-01 00:00:00"
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(cutoff).cast("timestamp"), F.max("o_orderdate"))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        (F.sum(lng(F.col("o_totalprice"))).cast("double") / 1e6).alias(
+            "monetary"
+        ),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("long")
+        .alias("tenure_days"),
     )

@@ -915,3 +915,113 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edged.unpersist()
         seeds.unpersist()
     return out
+
+
+def _sssp_oracle() -> str:
+    prev = "d0"
+    rounds = []
+    for i in range(1, 4):
+        rounds.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM edges e JOIN {prev} d ON e.src = d.node
+    UNION ALL
+    SELECT node, dist FROM {prev}
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    blocks = ",\n".join(rounds)
+    return f"""
+WITH trade AS MATERIALIZED (
+  SELECT o_custkey AS c, l_suppkey AS s,
+         MIN(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_suppkey
+), edges AS MATERIALIZED (
+  SELECT c AS src, s + {_SUPP_OFFSET} AS dst, w FROM trade
+  UNION ALL
+  SELECT s + {_SUPP_OFFSET} AS src, c AS dst, w FROM trade
+), seeds AS (
+  SELECT DISTINCT t.c AS node
+  FROM trade t JOIN customer ON c_custkey = t.c
+  WHERE c_nationkey = 0
+), d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+{blocks}
+SELECT node, dist AS min_cost_cents FROM {prev}
+"""
+
+
+@register(
+    "graph_sssp_bounded",
+    category="graph",
+    oracle=_sssp_oracle(),
+    heavy=True,
+)
+def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from a seed cohort, bounded to 3
+    relaxation rounds (Bellman-Ford's min-plus step as a join+groupBy) —
+    the cheapest-reach query (cost = cheapest trade on each hop) that
+    complements graph_bfs_distance's hop counts with real edge weights.
+    Every quantity is an exact integer (cent-grid weights, min-plus
+    sums), so unlike PageRank there is NO float summation anywhere —
+    the unrolled oracle matches bit-for-bit with no rounding at all.
+
+    Scale posture: the edge list (with weights) is built once and
+    persisted; each round joins the CURRENT distance frontier (small)
+    against it and re-aggregates MIN per node — the same
+    static-big/moving-small shape as the PageRank loop, and min is
+    idempotent+mergeable so AQE map-side partials do the heavy
+    lifting. Rounds are a fixed small k: at 100 TB you bound relaxation
+    by business meaning (k-hop reach), not convergence."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    trade = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("w")
+        )
+    )
+    fwd = trade.select(
+        F.col("c").alias("src"), (F.col("s") + _SUPP_OFFSET).alias("dst"), "w"
+    )
+    rev = trade.select(
+        (F.col("s") + _SUPP_OFFSET).alias("src"), F.col("c").alias("dst"), "w"
+    )
+    edges = fwd.unionAll(rev).persist()
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 0)
+    seeds = (
+        trade.select(F.col("c").alias("node"))
+        .distinct()
+        .join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("node"))),
+            "node",
+            "left_semi",
+        )
+    )
+    try:
+        dist = seeds.select("node", F.lit(0).cast("long").alias("dist"))
+        for _ in range(3):
+            relaxed = edges.join(
+                dist, edges["src"] == dist["node"]
+            ).select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            dist = (
+                relaxed.unionByName(dist)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint()  # cut the per-round lineage
+            )
+        return dist.select("node", F.col("dist").alias("min_cost_cents"))
+    finally:
+        edges.unpersist()
