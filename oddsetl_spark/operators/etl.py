@@ -2426,3 +2426,86 @@ def etl_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tenure_days"),
     )
+
+
+@register(
+    "etl_bridge_allocation",
+    category="etl",
+    oracle="""
+WITH lines AS (
+  SELECT l_orderkey, l_partkey,
+         CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS line_cents
+  FROM lineitem
+),
+order_tot AS (
+  SELECT l_orderkey, CAST(SUM(line_cents) AS BIGINT) AS order_sum_cents
+  FROM lines GROUP BY l_orderkey
+),
+alloc AS (
+  SELECT l.l_partkey,
+         CAST(FLOOR(
+           CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)
+           * l.line_cents * 1.0 / t.order_sum_cents) AS BIGINT) AS alloc_cents
+  FROM lines l
+  JOIN order_tot t ON t.l_orderkey = l.l_orderkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(a.alloc_cents) AS BIGINT) AS allocated_cents
+FROM alloc a JOIN part p ON p.p_partkey = a.l_partkey
+GROUP BY p.p_brand
+""",
+)
+def etl_bridge_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball bridge-table allocation: spread an order-level measure
+    (o_totalprice) across its line items by each line's value share,
+    then roll the allocated measure up a DIFFERENT hierarchy (part
+    brand) — the many-to-many fact pattern (order <-bridge-> parts)
+    that naive joins double-count. Allocation factors are computed as
+    exact integer arithmetic: cents-grid numerators multiply inside
+    double's 2^53 exact-integer range (5e14 max here) and one IEEE
+    division + floor is bit-identical across engines, so the rolled-up
+    cents hash-match with no rounding slack. Shapes: line->order-total
+    is one groupBy reusing the join key; orders broadcast-join by key;
+    brand rollup is the only second shuffle."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("line_cents"),
+    )
+    order_tot = li.groupBy("l_orderkey").agg(
+        F.sum("line_cents").cast("long").alias("order_sum_cents")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("o_cents"),
+    )
+    alloc = (
+        li.join(order_tot, "l_orderkey")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "l_partkey",
+            F.floor(
+                F.col("o_cents")
+                * F.col("line_cents")
+                * F.lit(1.0)
+                / F.col("order_sum_cents")
+            )
+            .cast("long")
+            .alias("alloc_cents"),
+        )
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        alloc.join(F.broadcast(p), alloc["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("alloc_cents").cast("long").alias("allocated_cents"),
+        )
+    )

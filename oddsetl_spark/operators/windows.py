@@ -2355,3 +2355,64 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+@register(
+    "win_session_window_native",
+    category="windows",
+    oracle="""
+WITH g AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000 AS total_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def win_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window() in
+    BATCH mode — the built-in that replaces the lag/cumsum decomposition
+    (win_sessionize) with one groupBy whose key is the merged session
+    interval. Native semantics pin two contracts the hand-rolled form
+    must emulate: the session END is last_event + gap (not last event),
+    and sessions merge transitively. The oracle recomputes with the
+    lag/cumsum formulation and adds the +gap end — so this query
+    hash-proves the two formulations equivalent on real data, which is
+    exactly the regression you want pinned before swapping one for the
+    other in a 100 TB pipeline (the native form aggregates in one pass
+    with mergeable partial sessions instead of a window sort)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.sum(lng(F.col("value"))).cast("double") / 1e6).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
