@@ -24,11 +24,15 @@ travel), reduced to what a Spark engine actually needs:
   snapshot-v file set; as-of reads are just ``spark.read.parquet`` over
   that list.
 
-Scale notes: the log is O(commits) tiny JSON; snapshot reconstruction is
-a driver-side fold over it (Delta checkpoints would bound it — out of
-scope). COW touches only affected files, so a selective MERGE on a
-100 TB table rewrites the few GB that changed. All heavy work (scans,
-joins, rewrites) is ordinary distributed Spark over parquet.
+Scale notes: the log is O(commits) tiny JSON; snapshot reconstruction
+seeds from the newest checkpoint (`checkpoint()` — the Delta checkpoint
+mechanic) and replays only the manifests behind it, so the fold is
+O(tail), not O(commits). COW touches only affected files, so a selective
+MERGE on a 100 TB table rewrites the few GB that changed; sub-percent
+deletes can instead land as positional deletion vectors
+(`delete_where_dv` / `read_with_dv` / `purge_dv` — merge-on-read). All
+heavy work (scans, joins, rewrites) is ordinary distributed Spark over
+parquet.
 """
 
 from __future__ import annotations
