@@ -2362,17 +2362,18 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="windows",
     oracle="""
 WITH g AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
          CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                 OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
                    > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id)
 ),
 s AS (
   SELECT user_id, ts, value,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM g
 )

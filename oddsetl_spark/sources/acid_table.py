@@ -345,14 +345,11 @@ class AcidTable:
         referenced: set[str] = set()
         for v in self.versions():
             if v >= retain_from_version and v <= latest:
-                referenced.update(
-                    os.path.relpath(p, self.root) for p in self.active_files(v)
-                )
+                active, _stats, dvs = self._fold_state(v)
+                referenced.update(active)
                 # live deletion vectors are part of the snapshot: deleting
                 # one would resurrect rows at every retained version
-                referenced.update(
-                    os.path.relpath(p, self.root) for p in self.dv_files(v)
-                )
+                referenced.update(dvs)
         deleted = []
         for dirpath, _dirs, files in os.walk(self.data_dir):
             for f in files:
@@ -407,11 +404,15 @@ class AcidTable:
         # computed from read() would copy DV-deleted rows into fresh files
         # (resurrection) and strand the vectors. Re-materialize first.
         if self.dv_files(version):
-            if as_of_version is not None:
+            if (
+                as_of_version is not None
+                and as_of_version != self.latest_version()
+            ):
                 raise ValueError(
-                    "merge against a DV-bearing snapshot: purge_dv first "
-                    "(a stale rewrite cannot safely carry live deletion "
-                    "vectors)"
+                    "merge against a STALE DV-bearing snapshot: purge_dv "
+                    "first (a stale rewrite cannot safely carry live "
+                    "deletion vectors); rebasing onto the DV-bearing HEAD "
+                    "purges automatically"
                 )
             self.purge_dv(spark)
             version = self.latest_version()

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..io import table
-from ..operators._helpers import dsum, sql_dsum
+from ..operators._helpers import dsum, lng, sql_dsum
 from ..registry import register
 from ..session import pin_session, scratch_dir
 from .runner import read_events_stream, run_to_table, stage_events
@@ -1082,17 +1082,15 @@ def stream_two_sink_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational twins — an unmarked (torn) batch or a double-applied
     replay diverges on counts. At 100 TB each batch-dir write is ordinary
     distributed parquet; the marker is one rename."""
-    import os as _os
-
     pin_session(spark)
     staged = stage_events(sf_dir, tag="twosink")
     root = scratch_dir("twosink_out")
     ckpt = scratch_dir("twosink_ckpt")
-    agg_dir = _os.path.join(root, "agg")
-    audit_dir = _os.path.join(root, "audit")
-    marks_dir = _os.path.join(root, "_commits")
+    agg_dir = os.path.join(root, "agg")
+    audit_dir = os.path.join(root, "audit")
+    marks_dir = os.path.join(root, "_commits")
     for d in (agg_dir, audit_dir, marks_dir):
-        _os.makedirs(d, exist_ok=True)
+        os.makedirs(d, exist_ok=True)
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -1100,24 +1098,22 @@ def stream_two_sink_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             # idempotent per-batch subdirs: a replay overwrites, not appends
             batch_df.groupBy("event_type").agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.floor(F.col("value") * 1_000_000 + 0.5).cast("long"))
-                .alias("v_grid"),
+                F.sum(lng(F.col("value"))).alias("v_grid"),
             ).write.mode("overwrite").parquet(
-                _os.path.join(agg_dir, f"batch-{batch_id:05d}")
+                os.path.join(agg_dir, f"batch-{batch_id:05d}")
             )
             batch_df.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.floor(F.col("value") * 1_000_000 + 0.5).cast("long"))
-                .alias("v_grid"),
+                F.sum(lng(F.col("value"))).alias("v_grid"),
             ).write.mode("overwrite").parquet(
-                _os.path.join(audit_dir, f"batch-{batch_id:05d}")
+                os.path.join(audit_dir, f"batch-{batch_id:05d}")
             )
         finally:
             batch_df.unpersist()
         # both sinks landed: publish the batch atomically (one rename)
-        tmp = _os.path.join(marks_dir, f"._tmp-{batch_id:05d}")
+        tmp = os.path.join(marks_dir, f"._tmp-{batch_id:05d}")
         open(tmp, "w").close()
-        _os.replace(tmp, _os.path.join(marks_dir, f"batch-{batch_id:05d}"))
+        os.replace(tmp, os.path.join(marks_dir, f"batch-{batch_id:05d}"))
 
     s = read_events_stream(spark, staged).select("event_type", "value")
     q = (
@@ -1129,10 +1125,10 @@ def stream_two_sink_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     committed = sorted(
-        f for f in _os.listdir(marks_dir) if f.startswith("batch-")
+        f for f in os.listdir(marks_dir) if f.startswith("batch-")
     )
-    agg_parts = [_os.path.join(agg_dir, b) for b in committed]
-    audit_parts = [_os.path.join(audit_dir, b) for b in committed]
+    agg_parts = [os.path.join(agg_dir, b) for b in committed]
+    audit_parts = [os.path.join(audit_dir, b) for b in committed]
     agg = (
         spark.read.parquet(*agg_parts)
         .groupBy("event_type")

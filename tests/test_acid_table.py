@@ -372,3 +372,29 @@ def test_checkpoint_rejects_future_version(spark):
     t, _ = _mk(spark, "acid_ckpt_future")
     with pytest.raises(ValueError, match="future"):
         t.checkpoint(t.latest_version() + 5)
+
+
+def test_rebase_merge_on_dv_bearing_head(spark):
+    """merge_with_rebase must work when the (current-head) snapshot
+    carries live DVs — it purges automatically; only a STALE DV-bearing
+    snapshot is rejected."""
+    t, base = _mk(spark, "acid_dv_rebase")
+    t.delete_where_dv(spark, F.col("o_orderkey") % 5 == 0)
+    head = t.latest_version()
+    changes = base.filter(F.col("o_orderkey") % 7 == 2).withColumn(
+        "o_orderstatus", F.lit("R")
+    )
+    v, retries = t.merge_with_rebase(
+        spark, changes, "o_orderkey", as_of_version=head
+    )
+    assert retries == 0 and v > head
+    got = t.read_with_dv(spark)
+    n_r = got.filter(F.col("o_orderstatus") == "R").count()
+    assert n_r == changes.count()
+    assert t.dv_files() == [], "purge-first must clear the vectors"
+    # a genuinely stale DV-bearing snapshot still refuses
+    t2, base2 = _mk(spark, "acid_dv_rebase2")
+    t2.delete_where_dv(spark, F.col("o_orderkey") % 3 == 0)  # v1 has DVs
+    t2.purge_dv(spark)  # head is now v2
+    with pytest.raises(ValueError, match="STALE"):
+        t2.merge(spark, changes, "o_orderkey", as_of_version=1)
