@@ -1064,3 +1064,64 @@ def fn_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 4 * F.floor((F.octet_length(raw) + 2) / 3)
         ).alias("b64_len_law"),
     )
+
+
+@register(
+    "fn_xpath",
+    category="functions",
+    oracle="""
+WITH xml AS (
+  SELECT o_orderkey,
+         '<order id="' || o_orderkey || '"><status>' || o_orderstatus
+         || '</status><price>' || CAST(FLOOR(o_totalprice*100 + 0.5)
+                                       AS BIGINT)
+         || '</price><prio>' || o_orderpriority || '</prio></order>'
+           AS doc
+  FROM orders WHERE o_orderkey < 5000
+)
+SELECT o_orderkey,
+       regexp_extract(doc, '<status>([^<]*)</status>', 1) AS status,
+       CAST(regexp_extract(doc, '<price>([0-9]+)</price>', 1) AS BIGINT)
+         AS price_cents,
+       regexp_extract(doc, '<prio>([^<]*)</prio>', 1) AS prio,
+       CAST(regexp_extract(doc, 'id="([0-9]+)"', 1) AS BIGINT) AS id_attr,
+       '' AS missing_node
+FROM xml
+""",
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction over XML strings — the ingestion surface for
+    XML-bearing feeds (alert formats like CAP are XML): Spark's
+    xpath_string/xpath_long evaluate real XPath against each document
+    (node text, attributes via @, missing nodes as empty string). The
+    documents are built from order columns so the round trip is
+    self-verifying, and the DuckDB twin (no XPath engine there) extracts
+    the same fields with anchored regexes — valid because the generated
+    XML is canonical single-line; the point under test is Spark's XPath
+    evaluation, pinned field-by-field. All JVM built-ins: no UDF, stays
+    in codegen except the xpath expression itself."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    doc = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><status>'),
+        F.col("o_orderstatus"),
+        F.lit("</status><price>"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+        F.lit("</price><prio>"),
+        F.col("o_orderpriority"),
+        F.lit("</prio></order>"),
+    )
+    x = o.select("o_orderkey", doc.alias("doc"))
+    return x.select(
+        "o_orderkey",
+        F.xpath_string(F.col("doc"), F.lit("/order/status")).alias("status"),
+        F.xpath_long(F.col("doc"), F.lit("/order/price")).alias(
+            "price_cents"
+        ),
+        F.xpath_string(F.col("doc"), F.lit("/order/prio")).alias("prio"),
+        F.xpath_long(F.col("doc"), F.lit("/order/@id")).alias("id_attr"),
+        F.xpath_string(F.col("doc"), F.lit("/order/nonexistent")).alias(
+            "missing_node"
+        ),
+    )

@@ -665,3 +665,42 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.min(F.md5(F.col("value"))).alias("min_md5"),
     )
+
+
+@register(
+    "sink_parquet_bloom_filter",
+    category="sources",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (42, 777, 1337)
+""",
+)
+def sink_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter write path: land orders with bloom filters
+    (parquet.bloom.filter.enabled; this parquet-mr build ignores the
+    per-column '#col' suffix, so the filter applies to the written
+    projection and expected NDV sizes the bitsets) plus small row
+    groups, then read back with an IN-list predicate.
+    At 100 TB this is the needle-in-haystack lever parquet offers beyond
+    min/max stats: high-cardinality point predicates skip row groups
+    whose bloom says "definitely absent", where min/max ranges are too
+    wide to prune anything. Correctness of the round trip is the oracle;
+    the bloom bytes actually landing in the footer is pinned by
+    test_parquet_bloom_filter_bytes (file-size delta vs a bloom-less
+    write of identical data and layout)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = scratch_dir("bloom_sink")
+    (
+        o.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.expected.ndv", "20000")
+        .option("parquet.block.size", str(1 << 20))
+        .parquet(out)
+    )
+    return spark.read.parquet(out).filter(
+        F.col("o_custkey").isin(42, 777, 1337)
+    )

@@ -1051,3 +1051,36 @@ def test_interval_union_bounds(spark):
     for r in rows:
         assert 0 < r["n_islands"] <= r["n_intervals"]
         assert r["covered_us"] > 0
+
+
+def test_parquet_bloom_filter_bytes(spark):
+    """The bloom option must actually write filter bytes: same data, same
+    layout, bloom on vs off — the bloom file is strictly larger."""
+    import os
+
+    from oddsetl_spark.session import scratch_dir
+
+    o = (
+        table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .coalesce(1)
+    )
+
+    def size(dir_):
+        return sum(
+            os.path.getsize(os.path.join(dir_, f))
+            for f in os.listdir(dir_)
+            if f.endswith(".parquet")
+        )
+
+    plain, bloomed = scratch_dir("bloom_off"), scratch_dir("bloom_on")
+    o.write.mode("overwrite").parquet(plain)
+    (
+        o.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.expected.ndv", "20000")
+        .parquet(bloomed)
+    )
+    assert size(bloomed) > size(plain), (
+        f"bloom write added no bytes: {size(bloomed)} <= {size(plain)}"
+    )
