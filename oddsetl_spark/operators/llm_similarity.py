@@ -1856,3 +1856,63 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+@register(
+    "curate_contamination_embedding",
+    category="curation",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+bench AS (
+  SELECT emb AS b_emb FROM e WHERE label = 0
+  UNION ALL
+  SELECT emb FROM e WHERE label <> 0 AND vec_id % 40 = 1
+),
+corpus AS (SELECT vec_id, label, emb FROM e WHERE label <> 0),
+scored AS (
+  SELECT c.vec_id, c.label,
+         MAX({_SQL_DOT.format(a='c.emb', b='b.b_emb')}) AS max_sim
+  FROM corpus c CROSS JOIN bench b GROUP BY c.vec_id, c.label
+)
+SELECT vec_id, label, round(max_sim, 9) AS max_sim,
+       max_sim >= 0.99 AS contaminated
+FROM scored
+""",
+)
+def curate_contamination_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of curate_contamination's n-gram overlap check: score
+    every corpus vector's MAX cosine against the benchmark embedding
+    set and flag near-verbatim leaks (tau=0.99 catches the planted
+    copies; paraphrase-level contamination shows up as the continuous
+    max_sim column for a human threshold sweep). The bench set is the
+    label-0 cluster plus verbatim copies of a slice of the corpus
+    (vec_id % 40 = 1) — the planted leaks every decontam test needs to
+    prove it actually fires. Shape: bench broadcasts (benchmarks are
+    small by definition), the corpus scans ONCE with a map-side MAX per
+    vector — no shuffle of the corpus, the same posture as
+    sim_cosine_topk; the fixed left-to-right array fold keeps each dot
+    product bit-identical across engines."""
+    e = _emb(spark, sf_dir)
+    bench = (
+        e.filter(F.col("label") == 0)
+        .select(F.col("emb").alias("b_emb"))
+        .unionAll(
+            e.filter((F.col("label") != 0) & (F.col("vec_id") % 40 == 1))
+            .select(F.col("emb").alias("b_emb"))
+        )
+    )
+    corpus = e.filter(F.col("label") != 0).select("vec_id", "label", "emb")
+    scored = (
+        corpus.crossJoin(F.broadcast(bench))
+        .groupBy("vec_id", "label")
+        .agg(F.max(_dot(F.col("emb"), F.col("b_emb"))).alias("max_sim"))
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        F.round("max_sim", 9).alias("max_sim"),
+        (F.col("max_sim") >= 0.99).alias("contaminated"),
+    )
