@@ -35,7 +35,10 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "dedup_substring_spans", "text_cms_heavy_hitters",
             "graph_personalized_pagerank", "table_deletion_vectors",
             "win_time_weighted_avg", "dedup_candidate_eval",
-            "text_bpe_train", "curate_decision_stump"]
+            "text_bpe_train", "curate_decision_stump",
+            "graph_sssp_bounded", "win_session_window_native",
+            "etl_bridge_allocation", "curate_contamination_embedding",
+            "stream_two_sink_txn"]
 
 NOTES = {
     "win_interval_union_length": "one (user_id) exchange feeds both sweep "
@@ -58,6 +61,16 @@ NOTES = {
         "word table; merge applied as a narrow array fold.",
     "curate_decision_stump": "7-row threshold grid broadcast; one pass of "
         "conditional partial aggs; argmax window over 7 rows.",
+    "graph_sssp_bounded": "persisted weighted edges; 3 min-plus rounds of "
+        "frontier-join + MIN re-aggregate; all-integer, no rounding.",
+    "win_session_window_native": "one aggregation pass with mergeable "
+        "partial sessions; no window sort anywhere.",
+    "etl_bridge_allocation": "line->order-total groupBy reuses the join "
+        "key; orders join by key; brand rollup is the only second shuffle.",
+    "curate_contamination_embedding": "bench set broadcast; corpus scans "
+        "once with map-side MAX per vector.",
+    "stream_two_sink_txn": "per-batch idempotent subdir writes x2 + one "
+        "marker rename; readers union only marked batches.",
     "etl_denormalize_wide": "seven joins, every dimension side broadcast "
         "(7 BroadcastHashJoins, zero SMJ); key filter pushed to the fact scan.",
     "sim_ivf_pq": "codes join candidates on vec_id; probes and 128-entry LUTs "
