@@ -1045,6 +1045,44 @@ def stream_outer_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(joined, mode="append", tag="soj")
 
 
+def two_sink_land(
+    batch_df: DataFrame,
+    batch_id: int,
+    agg_dir: str,
+    audit_dir: str,
+    marks_dir: str,
+    crash_before_marker: bool = False,
+) -> None:
+    """One micro-batch of the two-sink txn protocol: write both sinks
+    under idempotent batch-id subdirs, then publish with a single marker
+    rename. `crash_before_marker` is the fault-injection hook for
+    tests/test_stream_recovery.py — it returns after the sink writes but
+    BEFORE the marker, modeling a crash in the torn window."""
+    batch_df.persist()
+    try:
+        # idempotent per-batch subdirs: a replay overwrites, not appends
+        batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lng(F.col("value"))).alias("v_grid"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(agg_dir, f"batch-{batch_id:05d}")
+        )
+        batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lng(F.col("value"))).alias("v_grid"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(audit_dir, f"batch-{batch_id:05d}")
+        )
+    finally:
+        batch_df.unpersist()
+    if crash_before_marker:
+        return
+    # both sinks landed: publish the batch atomically (one rename)
+    tmp = os.path.join(marks_dir, f"._tmp-{batch_id:05d}")
+    open(tmp, "w").close()
+    os.replace(tmp, os.path.join(marks_dir, f"batch-{batch_id:05d}"))
+
+
 @register(
     "stream_two_sink_txn",
     category="streaming",
@@ -1093,27 +1131,7 @@ def stream_two_sink_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(d, exist_ok=True)
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            # idempotent per-batch subdirs: a replay overwrites, not appends
-            batch_df.groupBy("event_type").agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(lng(F.col("value"))).alias("v_grid"),
-            ).write.mode("overwrite").parquet(
-                os.path.join(agg_dir, f"batch-{batch_id:05d}")
-            )
-            batch_df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(lng(F.col("value"))).alias("v_grid"),
-            ).write.mode("overwrite").parquet(
-                os.path.join(audit_dir, f"batch-{batch_id:05d}")
-            )
-        finally:
-            batch_df.unpersist()
-        # both sinks landed: publish the batch atomically (one rename)
-        tmp = os.path.join(marks_dir, f"._tmp-{batch_id:05d}")
-        open(tmp, "w").close()
-        os.replace(tmp, os.path.join(marks_dir, f"batch-{batch_id:05d}"))
+        two_sink_land(batch_df, batch_id, agg_dir, audit_dir, marks_dir)
 
     s = read_events_stream(spark, staged).select("event_type", "value")
     q = (

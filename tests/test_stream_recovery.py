@@ -145,3 +145,59 @@ def test_scd2_stream_restart_and_redelivery(spark):
     again = scd2_read_state(spark, state_dir)
     a = sorted(tuple(str(v) for v in r) for r in again.select(*sorted(again.columns)).collect())
     assert a == g, "re-delivered batches mutated the history"
+
+
+def test_two_sink_torn_batch_invisible_and_healed(spark):
+    """Fault injection on the two-sink txn protocol: a crash between the
+    sink writes and the marker leaves BOTH sinks' batch dirs invisible to
+    readers (no torn reads); the replayed batch overwrites idempotently
+    and publishes exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oddsetl_spark.io import table
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.streaming.stream_queries import two_sink_land
+
+    root = scratch_dir("twosink_fault")
+    agg_dir = os.path.join(root, "agg")
+    audit_dir = os.path.join(root, "audit")
+    marks_dir = os.path.join(root, "_commits")
+    for d in (agg_dir, audit_dir, marks_dir):
+        os.makedirs(d, exist_ok=True)
+
+    batch = (
+        table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_type", "value")
+        .limit(500)
+    )
+    # batch 0 commits cleanly; batch 1 crashes before the marker
+    two_sink_land(batch, 0, agg_dir, audit_dir, marks_dir)
+    two_sink_land(batch, 1, agg_dir, audit_dir, marks_dir,
+                  crash_before_marker=True)
+
+    committed = sorted(
+        f for f in os.listdir(marks_dir) if f.startswith("batch-")
+    )
+    assert committed == ["batch-00000"], committed
+    # torn batch's data files exist on disk but are not readable state
+    assert os.path.isdir(os.path.join(agg_dir, "batch-00001"))
+    visible = spark.read.parquet(
+        *[os.path.join(agg_dir, b) for b in committed]
+    )
+    n_batch = batch.count()
+    assert visible.agg(F.sum("n")).collect()[0][0] == n_batch
+
+    # replay of the crashed batch heals: same dirs overwritten, one marker
+    two_sink_land(batch, 1, agg_dir, audit_dir, marks_dir)
+    committed2 = sorted(
+        f for f in os.listdir(marks_dir) if f.startswith("batch-")
+    )
+    assert committed2 == ["batch-00000", "batch-00001"]
+    healed = spark.read.parquet(
+        *[os.path.join(agg_dir, b) for b in committed2]
+    )
+    assert healed.agg(F.sum("n")).collect()[0][0] == 2 * n_batch, (
+        "replay must not double-append within a batch dir"
+    )
