@@ -83,6 +83,13 @@ INVARIANCE_SET = [
     # keeps absorbing layout effects for both PageRank variants
     "graph_pagerank",
     "graph_personalized_pagerank",
+    # native session merge, min-plus relaxation rounds, the double-shuffle
+    # bridge allocation, and hash-thinning sampling must not depend on
+    # layout either
+    "win_session_window_native",
+    "graph_sssp_bounded",
+    "etl_bridge_allocation",
+    "curate_domain_resample",
 ]
 
 
