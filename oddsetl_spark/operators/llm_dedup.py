@@ -1669,3 +1669,134 @@ def dedup_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth long, n_candidates long, tp long, fp long, fn long, "
         "precision double, recall double",
     )
+
+
+@register(
+    "dedup_substring_removal",
+    category="llm_dedup",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+),
+inst AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+           AS h
+  FROM tok, LATERAL unnest(range(1, len(t) - 6)) AS r(i)
+),
+shared AS (
+  SELECT h, MIN(doc_id) AS owner FROM (
+    SELECT DISTINCT doc_id, h FROM inst
+  ) GROUP BY h HAVING COUNT(*) > 1
+),
+covered AS (
+  SELECT DISTINCT i.doc_id, p.p AS pos
+  FROM inst i JOIN shared s ON s.h = i.h AND s.owner <> i.doc_id,
+       LATERAL unnest(range(i.pos, i.pos + 8)) AS p(p)
+),
+cov_arr AS (
+  SELECT doc_id, list_sort(list(pos)) AS cov FROM covered GROUP BY doc_id
+),
+cleaned AS (
+  SELECT t.doc_id,
+         CAST(len(t.t) AS BIGINT) AS n_before,
+         CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+         list_transform(
+           list_filter(range(1, len(t.t) + 1),
+                       i -> NOT list_contains(coalesce(c.cov, []), i)),
+           i -> t.t[i]) AS kept
+  FROM tok t LEFT JOIN cov_arr c ON c.doc_id = t.doc_id
+)
+SELECT doc_id, n_before, n_removed,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_hash
+FROM cleaned
+""",
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span REMOVAL — the acting step of Lee et al.'s
+    substring dedup, where dedup_substring_spans only detects: every
+    8-token span occurring in more than one document keeps its FIRST
+    occurrence (canonical owner = min doc_id) and is excised everywhere
+    else; overlapping shared spans union their covered positions. The
+    output carries the md5 of each cleaned document, so the oracle pins
+    the exact post-removal TEXT, not just counts.
+
+    Plan: span instances keep their positions (the detection op could
+    drop them); ownership is one groupBy over distinct (doc, hash);
+    non-owner instances explode to covered positions (bounded: 8x the
+    duplicated-span instances, not 8x the corpus); the rebuild is a
+    narrow per-row index filter over the original token array. Work
+    stays proportional to total spans + duplicated coverage — nothing
+    pairwise, same inverted-index shape as the detector."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 8)
+    tc = F.col("t")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(tc) - 7),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", *[F.element_at(tc, i + j) for j in range(8)]
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ),
+    )
+    inst = tok.select(
+        "doc_id", F.explode(spans).alias("s")
+    ).select("doc_id", "s.pos", "s.h")
+    shared = (
+        inst.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("owner"), F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", "owner")
+    )
+    covered = (
+        inst.join(shared, "h")
+        .filter(F.col("owner") != F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + 7)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    cov_arr = covered.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("cov")
+    )
+    joined = tok.join(cov_arr, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        F.coalesce(F.col("cov"), F.array().cast("array<bigint>")).alias(
+            "cov"
+        ),
+    )
+    kept = F.transform(
+        F.filter(
+            F.sequence(F.lit(1).cast("long"), F.size("t").cast("long")),
+            lambda i: ~F.array_contains(F.col("cov"), i),
+        ),
+        lambda i: F.element_at(F.col("t"), i.cast("int")),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_before"),
+        F.size("cov").cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_hash"),
+    )
