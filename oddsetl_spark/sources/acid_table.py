@@ -55,6 +55,18 @@ class AcidTable:
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "data")
 
+    def _ref(self, abspath: str) -> str:
+        """Canonical manifest reference for a resolved path: root-relative
+        for files this table owns, ABSOLUTE for foreign files (shallow
+        clones reference the source's data in place — zero copy). Must be
+        the inverse of the os.path.join(root, ref) readers apply (join
+        with an absolute second arg returns it unchanged)."""
+        ap = os.path.abspath(abspath)
+        root = os.path.abspath(self.root)
+        if ap == root or ap.startswith(root + os.sep):
+            return os.path.relpath(ap, root)
+        return ap
+
     # ------------------------------------------------------------------ log
 
     def _manifest_path(self, version: int) -> str:
@@ -430,7 +442,7 @@ class AcidTable:
         affected = {os.path.basename(r["_fp"]) for r in hit}
         rel_affected = [
             f
-            for f in (os.path.relpath(p, self.root) for p in files)
+            for f in (self._ref(p) for p in files)
             if os.path.basename(f) in affected
         ]
         add: list[str] = []
@@ -503,7 +515,7 @@ class AcidTable:
         affected = {os.path.basename(r["_fp"]) for r in hit}
         rel_affected = [
             f
-            for f in (os.path.relpath(p, self.root) for p in files)
+            for f in (self._ref(p) for p in files)
             if os.path.basename(f) in affected
         ]
         add: list[str] = []
@@ -589,11 +601,9 @@ class AcidTable:
         step that turns merge-on-read debt back into clean scans."""
         version = self.latest_version()
         dvs = self.dv_files(version)
-        rel_dvs = [os.path.relpath(p, self.root) for p in dvs]
+        rel_dvs = [self._ref(p) for p in dvs]
         survivors = self.read_with_dv(spark, version)
-        rel_data = [
-            os.path.relpath(p, self.root) for p in self.active_files(version)
-        ]
+        rel_data = [self._ref(p) for p in self.active_files(version)]
         next_v = version + 1
         add = self._write_files(survivors, f"commit-{next_v:05d}-purge")
         self.commit(
@@ -607,20 +617,12 @@ class AcidTable:
         the rollback is itself versioned, auditable, and reversible —
         nothing is deleted, history stays intact."""
         head = self.latest_version()
-        want = {
-            os.path.relpath(p, self.root) for p in self.active_files(version)
-        }
-        have = {
-            os.path.relpath(p, self.root) for p in self.active_files(head)
-        }
-        dv_now = {
-            os.path.relpath(p, self.root) for p in self.dv_files(head)
-        }
+        want = {self._ref(p) for p in self.active_files(version)}
+        have = {self._ref(p) for p in self.active_files(head)}
+        dv_now = {self._ref(p) for p in self.dv_files(head)}
         # the target snapshot's visible row-set includes its DVs: restore
         # must re-publish those too, not just the data-file set
-        dv_want = {
-            os.path.relpath(p, self.root) for p in self.dv_files(version)
-        }
+        dv_want = {self._ref(p) for p in self.dv_files(version)}
         next_v = head + 1
         self.commit(
             next_v,
@@ -632,6 +634,29 @@ class AcidTable:
         )
         return next_v
 
+    def clone_shallow(self, dest_root: str) -> "AcidTable":
+        """SHALLOW CLONE (the Delta mechanic): a NEW table whose create
+        manifest references this table's current data files IN PLACE —
+        absolute paths, zero bytes copied. The clone then evolves
+        independently: its copy-on-write operations rewrite affected
+        files into ITS OWN data dir and drop the foreign references,
+        while untouched source files stay shared. Caveat carried over
+        from Delta: VACUUM on the SOURCE does not know about clones, so
+        retention there can break a clone's time travel — the clone's
+        own vacuum never deletes foreign files (it only walks its own
+        data dir). Live DVs also carry by reference."""
+        head = self.latest_version()
+        clone = AcidTable(dest_root)
+        clone.commit(
+            0,
+            "clone-shallow",
+            add=[os.path.abspath(p) for p in self.active_files(head)],
+            remove=[],
+            stats={},
+            dv=[os.path.abspath(p) for p in self.dv_files(head)],
+        )
+        return clone
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE: rewrite the active set into `target_files` files,
         content byte-identical (row-set equality is what the oracle
@@ -640,7 +665,7 @@ class AcidTable:
             self.purge_dv(spark)  # see merge: COW must not strand live DVs
         version = self.latest_version()
         files = self.active_files(version)
-        rel = [os.path.relpath(p, self.root) for p in files]
+        rel = [self._ref(p) for p in files]
         df = spark.read.parquet(*files).coalesce(target_files)
         next_v = version + 1
         add = self._write_files(df, f"commit-{next_v:05d}-compact")
@@ -1658,3 +1683,65 @@ def table_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(ckpt_v).cast("long").alias("ckpt_version"),
         F.lit(tail).cast("long").alias("manifests_after_ckpt"),
     )
+
+
+@register(
+    "table_clone_shallow",
+    category="acid_table",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey < 10000
+),
+clone_v1 AS (SELECT * FROM base WHERE NOT (o_orderkey % 3 = 0))
+SELECT 'source' AS tbl, COUNT(*) AS n_rows,
+       {sql_lsum('o_totalprice')} AS total_price,
+       CAST(0 AS BIGINT) AS files_copied_at_clone
+FROM base
+UNION ALL
+SELECT 'clone', COUNT(*), {sql_lsum('o_totalprice')}, CAST(0 AS BIGINT)
+FROM clone_v1
+""",
+)
+def table_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE, then divergence: the clone's create
+    manifest references the source's data files absolutely (the
+    files_copied_at_clone column counts parquet files under the clone's
+    OWN data dir at clone time — the oracle pins it to 0), a
+    copy-on-write DELETE on the clone rewrites only affected files into
+    the clone's dir and drops those foreign references, and the SOURCE
+    must read back bit-identical afterwards — shared files are never
+    mutated. This is how a 100 TB table gets a writable dev/test copy
+    in O(1) bytes."""
+    src = AcidTable.create(
+        spark, _base(spark, sf_dir).repartition(4), scratch_dir("acid_src")
+    )
+    clone = src.clone_shallow(scratch_dir("acid_clone"))
+    files_copied = (
+        sum(
+            1
+            for _dir, _sub, files in os.walk(clone.data_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(clone.data_dir)
+        else 0
+    )
+    clone.delete_where(spark, F.col("o_orderkey") % 3 == 0)
+    source_df = src.read(spark).agg(
+        F.lit("source").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(lng(F.col("o_totalprice"))).cast("double") / 1e6).alias(
+            "total_price"
+        ),
+        F.lit(files_copied).cast("long").alias("files_copied_at_clone"),
+    )
+    clone_df = clone.read(spark).agg(
+        F.lit("clone").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(lng(F.col("o_totalprice"))).cast("double") / 1e6).alias(
+            "total_price"
+        ),
+        F.lit(files_copied).cast("long").alias("files_copied_at_clone"),
+    )
+    return source_df.unionAll(clone_df)

@@ -398,3 +398,35 @@ def test_rebase_merge_on_dv_bearing_head(spark):
     t2.purge_dv(spark)  # head is now v2
     with pytest.raises(ValueError, match="STALE"):
         t2.merge(spark, changes, "o_orderkey", as_of_version=1)
+
+
+def test_shallow_clone_zero_copy_and_isolation(spark):
+    """Clone writes no data bytes; clone COW rewrites land in the clone's
+    dir; source snapshot stays byte-identical; source file set shared
+    minus the clone's rewritten file."""
+    t, base = _mk(spark, "acid_clone_src", n_parts=4)
+    src_files = set(t.active_files())
+    clone = t.clone_shallow(scratch_dir("acid_clone_dst"))
+    assert not any(
+        f.endswith(".parquet")
+        for _d, _s, fs in os.walk(clone.data_dir)
+        for f in fs
+    ), "shallow clone must copy zero data files"
+    assert set(clone.active_files(0)) == src_files
+    clone.delete_where(spark, F.col("o_orderkey") % 2 == 0)
+    # source unchanged
+    assert set(t.active_files()) == src_files
+    assert t.read(spark).count() == base.count()
+    # clone diverged: rewrite landed under the clone's own dir
+    clone_files = set(clone.active_files())
+    own = [f for f in clone_files if f.startswith(os.path.abspath(clone.root))]
+    assert own, "clone rewrite must land in the clone's data dir"
+    shared = clone_files & src_files
+    assert shared < src_files, "affected shared refs must be dropped"
+    assert clone.read(spark).count() == base.filter(
+        F.col("o_orderkey") % 2 != 0
+    ).count()
+    # clone vacuum never touches foreign (source) files
+    deleted = clone.vacuum(retain_from_version=clone.latest_version())
+    assert all(not d.startswith("..") for d in deleted)
+    assert t.read(spark).count() == base.count()
