@@ -135,3 +135,109 @@ def test_ntile_expr_matches_native_ntile(spark, n, k):
         .collect()
     }
     assert ours == native
+
+
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(0, 500),  # start
+            st.integers(1, 80),  # duration
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@_FAST
+def test_interval_union_matches_bruteforce(spark, iv):
+    """The sweep-line decomposition (running-max-end island detection)
+    must equal a brute-force point-set union for ARBITRARY interval
+    layouts — nested intervals, duplicates, exact-touch boundaries."""
+    rows = [
+        (1, i, s, s + d) for i, (s, d) in enumerate(iv)
+    ]  # (user, id, start, end)
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, start_us long, end_us long"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("start_us", "event_id")
+    prev_max = F.max("end_us").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = df.select(
+        "user_id",
+        "start_us",
+        "end_us",
+        F.when(prev_max.isNull() | (F.col("start_us") > prev_max), 1)
+        .otherwise(0)
+        .alias("is_new"),
+        "event_id",
+    )
+    isl = flagged.select(
+        "user_id",
+        "start_us",
+        "end_us",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("island"),
+    )
+    got = (
+        isl.groupBy("user_id", "island")
+        .agg((F.max("end_us") - F.min("start_us")).alias("cov"))
+        .agg(F.sum("cov").alias("total"))
+        .collect()[0]["total"]
+    )
+    # brute force: union of half-open integer point sets
+    points = set()
+    for s, d in iv:
+        points.update(range(s, s + d))
+    assert got == len(points), f"sweep {got} != brute {len(points)}"
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(0, 9), st.integers(0, 9), st.integers(1, 100)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    seeds=st.sets(st.integers(0, 9), min_size=1, max_size=3),
+)
+@_FAST
+def test_bounded_sssp_matches_bruteforce(spark, edges, seeds):
+    """The min-plus relaxation rounds must equal brute-force enumeration
+    of all <=3-edge paths from the seed set on arbitrary small graphs
+    (self-loops, parallel edges, disconnected nodes included)."""
+    und = [(u, v, w) for u, v, w in edges] + [
+        (v, u, w) for u, v, w in edges
+    ]
+    df = spark.createDataFrame(und, "src long, dst long, w long")
+    dist = spark.createDataFrame(
+        [(s, 0) for s in sorted(seeds)], "node long, dist long"
+    )
+    for _ in range(3):
+        relaxed = df.join(dist, df["src"] == dist["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            relaxed.unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    got = {r["node"]: r["dist"] for r in dist.collect()}
+    # brute force: BFS over path lengths 0..3
+    best = {s: 0 for s in seeds}
+    frontier = dict(best)
+    for _ in range(3):
+        nxt = {}
+        for u, d in frontier.items():
+            for a, b, w in und:
+                if a == u:
+                    nd = d + w
+                    if nd < nxt.get(b, float("inf")):
+                        nxt[b] = nd
+        for n, d in nxt.items():
+            if d < best.get(n, float("inf")):
+                best[n] = d
+        frontier = nxt
+    assert got == best, f"{got} != {best}"
