@@ -30,6 +30,7 @@ from .operators import (  # noqa: F401,E402
     rowops,
     setops,
     sorts,
+    tpch,
     windows,
 )
 

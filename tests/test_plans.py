@@ -576,3 +576,51 @@ def test_stream_outer_join_null_emission_bounded(spark):
     assert out.filter(F.col("purchase_id").isNotNull()).count() > 0
     late = nulls.filter(F.col("click_ts") >= evict).count()
     assert late == 0, f"{late} NULL rows leaked past the eviction bound"
+
+
+def test_tpch_q03_topk_is_take_ordered_and_customer_broadcasts(spark):
+    """TPC-H Q3: top-10 must compile to TakeOrderedAndProject (per
+    -partition heaps, never a global sort or single-partition window) and
+    the segment-filtered customer dim must broadcast."""
+    plan = _plan(spark, "tpch_q03")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q19_is_one_broadcast_join(spark):
+    """TPC-H Q19: the disjunctive predicate must ride ONE broadcast hash
+    join on partkey — not a nested loop, not three scans."""
+    plan = _plan(spark, "tpch_q19")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # count scans in the FINAL adaptive plan only (the string repeats them
+    # in the "== Initial Plan ==" section)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 2, final
+
+
+def test_tpch_q04_exists_is_semi_join(spark):
+    """TPC-H Q4: the correlated EXISTS must compile to a semi join (no
+    row multiplication), with the quarter filter pushed to the orders
+    scan."""
+    plan = _plan(spark, "tpch_q04")
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_tpch_q16_not_in_is_anti_join_not_nested_loop(spark):
+    """TPC-H Q16: the NOT IN over a provably non-null subquery must be a
+    broadcast left-anti hash join, not the null-aware nested loop."""
+    plan = _plan(spark, "tpch_q16")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q21_aggregates_not_self_joins(spark):
+    """TPC-H Q21 (decorrelated form): lineitem must be scanned at most
+    twice (per-order-supplier rollup + orders join), never the canonical
+    three-way self-join; no cartesian products."""
+    plan = _plan(spark, "tpch_q21")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") <= 4, final
+    assert "CartesianProduct" not in plan, plan
