@@ -716,3 +716,241 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) >= 0
         cond = edge if cond is None else (cond & edge)
     return pts.select("c_custkey", "lat", "lon", cond.alias("in_zone"))
+
+
+@register(
+    "geo_spatiotemporal_join",
+    category="geo",
+    oracle=f"""
+WITH hz AS (
+  SELECT event_id AS hz_id, ts AS hz_ts,
+         {_SQL_LAT.format(k='event_id')} AS hz_lat,
+         {_SQL_LON.format(k='event_id')} AS hz_lon
+  FROM events WHERE event_type = 'error'
+),
+im AS (
+  SELECT event_id AS im_id, ts AS im_ts,
+         {_SQL_LAT.format(k='event_id')} AS im_lat,
+         {_SQL_LON.format(k='event_id')} AS im_lon
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT hz_id, im_id,
+       {_SQL_HAVERSINE.format(lat1='hz_lat', lon1='hz_lon', lat2='im_lat', lon2='im_lon')} AS dist_km,
+       (epoch_us(im_ts) - epoch_us(hz_ts)) / 1000000 AS dt_s
+FROM hz JOIN im
+  ON floor(im_lat) BETWEEN floor(hz_lat) - 1 AND floor(hz_lat) + 1
+ AND floor(im_lon) BETWEEN floor(hz_lon) - 2 AND floor(hz_lon) + 2
+ AND abs(epoch_us(im_ts) - epoch_us(hz_ts)) <= 21600000000
+WHERE {_SQL_HAVERSINE.format(lat1='hz_lat', lon1='hz_lon', lat2='im_lat', lon2='im_lon')} <= 100.0
+""",
+)
+def geo_spatiotemporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal correlation join — the disaster-ETL core op: match
+    hazard reports ('error' events) to impact reports ('purchase' events)
+    within 100 km AND +/-6 hours. Blocking is the grid join's cell ring
+    (lat +/-1, lon +/-2 on 1-degree cells — see geo_grid_join's lossless
+    -ring argument) CROSSED with 6-hour time buckets (+/-1 bucket covers
+    any 6-hour gap across a boundary), so the candidate join is a pure
+    equi-join on (cell_lat, cell_lon, tbucket); exact haversine + exact
+    integer-microsecond delta refine.
+
+    Scale: work proportional to co-located-and-contemporaneous pairs,
+    never |hazards| x |impacts|; the 27x bucket explode rides the hazard
+    side (disasters are the small stream). Time arithmetic is integer
+    microseconds end to end — no double epoch drift between engines.
+    """
+    e = table(spark, sf_dir, "events")
+    _B = 21_600_000_000  # 6 h in microseconds
+
+    def _pts(etype: str, pfx: str) -> DataFrame:
+        k = F.col("event_id")
+        return e.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{pfx}_id"),
+            F.col("ts").alias(f"{pfx}_ts"),
+            (25.0 + (k * 73 % 2300) / 100.0).alias(f"{pfx}_lat"),
+            (-122.0 + (k * 37 % 5100) / 100.0).alias(f"{pfx}_lon"),
+        )
+
+    hz = (
+        _pts("error", "hz")
+        .withColumn("dlat", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+        .withColumn("dlon", F.explode(F.array(*[F.lit(d) for d in (-2, -1, 0, 1, 2)])))
+        .withColumn("dt", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+        .select(
+            "hz_id", "hz_ts", "hz_lat", "hz_lon",
+            (F.floor("hz_lat") + F.col("dlat")).alias("cell_lat"),
+            (F.floor("hz_lon") + F.col("dlon")).alias("cell_lon"),
+            (F.expr(f"unix_micros(hz_ts) div {_B}") + F.col("dt")).alias("tbucket"),
+        )
+    )
+    im = _pts("purchase", "im").select(
+        "im_id", "im_ts", "im_lat", "im_lon",
+        F.floor("im_lat").alias("cell_lat"),
+        F.floor("im_lon").alias("cell_lon"),
+        F.expr(f"unix_micros(im_ts) div {_B}").alias("tbucket"),
+    )
+    dist = _haversine_km(
+        F.col("hz_lat"), F.col("hz_lon"), F.col("im_lat"), F.col("im_lon")
+    )
+    dus = F.expr("unix_micros(im_ts) - unix_micros(hz_ts)")
+    return (
+        im.join(hz, ["cell_lat", "cell_lon", "tbucket"])
+        .filter(F.abs(dus) <= _B)
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= 100.0)
+        .select("hz_id", "im_id", "dist_km", (dus / 1_000_000).alias("dt_s"))
+    )
+
+
+# 3x3 separable gaussian taps (sigma = 1 cell), written as LITERALS so
+# both engines sum identical doubles — never runtime exp().
+_KDE_W = {0: "1.0", 1: "0.606531", 2: "0.367879"}
+
+
+@register(
+    "geo_kde_heatmap",
+    category="geo",
+    oracle=f"""
+WITH pts AS (
+  SELECT floor({_SQL_LAT.format(k='event_id')} * 2) AS i,
+         floor({_SQL_LON.format(k='event_id')} * 2) AS j
+  FROM events WHERE event_type = 'error'
+),
+contrib AS (
+  SELECT CAST(pts.i + di AS BIGINT) AS cell_i, CAST(pts.j + dj AS BIGINT) AS cell_j,
+         CASE di*di + dj*dj WHEN 0 THEN {_KDE_W[0]} WHEN 1 THEN {_KDE_W[1]}
+              ELSE {_KDE_W[2]} END AS w,
+         CASE WHEN di = 0 AND dj = 0 THEN 1 ELSE 0 END AS own
+  FROM pts, (SELECT unnest(range(-1, 2)) AS di) a, (SELECT unnest(range(-1, 2)) AS dj) b
+)
+SELECT cell_i, cell_j,
+       CAST(SUM(CAST(FLOOR(w*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS density,
+       CAST(SUM(own) AS BIGINT) AS n_points
+FROM contrib GROUP BY cell_i, cell_j
+""",
+)
+def geo_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-density heatmap of hazard reports on a 0.5-degree grid —
+    the situational-awareness raster every disaster dashboard draws. Each
+    point spreads a 3x3 gaussian tap (sigma = 1 cell) into its neighbor
+    cells; per-cell density is the exact scaled-long sum of LITERAL tap
+    weights (1.0 / 0.606531 / 0.367879 — precomputed, so no runtime
+    exp() to diverge between engines), plus the raw point count.
+
+    Scale: the 9x explode happens map-side on a narrow (i, j) projection;
+    ONE shuffle on the cell key aggregates partials; output is bounded by
+    the number of occupied cells, not points. This is the map-side
+    -combine density pattern that survives any point volume.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    k = F.col("event_id")
+    pts = e.select(
+        F.floor((25.0 + (k * 73 % 2300) / 100.0) * 2).alias("i"),
+        F.floor((-122.0 + (k * 37 % 5100) / 100.0) * 2).alias("j"),
+    )
+    offs = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    contrib = (
+        pts.withColumn("di", F.explode(offs))
+        .withColumn("dj", F.explode(offs))
+        .select(
+            (F.col("i") + F.col("di")).alias("cell_i"),
+            (F.col("j") + F.col("dj")).alias("cell_j"),
+            F.when(F.col("di") * F.col("di") + F.col("dj") * F.col("dj") == 0,
+                   F.lit(float(_KDE_W[0])))
+            .when(F.col("di") * F.col("di") + F.col("dj") * F.col("dj") == 1,
+                  F.lit(float(_KDE_W[1])))
+            .otherwise(F.lit(float(_KDE_W[2])))
+            .alias("w"),
+            F.when((F.col("di") == 0) & (F.col("dj") == 0), 1).otherwise(0).alias("own"),
+        )
+    )
+    return contrib.groupBy("cell_i", "cell_j").agg(
+        (
+            F.sum(F.floor(F.col("w") * 1_000_000 + F.lit(0.5)).cast("long")).cast("double")
+            / 1_000_000
+        ).alias("density"),
+        F.sum("own").cast("long").alias("n_points"),
+    )
+
+
+@register(
+    "geo_exposure_overlay",
+    category="geo",
+    oracle=f"""
+WITH hz AS (
+  SELECT s_suppkey, 50.0 + (s_suppkey % 3) * 50.0 AS radius_km,
+         {_SQL_LAT.format(k='s_suppkey')} AS h_lat,
+         {_SQL_LON.format(k='s_suppkey')} AS h_lon
+  FROM supplier
+),
+sites AS (
+  SELECT c_custkey, c_acctbal,
+         {_SQL_LAT.format(k='c_custkey')} AS lat,
+         {_SQL_LON.format(k='c_custkey')} AS lon
+  FROM customer
+)
+SELECT s_suppkey, radius_km,
+       COUNT(*) AS n_exposed,
+       CAST(SUM(CAST(FLOOR(c_acctbal*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000
+         AS exposed_balance
+FROM hz JOIN sites
+  ON floor(lat / 2) BETWEEN floor(h_lat / 2) - 1 AND floor(h_lat / 2) + 1
+ AND floor(lon / 2) BETWEEN floor(h_lon / 2) - 2 AND floor(h_lon / 2) + 2
+WHERE {_SQL_HAVERSINE.format(lat1='h_lat', lon1='h_lon', lat2='lat', lon2='lon')} <= radius_km
+GROUP BY s_suppkey, radius_km
+""",
+)
+def geo_exposure_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure overlay — the disaster-impact product: for each hazard
+    zone (suppliers as hazard centers, radius 50/100/150 km by key) count
+    the exposed sites (customers) and their exact summed balance
+    (population-at-risk proxy). Variable radii ride the refine predicate;
+    blocking uses 2-degree cells with a lat +/-1, lon +/-2 ring — lossless
+    for the max radius (150 km <= 1 cell of latitude; 150 km at the box's
+    top is 2.03 degrees of longitude <= 2 cells).
+
+    Scale: hazard centers explode 15x and broadcast (dim-sized); sites
+    never shuffle — the exposure agg reduces map-side per (hazard,
+    partition). Exact scaled-long balance sum hash-matches the oracle.
+    """
+    s = table(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey")
+    hz = (
+        s.select(
+            "s_suppkey",
+            (50.0 + (sk % 3) * 50.0).alias("radius_km"),
+            (25.0 + (sk * 73 % 2300) / 100.0).alias("h_lat"),
+            (-122.0 + (sk * 37 % 5100) / 100.0).alias("h_lon"),
+        )
+        .withColumn("dlat", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+        .withColumn("dlon", F.explode(F.array(*[F.lit(d) for d in (-2, -1, 0, 1, 2)])))
+        .select(
+            "s_suppkey", "radius_km", "h_lat", "h_lon",
+            (F.floor(F.col("h_lat") / 2) + F.col("dlat")).alias("cell_lat"),
+            (F.floor(F.col("h_lon") / 2) + F.col("dlon")).alias("cell_lon"),
+        )
+    )
+    c = table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    sites = c.select(
+        "c_custkey", "c_acctbal",
+        (25.0 + (ck * 73 % 2300) / 100.0).alias("lat"),
+        (-122.0 + (ck * 37 % 5100) / 100.0).alias("lon"),
+    ).select(
+        "c_custkey", "c_acctbal", "lat", "lon",
+        F.floor(F.col("lat") / 2).alias("cell_lat"),
+        F.floor(F.col("lon") / 2).alias("cell_lon"),
+    )
+    dist = _haversine_km(F.col("h_lat"), F.col("h_lon"), F.col("lat"), F.col("lon"))
+    return (
+        sites.join(F.broadcast(hz), ["cell_lat", "cell_lon"])
+        .filter(dist <= F.col("radius_km"))
+        .groupBy("s_suppkey", "radius_km")
+        .agg(
+            F.count(F.lit(1)).alias("n_exposed"),
+            (
+                F.sum(F.floor(F.col("c_acctbal") * 1_000_000 + F.lit(0.5)).cast("long")).cast("double")
+                / 1_000_000
+            ).alias("exposed_balance"),
+        )
+    )

@@ -1916,3 +1916,92 @@ def curate_contamination_embedding(
         F.round("max_sim", 9).alias("max_sim"),
         (F.col("max_sim") >= 0.99).alias("contaminated"),
     )
+
+
+_BQ_SPARK_LO = (
+    "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+    "(CASE WHEN element_at(emb, i + 1) > 0D THEN shiftleft(1L, i) ELSE 0L END))"
+)
+_BQ_SPARK_HI = (
+    "aggregate(sequence(32, 63), 0L, (acc, i) -> acc + "
+    "(CASE WHEN element_at(emb, i + 1) > 0D THEN shiftleft(1L, i - 32) ELSE 0L END))"
+)
+_BQ_SQL_LO = (
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN emb[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
+)
+_BQ_SQL_HI = (
+    "CAST(list_sum(list_transform(range(32, 64), i -> "
+    "CASE WHEN emb[i+1] > 0 THEN (1::BIGINT << (i - 32)) ELSE 0 END)) AS BIGINT)"
+)
+
+
+@register(
+    "sim_binary_quantize_rerank",
+    category="llm_sim",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sig AS (
+  SELECT vec_id, emb, {_BQ_SQL_LO} AS lo, {_BQ_SQL_HI} AS hi FROM e
+),
+q AS (
+  SELECT vec_id AS q_id, emb AS q_emb, lo AS q_lo, hi AS q_hi
+  FROM sig WHERE vec_id < 8
+),
+scored AS (
+  SELECT q_id, s.vec_id,
+         CAST(bit_count(xor(s.lo, q_lo)) + bit_count(xor(s.hi, q_hi)) AS INTEGER)
+           AS hamming,
+         {_SQL_DOT.format(a='q_emb', b='s.emb')} AS cosine
+  FROM q JOIN sig s ON s.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, hamming, cosine, rn
+FROM (SELECT q_id, vec_id, hamming, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY hamming, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 15
+""",
+)
+def sim_binary_quantize_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization ANN — the 64x-compression production trick:
+    pack each unit vector's 64 sign bits into two 32-bit halves (two
+    BIGINTs; one 64-bit word would overflow DuckDB's left shift), rank
+    candidates per query by exact Hamming distance
+    (bit_count(xor(lo)) + bit_count(xor(hi)) — popcount instructions, no
+    float math), keep the 15 closest codes, and carry the exact cosine
+    for reranking. For L2-normalized vectors Hamming on sign bits is a
+    monotone proxy for angular distance, so the candidate set has high
+    recall at 1/32 the memory traffic of the float scan.
+
+    Scale: signatures are computed in one narrow map (two aggregate()
+    folds in whole-stage codegen); the broadcast-queries + corpus-scan +
+    per-query top-k shape matches sim_cosine_topk, but the scan compares
+    16 bytes per vector instead of 512 — the scan IS the cost at 100 TB.
+    Deterministic: (hamming, vec_id) is a total order.
+    """
+    sig = _emb(spark, sf_dir).select(
+        "vec_id", "emb",
+        F.expr(_BQ_SPARK_LO).alias("lo"),
+        F.expr(_BQ_SPARK_HI).alias("hi"),
+    )
+    q = sig.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    scored = sig.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        (
+            F.bit_count(F.expr("lo ^ q_lo")) + F.bit_count(F.expr("hi ^ q_hi"))
+        ).alias("hamming"),
+        _dot(F.col("q_emb"), F.col("emb")).alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("q_id", "vec_id", "hamming", "cosine", "rn")
+    )

@@ -2417,3 +2417,79 @@ def win_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "win_burst_detection",
+    category="windows",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 21600000000 AS b FROM events
+),
+bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+spine AS (
+  SELECT unnest(range(b0, b1 + 1)) AS b, event_type
+  FROM bounds, (SELECT DISTINCT event_type FROM ev) t
+),
+cnt AS (SELECT event_type, b, count(*) AS c FROM ev GROUP BY 1, 2),
+filled AS (
+  SELECT s.b, s.event_type, CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
+  FROM spine s LEFT JOIN cnt c ON c.b = s.b AND c.event_type = s.event_type
+),
+scored AS (
+  SELECT *, CAST(SUM(cnt) OVER w AS BIGINT) AS bsum, COUNT(*) OVER w AS nprev
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, make_timestamp(b * 21600000000) AS bucket_ts, cnt,
+       CAST(bsum AS DOUBLE) / 8.0 AS baseline,
+       cnt > 1.5 * (CAST(bsum AS DOUBLE) / 8.0) AS is_burst
+FROM scored WHERE nprev = 8
+""",
+)
+def win_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over the event stream — the disaster-monitoring
+    alarm: per event type, a 6-hour bucket fires when its count exceeds
+    1.5x the trailing 2-day (8-bucket) baseline. A dense bucket spine
+    (generated from the stream's own bounds — no driver collect) gap
+    -fills empty buckets with 0 so the trailing frame is truly 8
+    CALENDAR buckets, not 8 observed ones; warm-up rows (fewer than 8
+    trailing buckets) are excluded rather than diluted.
+
+    Exactness: integer bucket ids (microseconds div), long counts,
+    baseline = long-sum/8.0 — one deterministic double division per row.
+
+    Scale: counts reduce map-side before the one shuffle; the window
+    partitions by event type x contiguous time — at 100 TB the same op
+    runs per (type, day-range) re-key so no partition exceeds the
+    frame's reach, or moves to the streaming twin (stream_sliding_agg).
+    """
+    _B = 21_600_000_000
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"unix_micros(ts) div {_B}").alias("b")
+    )
+    bounds = e.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    types = e.select("event_type").distinct()
+    spine = (
+        bounds.select(F.explode(F.expr("sequence(b0, b1)")).alias("b"))
+        .crossJoin(F.broadcast(types))
+    )
+    cnt = e.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("c"))
+    full = spine.join(cnt, ["event_type", "b"], "left").select(
+        "event_type", "b", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy("b").rowsBetween(-8, -1)
+    scored = full.select(
+        "event_type", "b", "cnt",
+        F.sum("cnt").over(w).alias("bsum"),
+        F.count(F.lit(1)).over(w).alias("nprev"),
+    )
+    baseline = F.col("bsum").cast("double") / 8.0
+    return scored.filter(F.col("nprev") == 8).select(
+        "event_type",
+        F.timestamp_micros(F.col("b") * _B).alias("bucket_ts"),
+        "cnt",
+        baseline.alias("baseline"),
+        (F.col("cnt") > 1.5 * baseline).alias("is_burst"),
+    )

@@ -90,6 +90,13 @@ INVARIANCE_SET = [
     "graph_sssp_bounded",
     "etl_bridge_allocation",
     "curate_domain_resample",
+    # disaster-domain batch: cell/bucket-exploded blocked joins, the
+    # scatter-sum raster, the bit-packed signature fold + per-query rank,
+    # and the spine-gap-filled trailing frame
+    "geo_spatiotemporal_join",
+    "geo_kde_heatmap",
+    "sim_binary_quantize_rerank",
+    "win_burst_detection",
 ]
 
 
