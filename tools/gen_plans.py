@@ -38,7 +38,12 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "text_bpe_train", "curate_decision_stump",
             "graph_sssp_bounded", "win_session_window_native",
             "etl_bridge_allocation", "curate_contamination_embedding",
-            "stream_two_sink_txn"]
+            "stream_two_sink_txn",
+            # round-4 second continuation: TPC-H representatives + the
+            # disaster-domain batch
+            "tpch_q03", "tpch_q08", "tpch_q17", "tpch_q21",
+            "geo_spatiotemporal_join", "geo_kde_heatmap",
+            "sim_binary_quantize_rerank", "win_burst_detection"]
 
 NOTES = {
     "win_interval_union_length": "one (user_id) exchange feeds both sweep "
@@ -196,6 +201,22 @@ NOTES = {
         "projection + filter over the union — ZERO exchanges.",
     "scan_file_lineage": "_metadata.file_name comes from the scan itself; "
         "the only exchange carries n_files rows.",
+    "tpch_q03": "customer broadcasts after the segment filter; both date "
+        "filters pushed to the scans; top-10 is TakeOrderedAndProject.",
+    "tpch_q08": "six dims broadcast; lineitem-orders is the single "
+        "sort-merge exchange; the share ratio divides two raw long sums.",
+    "tpch_q17": "the correlated avg decorrelates to a per-part groupBy "
+        "re-joined on partkey; part dim broadcasts into the probe.",
+    "tpch_q21": "decorrelated EXISTS/NOT-EXISTS: two rollups on the same "
+        "orderkey partitioning replace the canonical triple self-join.",
+    "geo_spatiotemporal_join": "27x bucket explode rides the hazard side; "
+        "the candidate join is a pure 3-key equi-join; refine in codegen.",
+    "geo_kde_heatmap": "9x scatter explode map-side on a narrow (i,j) "
+        "projection; ONE cell-key exchange of long partials.",
+    "sim_binary_quantize_rerank": "two aggregate() bit-folds in the scan "
+        "stage; queries broadcast; per-query rank over 16-byte codes.",
+    "win_burst_detection": "spine from the stream's own bounds (no "
+        "collect); counts partial-agg before the one exchange.",
 }
 
 out = ["# PLANS — final physical plans of the headline queries (sf0.1, AQE final)",

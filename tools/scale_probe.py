@@ -84,6 +84,14 @@ QUERIES = [
     "text_cms_heavy_hitters",
     "join_bloom_membership",
     "graph_personalized_pagerank",
+    # round-4 disaster-domain batch: blocked spatiotemporal join (work ~
+    # co-located pairs; replication multiplies same-cell density), the
+    # scatter-sum raster (output bounded by occupied cells), the bit
+    # -packed scan + per-query top-k, and the calendar-bounded burst spine
+    "geo_spatiotemporal_join",
+    "geo_kde_heatmap",
+    "sim_binary_quantize_rerank",
+    "win_burst_detection",
 ]
 
 
@@ -112,18 +120,20 @@ def stage(spark, k: int) -> str:
 
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    only = os.environ.get("ODDSETL_PROBE_QUERIES")
+    queries = only.split(",") if only else QUERIES
     spark = get_spark("scale-probe")
-    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    results: dict[str, dict[int, float]] = {q: {} for q in queries}
     for k in ks:
         sf_dir = stage(spark, k)
-        for q in QUERIES:
+        for q in queries:
             fn = o.registry.get(q).fn
             fn(spark, sf_dir).count()  # warm: file listing, codegen
             t0 = time.time()
             fn(spark, sf_dir).collect()
             results[q][k] = round(time.time() - t0, 3)
     print(f"\n{'query':28s}" + "".join(f"  K={k:<3d}" for k in ks) + "   sec/K ratio (last/first, ideal ~1 after fixed cost)")
-    for q in QUERIES:
+    for q in queries:
         r = results[q]
         per_k = [r[k] / k for k in ks]
         ratio = per_k[-1] / per_k[0]
