@@ -1125,3 +1125,61 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_node"
         ),
     )
+
+
+@register(
+    "fn_variant_semistructured",
+    category="functions",
+    oracle="""
+SELECT event_id,
+       event_type AS vtype,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       value * 2 AS v2,
+       'OBJECT<k: BIGINT, meta: OBJECT<day: STRING, type: STRING>, vals: ARRAY<STRING>>'
+         AS sch,
+       CAST(NULL AS BIGINT) AS bad_cast
+FROM events
+WHERE event_id < 2000
+""",
+)
+def fn_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path — the semi-structured column type: compose a
+    nested document from base columns + the props JSON, parse it into a
+    VARIANT, then extract typed values back by path. The oracle is
+    self-validating: every extraction must round-trip to the ORIGINAL
+    column (event_type, props.k, value*2), the variant schema is pinned
+    as a golden literal (identical for every row by construction), and a
+    deliberately mistyped try_variant_get must yield NULL, not an error.
+
+    Doubles ride the document as STRINGS (Spark's shortest round-trip
+    repr) and come back through an explicit double cast — bitwise exact
+    on both engines, and it keeps the variant schema a true constant
+    (raw JSON decimals would infer per-row DECIMAL(p,s) widths).
+
+    Scale: VARIANT parse + path gets are per-row codegen expressions —
+    narrow projection, zero shuffles, pushdown-transparent.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                F.col("event_type").alias("type"),
+            ).alias("meta"),
+            F.array(
+                F.col("value").cast("string"),
+                (F.col("value") * 2).cast("string"),
+            ).alias("vals"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    v = e.select("event_id", F.parse_json(doc).alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.meta.type", "string").alias("vtype"),
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.vals[1]", "double").alias("v2"),
+        F.schema_of_variant("v").alias("sch"),
+        # mistyped get: an OBJECT cannot cast to BIGINT -> NULL
+        F.try_variant_get("v", "$.meta", "bigint").alias("bad_cast"),
+    )
