@@ -4057,3 +4057,97 @@ def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p + 1.9208 / nn - half) / denom, 9).alias("ci_lo"),
         F.round((p + 1.9208 / nn + half) / denom, 9).alias("ci_hi"),
     )
+
+
+@register(
+    "agg_skyline_pareto",
+    category="agg",
+    oracle="""
+WITH pts AS (
+  SELECT c.c_custkey, c.c_acctbal AS bal,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice*1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000 AS spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+)
+SELECT p.c_custkey, p.bal, p.spend
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.bal >= p.bal AND q.spend >= p.spend
+    AND (q.bal > p.bal OR q.spend > p.spend))
+""",
+)
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator — the classic "best tradeoffs"
+    query: customers not dominated on (account balance, exact total
+    spend), where q dominates p iff q is >= on both axes and > on at
+    least one. The oracle is the textbook NOT EXISTS dominance test
+    (quadratic — fine for DuckDB at fixture scale).
+
+    The Spark plan uses the 2-D skyline reduction to a RUNNING MAX over
+    the bal-descending order: p survives iff (a) its spend exceeds the
+    max spend among all STRICTLY higher balances, and (b) its spend is
+    the max within its own balance group (duplicated (bal, spend) points
+    tie into the frontier together — neither dominates). The running max
+    is decomposed scale-safely exactly like sort_total_order_range
+    (sorts.py): per-balance group maxes are range-partitioned by bal
+    desc, each partition computes a LOCAL running max, and the
+    cross-partition prefix is a broadcast cummax over the per-partition
+    maxes — no single-partition window anywhere; the only full exchange
+    is the range partitioner over |distinct bal| rows.
+
+    Exactness: spend is a scaled-long exact sum; everything after is
+    comparisons and max — order-insensitive by construction.
+    """
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    pts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", F.col("c_acctbal").alias("bal"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5)).cast("long")).cast("double")
+                / 1_000_000
+            ).alias("spend")
+        )
+    )
+    groups = pts.groupBy("bal").agg(F.max("spend").alias("gmax"))
+    ranged = groups.repartitionByRange(8, F.desc("bal")).sortWithinPartitions(
+        F.desc("bal")
+    )
+    mid = F.monotonically_increasing_id()
+    local = ranged.select(
+        "bal",
+        "gmax",
+        F.shiftright(mid, 33).cast("int").alias("pid"),
+        F.max("gmax")
+        .over(
+            W.partitionBy(F.shiftright(mid, 33).cast("int"))
+            .orderBy(F.desc("bal"))
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        .alias("lmax"),
+    )
+    pmax = local.groupBy("pid").agg(F.max("gmax").alias("pm"))
+    wprev = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    prefix = pmax.select("pid", F.max("pm").over(wprev).alias("omax"))
+    frontier = (
+        local.join(F.broadcast(prefix), "pid")
+        .select(
+            "bal",
+            "gmax",
+            F.greatest(
+                F.coalesce(F.col("lmax"), F.lit(float("-inf"))),
+                F.coalesce(F.col("omax"), F.lit(float("-inf"))),
+            ).alias("m1"),
+        )
+        .filter(F.col("gmax") > F.col("m1"))
+        .select(F.col("bal").alias("f_bal"), F.col("gmax").alias("f_spend"))
+    )
+    return pts.join(
+        F.broadcast(frontier),
+        (F.col("bal") == F.col("f_bal")) & (F.col("spend") == F.col("f_spend")),
+    ).select("c_custkey", "bal", "spend")

@@ -97,6 +97,9 @@ INVARIANCE_SET = [
     "geo_kde_heatmap",
     "sim_binary_quantize_rerank",
     "win_burst_detection",
+    # skyline: local ranks come from monotonically_increasing_id over
+    # range partitions — the FRONTIER must be boundary-independent
+    "agg_skyline_pareto",
 ]
 
 

@@ -624,3 +624,12 @@ def test_tpch_q21_aggregates_not_self_joins(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") <= 4, final
     assert "CartesianProduct" not in plan, plan
+
+
+def test_skyline_running_max_is_range_partitioned(spark):
+    """agg_skyline_pareto: the running max must ride a RangePartitioning
+    exchange (the sort_total_order_range decomposition), never a global
+    Window over the full point set; frontier joins broadcast."""
+    plan = _plan(spark, "agg_skyline_pareto")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
