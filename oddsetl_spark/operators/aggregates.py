@@ -4083,7 +4083,9 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     query: customers not dominated on (account balance, exact total
     spend), where q dominates p iff q is >= on both axes and > on at
     least one. The oracle is the textbook NOT EXISTS dominance test
-    (quadratic — fine for DuckDB at fixture scale).
+    (quadratic — fine for DuckDB at fixture scale). Companion to
+    sort_pareto_skyline (sorts.py), whose single-window form defers to
+    this operator's decomposed running max as the scale path.
 
     The Spark plan uses the 2-D skyline reduction to a RUNNING MAX over
     the bal-descending order: p survives iff (a) its spend exceeds the

@@ -234,7 +234,9 @@ def sort_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the sort is the range-partitioned total order
     sort_total_order_range already demonstrates; the running max then
     needs only per-range partials merged by the two-pass prefix
-    pattern. Beyond 2-D, skylines need the block-nested or
+    pattern — agg_skyline_pareto (aggregates.py) implements exactly
+    that decomposition (range partitions + broadcast prefix max) with
+    >=/> dominance ties. Beyond 2-D, skylines need the block-nested or
     divide-and-conquer join — this is the dimension where the
     one-pass trick is the honest special case."""
     from pyspark.sql import Window as W
