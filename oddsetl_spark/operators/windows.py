@@ -2493,3 +2493,55 @@ def win_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         baseline.alias("baseline"),
         (F.col("cnt") > 1.5 * baseline).alias("is_burst"),
     )
+
+
+@register(
+    "win_event_pattern_match",
+    category="windows",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(s, 'e[^s]*p')) AS BIGINT) AS n_matches,
+       len(regexp_extract_all(s, 'e[^s]*p')) > 0 AS has_recovery
+FROM seq
+""",
+)
+def win_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching (the MATCH_RECOGNIZE shape) emulated with
+    ordered per-key sequence folding + regex: per user, the event-type
+    sequence becomes a compact symbol string ((c)lick (e)rror (p)urchase
+    (s)ignup (v)iew, ordered by ts with event_id tiebreak), and the
+    pattern 'error, then purchase, with no signup between' = e[^s]*p is
+    counted per user (non-overlapping leftmost-greedy scan — identical
+    semantics in Java regex and RE2, so the count hash-matches).
+
+    Scale: ONE shuffle on user_id; the per-user string is bounded by the
+    user's event count (array_sort on the collected (ts, id, sym)
+    structs, then a codegen concat + regexp). At 100 TB the same fold
+    runs per (user, session) after sessionize to bound string length —
+    pattern semantics are intra-session anyway. This is the batch twin
+    of what MATCH_RECOGNIZE/CEP engines do with NFAs; for the fixed
+    regular pattern the regex scan IS the NFA.
+    """
+    e = table(spark, sf_dir, "events")
+    sym = F.substring("event_type", 1, 1)
+    seq = (
+        e.select("user_id", F.struct(F.col("ts"), F.col("event_id"), sym.alias("c")).alias("r"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("r")), lambda r: r["c"])
+            ).alias("s")
+        )
+    )
+    n = F.size(F.expr("regexp_extract_all(s, 'e[^s]*p', 0)"))
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        n.cast("long").alias("n_matches"),
+        (n > 0).alias("has_recovery"),
+    )

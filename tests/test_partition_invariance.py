@@ -100,6 +100,9 @@ INVARIANCE_SET = [
     # skyline: local ranks come from monotonically_increasing_id over
     # range partitions — the FRONTIER must be boundary-independent
     "agg_skyline_pareto",
+    # pattern match: collect_list arrives in partition order — array_sort
+    # must fully canonicalize it before the regex fold
+    "win_event_pattern_match",
 ]
 
 
