@@ -4153,3 +4153,109 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(frontier),
         (F.col("bal") == F.col("f_bal")) & (F.col("spend") == F.col("f_spend")),
     ).select("c_custkey", "bal", "spend")
+
+
+@register(
+    "agg_skyline_3d",
+    category="agg",
+    oracle="""
+WITH qv AS (
+  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey
+),
+pts AS (
+  SELECT p_partkey, p_retailprice AS price, CAST(p_size AS BIGINT) AS psize,
+         qty
+  FROM part JOIN qv ON l_partkey = p_partkey
+)
+SELECT p.p_partkey, p.price, p.psize, p.qty
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price <= p.price AND q.psize >= p.psize AND q.qty >= p.qty
+    AND (q.price < p.price OR q.psize > p.psize OR q.qty > p.qty))
+""",
+)
+def agg_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline — the dimension where the 2-D running-max trick
+    (agg_skyline_pareto) stops working and the real distributed
+    algorithm begins. Parts Pareto-optimal on (minimize retail price,
+    maximize size, maximize total shipped quantity); oracle = textbook
+    NOT EXISTS dominance.
+
+    Algorithm (divide-and-conquer, the published distributed-skyline
+    shape): skylines are DISTRIBUTIVE — the global skyline is a subset
+    of the union of per-partition local skylines, because dominance is
+    transitive (any dominator of a surviving point is itself dominated
+    by some local-skyline point that also dominates the survivor). So:
+    phase 1 computes each partition's local skyline inside mapInPandas
+    (sort by a monotone order, scan keeping non-dominated — NO shuffle,
+    state bounded by the local frontier); phase 2 refines the small
+    candidate union with an exact dominance LEFT ANTI self-join
+    (broadcast — frontier size is O(log^2 n) expected for independent
+    dims, and the refine is exact regardless, so the result is provably
+    partition-invariant even though each LOCAL skyline is not).
+
+    Exactness: qty is an exact integer sum; all comparisons exact.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    qv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+    )
+    pts = p.join(qv, p.p_partkey == qv.l_partkey).select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("psize"),
+        "qty",
+    )
+
+    def _local_skyline(batches):
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        df = pd.concat(chunks, ignore_index=True)
+        df = df.sort_values(
+            ["price", "psize", "qty"], ascending=[True, False, False]
+        ).reset_index(drop=True)
+        kept_rows = []
+        kp, ks, kq = [], [], []
+        for row in df.itertuples(index=True):
+            dominated = False
+            for i in range(len(kp)):
+                if (
+                    kp[i] <= row.price
+                    and ks[i] >= row.psize
+                    and kq[i] >= row.qty
+                    and (kp[i] < row.price or ks[i] > row.psize or kq[i] > row.qty)
+                ):
+                    dominated = True
+                    break
+            if not dominated:
+                kp.append(row.price)
+                ks.append(row.psize)
+                kq.append(row.qty)
+                kept_rows.append(row.Index)
+        yield df.loc[kept_rows]
+
+    cand = pts.mapInPandas(
+        _local_skyline, "p_partkey long, price double, psize long, qty long"
+    )
+    dom = cand.select(
+        F.col("price").alias("q_price"),
+        F.col("psize").alias("q_psize"),
+        F.col("qty").alias("q_qty"),
+    )
+    dominance = (
+        (F.col("q_price") <= F.col("price"))
+        & (F.col("q_psize") >= F.col("psize"))
+        & (F.col("q_qty") >= F.col("qty"))
+        & (
+            (F.col("q_price") < F.col("price"))
+            | (F.col("q_psize") > F.col("psize"))
+            | (F.col("q_qty") > F.col("qty"))
+        )
+    )
+    return cand.join(F.broadcast(dom), dominance, "left_anti")

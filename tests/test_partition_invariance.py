@@ -103,6 +103,9 @@ INVARIANCE_SET = [
     # pattern match: collect_list arrives in partition order — array_sort
     # must fully canonicalize it before the regex fold
     "win_event_pattern_match",
+    # 3-D skyline: LOCAL skylines differ per layout by construction; the
+    # exact dominance refine must make the FINAL frontier invariant
+    "agg_skyline_3d",
 ]
 
 
