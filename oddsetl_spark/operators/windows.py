@@ -2505,8 +2505,8 @@ WITH seq AS (
   FROM events GROUP BY user_id
 )
 SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
-       CAST(len(regexp_extract_all(s, 'e[^s]*p')) AS BIGINT) AS n_matches,
-       len(regexp_extract_all(s, 'e[^s]*p')) > 0 AS has_recovery
+       CAST(len(regexp_extract_all(s, 'e[^s]*?p')) AS BIGINT) AS n_matches,
+       len(regexp_extract_all(s, 'e[^s]*?p')) > 0 AS has_recovery
 FROM seq
 """,
 )
@@ -2516,8 +2516,11 @@ def win_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence becomes a compact symbol string ((c)lick (e)rror (p)urchase
     (s)ignup (v)iew, ordered by ts with event_id tiebreak), and the
     pattern 'error, then purchase, with no signup between' = e[^s]*p is
-    counted per user (non-overlapping leftmost-greedy scan — identical
-    semantics in Java regex and RE2, so the count hash-matches).
+    counted per user with the LAZY quantifier (each match ends at the
+    FIRST qualifying purchase — the alert semantics of the streaming
+    twin stream_cep_pattern_alert's state machine; leftmost
+    non-overlapping scan is identical in Java regex and RE2, so the
+    count hash-matches).
 
     Scale: ONE shuffle on user_id; the per-user string is bounded by the
     user's event count (array_sort on the collected (ts, id, sym)
@@ -2538,7 +2541,7 @@ def win_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
     )
-    n = F.size(F.expr("regexp_extract_all(s, 'e[^s]*p', 0)"))
+    n = F.size(F.expr("regexp_extract_all(s, 'e[^s]*?p', 0)"))
     return seq.select(
         "user_id",
         F.length("s").cast("long").alias("seq_len"),

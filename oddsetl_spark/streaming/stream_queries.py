@@ -1170,3 +1170,86 @@ def stream_two_sink_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.unionByName(audit)
+
+
+@register(
+    "stream_cep_pattern_alert",
+    category="streaming",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(s, 'e[^s]*?p')) AS BIGINT) AS n_alerts
+FROM seq
+WHERE len(regexp_extract_all(s, 'e[^s]*?p')) > 0
+""",
+)
+def stream_cep_pattern_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP (complex event processing): a per-user state machine
+    over the live event stream — ARM on 'error', DISARM on 'signup',
+    ALERT (and re-arm-from-scratch) when a 'purchase' arrives while
+    armed. The state machine is provably equivalent to the LAZY
+    non-overlapping regex e[^s]*?p (each match ends at the FIRST
+    qualifying purchase and the scan restarts after it — exactly the
+    alert-at-first-purchase semantics; the greedy form would span
+    multiple purchases into one match), so the oracle IS the batch
+    regex count — a true stream-vs-batch differential, sharing
+    win_event_pattern_match's sequence construction.
+
+    State = (armed flag, alert count) per user via
+    applyInPandasWithState (GroupState); rows are sorted by (ts,
+    event_id) within each micro-batch before the scan — cross-batch
+    order holds because the file source lands batches in event-time
+    order (the production norm for append-only event streams; the
+    single-file replay used here is the one-batch case). Update-mode
+    emission per batch; run_to_table keeps the last row per user.
+
+    Scale: state is two scalars per user — far below the windowed-join
+    state classes; alerts emit incrementally with no retention of raw
+    events.
+    """
+    pin_session(spark)
+    staged = stage_events(sf_dir, tag="cep")
+    grouped = read_events_stream(spark, staged).groupBy("user_id")
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_alerts", T.LongType()),
+        ]
+    )
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def cep(key, pdfs, state: GroupState):
+        armed, n_alerts = (state.get if state.exists else (False, 0))
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for sym in pdf["event_type"].str[0]:
+            if sym == "s":
+                armed = False
+            elif sym == "e":
+                armed = True
+            elif sym == "p" and armed:
+                n_alerts += 1
+                armed = False
+        state.update((bool(armed), int(n_alerts)))
+        if n_alerts > 0:
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_alerts": [int(n_alerts)]}
+            )
+
+    s = grouped.applyInPandasWithState(
+        cep,
+        outputStructType=out_schema,
+        stateStructType=T.StructType(
+            [
+                T.StructField("armed", T.BooleanType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(s, mode="update", tag="cep")
