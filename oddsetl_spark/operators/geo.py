@@ -755,7 +755,8 @@ def geo_spatiotemporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-microsecond delta refine.
 
     Scale: work proportional to co-located-and-contemporaneous pairs,
-    never |hazards| x |impacts|; the 27x bucket explode rides the hazard
+    never |hazards| x |impacts|; the 45x bucket explode (3 lat x 5 lon
+    x 3 time) rides the hazard
     side (disasters are the small stream). Time arithmetic is integer
     microseconds end to end — no double epoch drift between engines.
     """

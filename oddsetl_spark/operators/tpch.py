@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..io import table
 from ..registry import register, register_alias
 from ._helpers import (
+    lng,
     lsum,
     scaled_group_sums,
     sql_lavg,
@@ -420,8 +421,8 @@ def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sums = j.groupBy("o_year").agg(
-        F.sum(F.floor(F.col("nation_volume") * 1_000_000 + F.lit(0.5)).cast("long")).alias("_num"),
-        F.sum(F.floor(F.col("volume") * 1_000_000 + F.lit(0.5)).cast("long")).alias("_den"),
+        F.sum(lng(F.col("nation_volume"))).alias("_num"),
+        F.sum(lng(F.col("volume"))).alias("_den"),
     )
     # Divide the RAW long sums (scales cancel) — the oracle does the same
     # single division, so the doubles are bit-identical; unscaling each
@@ -573,7 +574,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(lsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
     )
     total = pv.agg(
-        (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")).cast("double") / 1_000_000).alias("_total")
+        (F.sum(lng(F.col("value"))).cast("double") / 1_000_000).alias("_total")
     )
     return (
         pv.crossJoin(F.broadcast(total))
@@ -703,8 +704,8 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     sums = j.agg(
-        F.sum(F.floor(promo * 1_000_000 + F.lit(0.5)).cast("long")).alias("_np"),
-        F.sum(F.floor(disc_price * 1_000_000 + F.lit(0.5)).cast("long")).alias("_nd"),
+        F.sum(lng(promo)).alias("_np"),
+        F.sum(lng(disc_price)).alias("_nd"),
     )
     return sums.select(
         (
@@ -846,7 +847,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.agg(
         (
-            F.sum(F.floor(F.col("l_extendedprice") * 1_000_000 + F.lit(0.5)).cast("long")).cast("double")
+            F.sum(lng(F.col("l_extendedprice"))).cast("double")
             / 1_000_000
             / 7.0
         ).alias("avg_yearly")
@@ -1084,14 +1085,13 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q22",
     category="tpch",
-    oracle="""
+    oracle=f"""
 WITH active AS (
   SELECT c_custkey, c_acctbal, c_nationkey % 5 AS cntrycode
   FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)
 ),
 avg_bal AS (
-  SELECT CAST(SUM(CAST(FLOOR(c_acctbal*1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-         / 1000000 / COUNT(*) AS ab
+  SELECT {sql_lavg('c_acctbal')} AS ab
   FROM active WHERE c_acctbal > 0.0
 )
 SELECT cntrycode, COUNT(*) AS numcust,
@@ -1129,7 +1129,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         (
-            F.sum(F.floor(F.col("c_acctbal") * 1_000_000 + F.lit(0.5)).cast("long")).cast("double")
+            F.sum(lng(F.col("c_acctbal"))).cast("double")
             / 1_000_000
             / F.count(F.lit(1))
         ).alias("ab")
@@ -1142,7 +1142,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             (
-                F.sum(F.floor(F.col("c_acctbal") * 1_000_000 + F.lit(0.5)).cast("long")).cast("double")
+                F.sum(lng(F.col("c_acctbal"))).cast("double")
                 / 1_000_000
             ).alias("totacctbal"),
         )
@@ -1152,7 +1152,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _register_q01_alias() -> None:
     # agg_groupby_multi (aggregates.py) IS canonical Q1; operators/__init__
     # imports aggregates before tpch, so the alias target exists here.
-    register_alias("tpch_q01", "agg_groupby_multi")
+    register_alias("tpch_q01", "agg_groupby_multi", category="tpch")
 
 
 _register_q01_alias()

@@ -66,6 +66,7 @@ _CATEGORY_ORDER = (
     "etl",
     "graph",
     "geo",
+    "tpch",
     "sources",
     "streaming",
 )
@@ -88,6 +89,7 @@ _UNVERIFIED_ORDER = (
     "etl",
     "graph",
     "geo",
+    "tpch",
     "sorts",
     "setops",
     "sources",
@@ -182,12 +184,14 @@ def register(
     return deco
 
 
-def register_alias(alias: str, existing: str) -> None:
-    """Register `alias` as a second name for an already-registered query."""
+def register_alias(alias: str, existing: str, category: str | None = None) -> None:
+    """Register `alias` as a second name for an already-registered query.
+    `category` reassigns the alias's category (e.g. tpch_q01 belongs to
+    the tpch suite even though its target registered under agg)."""
     q = _REGISTRY[existing]
     if alias in _REGISTRY:
         raise ValueError(f"duplicate query name: {alias}")
-    _REGISTRY[alias] = QueryDef(alias, q.fn, q.oracle, q.category, q.heavy)
+    _REGISTRY[alias] = QueryDef(alias, q.fn, q.oracle, category or q.category, q.heavy)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1205,7 +1205,9 @@ def stream_cep_pattern_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     order holds because the file source lands batches in event-time
     order (the production norm for append-only event streams; the
     single-file replay used here is the one-batch case). Update-mode
-    emission per batch; run_to_table keeps the last row per user.
+    emission per batch lands as appends; the final per-user MAX
+    collapses re-emissions — the count is monotone, so max = latest —
+    making the result correct under any micro-batch split.
 
     Scale: state is two scalars per user — far below the windowed-join
     state classes; alerts emit incrementally with no retention of raw
@@ -1252,4 +1254,5 @@ def stream_cep_pattern_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_table(s, mode="update", tag="cep")
+    landed = run_to_table(s, mode="update", tag="cep")
+    return landed.groupBy("user_id").agg(F.max("n_alerts").alias("n_alerts"))

@@ -209,7 +209,7 @@ NOTES = {
         "re-joined on partkey; part dim broadcasts into the probe.",
     "tpch_q21": "decorrelated EXISTS/NOT-EXISTS: two rollups on the same "
         "orderkey partitioning replace the canonical triple self-join.",
-    "geo_spatiotemporal_join": "27x bucket explode rides the hazard side; "
+    "geo_spatiotemporal_join": "45x (3x5x3) bucket explode rides the hazard side; "
         "the candidate join is a pure 3-key equi-join; refine in codegen.",
     "geo_kde_heatmap": "9x scatter explode map-side on a narrow (i,j) "
         "projection; ONE cell-key exchange of long partials.",

@@ -121,7 +121,11 @@ def stage(spark, k: int) -> str:
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
     only = os.environ.get("ODDSETL_PROBE_QUERIES")
-    queries = only.split(",") if only else QUERIES
+    queries = (
+        [q.strip() for q in only.split(",") if q.strip()] if only else QUERIES
+    )
+    unknown = [q for q in queries if q not in o.registry.all_queries()]
+    assert not unknown, f"unknown probe queries: {unknown}"
     spark = get_spark("scale-probe")
     results: dict[str, dict[int, float]] = {q: {} for q in queries}
     for k in ks:
