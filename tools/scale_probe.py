@@ -92,6 +92,12 @@ QUERIES = [
     "geo_kde_heatmap",
     "sim_binary_quantize_rerank",
     "win_burst_detection",
+    # skylines (range-decomposed running max; D&C local skylines whose
+    # candidate union must stay frontier-sized) and the per-user regex
+    # fold (string length bounded by per-user events)
+    "agg_skyline_pareto",
+    "agg_skyline_3d",
+    "win_event_pattern_match",
 ]
 
 
