@@ -1183,3 +1183,72 @@ def fn_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mistyped get: an OBJECT cannot cast to BIGINT -> NULL
         F.try_variant_get("v", "$.meta", "bigint").alias("bad_cast"),
     )
+
+
+@register(
+    "sql_scripting",
+    category="functions",
+    oracle="""
+WITH pr AS (
+  SELECT n_regionkey AS k,
+         SUM(CAST(FLOOR(o_totalprice*1000000 + 0.5) AS BIGINT)) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_regionkey
+)
+SELECT CAST(SUM(rev) AS DOUBLE)/1000000 AS total_rev,
+       CAST((SELECT k FROM pr ORDER BY rev DESC, k LIMIT 1) AS INTEGER)
+         AS biggest_region,
+       CAST(MAX(rev) AS DOUBLE)/1000000 AS biggest_rev
+FROM pr
+""",
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (procedural BEGIN..END): DECLARE variables,
+    a WHILE loop over the five region keys accumulating each region's
+    exact scaled-long revenue, and an IF tracking the argmax — the
+    stored-procedure control-flow surface, exercised over real data. All
+    in-script arithmetic is BIGINT on the 1e-6 money grid, so the loop's
+    sequential accumulation equals the oracle's order-insensitive SUM
+    bit-for-bit; the strict > argmax resolves ties to the smallest
+    region key, mirrored by the oracle's ORDER BY rev DESC, k.
+
+    Scale: each iteration is an ordinary distributed query (broadcast
+    dims, map-side partial sums); the script only sequences five of them
+    and carries three scalars between — control flow on the driver,
+    data flow on the cluster.
+    """
+    saved = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(f"""
+BEGIN
+  DECLARE k INT DEFAULT 0;
+  DECLARE rev BIGINT;
+  DECLARE total BIGINT DEFAULT 0;
+  DECLARE biggest BIGINT DEFAULT -1;
+  DECLARE biggest_region INT DEFAULT -1;
+  WHILE k < 5 DO
+    SET rev = (
+      SELECT COALESCE(SUM(CAST(FLOOR(o_totalprice*1000000 + 0.5) AS BIGINT)), 0)
+      FROM parquet.`{sf_dir}/orders.parquet` o
+      JOIN parquet.`{sf_dir}/customer.parquet` c ON o_custkey = c_custkey
+      JOIN parquet.`{sf_dir}/nation.parquet` n ON c_nationkey = n_nationkey
+      WHERE n_regionkey = k);
+    SET total = total + rev;
+    IF rev > biggest THEN
+      SET biggest = rev;
+      SET biggest_region = k;
+    END IF;
+    SET k = k + 1;
+  END WHILE;
+  SELECT CAST(total AS DOUBLE)/1000000 AS total_rev,
+         biggest_region,
+         CAST(biggest AS DOUBLE)/1000000 AS biggest_rev;
+END
+""")
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.scripting.enabled", saved)
+        else:
+            spark.conf.unset("spark.sql.scripting.enabled")
