@@ -704,3 +704,82 @@ def sink_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).filter(
         F.col("o_custkey").isin(42, 777, 1337)
     )
+
+@register(
+    "source_geojson",
+    category="sources",
+    oracle="""
+SELECT c_custkey AS site_id,
+       c_mktsegment AS segment,
+       (-122.0 + ((c_custkey * 37) % 5100) / 100.0) AS lon,
+       (25.0 + ((c_custkey * 73) % 2300) / 100.0) AS lat
+FROM customer
+""",
+)
+def source_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON Feature round-trip — the lingua franca of open disaster
+    -data feeds: serialize each site as an RFC 7946 Feature (Point
+    geometry, [lon, lat] coordinate order, properties bag), land as
+    newline-delimited JSON, read back with an EXPLICIT nested schema
+    (struct geometry/coordinates array + properties struct — no
+    inference pass), and extract the coordinates and properties. The
+    oracle reconstructs the same values straight from the base columns,
+    so the whole serialize -> parse -> extract path must be lossless
+    (doubles survive because Spark writes shortest round-trip reprs).
+
+    Scale: both directions are narrow per-row projections; the nested
+    schema prunes to the accessed fields at the scan.
+    """
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = -122.0 + (k * 37 % 5100) / 100.0
+    lat = 25.0 + (k * 73 % 2300) / 100.0
+    features = c.select(
+        F.to_json(
+            F.struct(
+                F.lit("Feature").alias("type"),
+                F.struct(
+                    F.lit("Point").alias("type"),
+                    F.array(lon, lat).alias("coordinates"),
+                ).alias("geometry"),
+                F.struct(
+                    F.col("c_custkey").alias("site_id"),
+                    F.col("c_mktsegment").alias("segment"),
+                ).alias("properties"),
+            )
+        ).alias("feature")
+    )
+    out = _tmpdir("geojson")
+    features.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField(
+                "geometry",
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType()),
+                        T.StructField(
+                            "coordinates", T.ArrayType(T.DoubleType())
+                        ),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "properties",
+                T.StructType(
+                    [
+                        T.StructField("site_id", T.LongType()),
+                        T.StructField("segment", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.select(
+        F.col("properties.site_id").alias("site_id"),
+        F.col("properties.segment").alias("segment"),
+        F.element_at("geometry.coordinates", 1).alias("lon"),
+        F.element_at("geometry.coordinates", 2).alias("lat"),
+    )
