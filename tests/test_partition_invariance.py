@@ -106,6 +106,9 @@ INVARIANCE_SET = [
     # 3-D skyline: LOCAL skylines differ per layout by construction; the
     # exact dominance refine must make the FINAL frontier invariant
     "agg_skyline_3d",
+    # streaming CEP: in-batch sort + monotone-count max collapse must make
+    # the alert counts independent of micro-batch layout
+    "stream_cep_pattern_alert",
 ]
 
 
