@@ -1208,10 +1208,13 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     a WHILE loop over the five region keys accumulating each region's
     exact scaled-long revenue, and an IF tracking the argmax — the
     stored-procedure control-flow surface, exercised over real data. All
-    in-script arithmetic is BIGINT on the 1e-6 money grid, so the loop's
-    sequential accumulation equals the oracle's order-insensitive SUM
-    bit-for-bit; the strict > argmax resolves ties to the smallest
-    region key, mirrored by the oracle's ORDER BY rev DESC, k.
+    in-script arithmetic runs on the 1e-6 money grid with DECIMAL(38,0)
+    accumulators (grid longs would wrap past ~9.2e12 money units per
+    region — the _helpers.lsum overflow bound; decimal partials are the
+    same discipline scaled_group_sums uses), so the loop's sequential
+    accumulation equals the oracle's order-insensitive SUM bit-for-bit;
+    the strict > argmax resolves ties to the smallest region key,
+    mirrored by the oracle's ORDER BY rev DESC, k.
 
     Scale: each iteration is an ordinary distributed query (broadcast
     dims, map-side partial sums); the script only sequences five of them
@@ -1224,13 +1227,13 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.sql(f"""
 BEGIN
   DECLARE k INT DEFAULT 0;
-  DECLARE rev BIGINT;
-  DECLARE total BIGINT DEFAULT 0;
-  DECLARE biggest BIGINT DEFAULT -1;
+  DECLARE rev DECIMAL(38, 0);
+  DECLARE total DECIMAL(38, 0) DEFAULT 0;
+  DECLARE biggest DECIMAL(38, 0) DEFAULT -1;
   DECLARE biggest_region INT DEFAULT -1;
   WHILE k < 5 DO
     SET rev = (
-      SELECT COALESCE(SUM(CAST(FLOOR(o_totalprice*1000000 + 0.5) AS BIGINT)), 0)
+      SELECT COALESCE(SUM(CAST(FLOOR(o_totalprice*1000000 + 0.5) AS DECIMAL(38, 0))), 0)
       FROM parquet.`{sf_dir}/orders.parquet` o
       JOIN parquet.`{sf_dir}/customer.parquet` c ON o_custkey = c_custkey
       JOIN parquet.`{sf_dir}/nation.parquet` n ON c_nationkey = n_nationkey

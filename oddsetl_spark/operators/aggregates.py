@@ -19,6 +19,7 @@ from ._helpers import (
     davg,
     dsum,
     lng,
+    lsum,
     ntile_expr,
     scaled_group_sums,
     sql_davg,
@@ -4109,12 +4110,7 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", F.col("c_acctbal").alias("bal"))
-        .agg(
-            (
-                F.sum(F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5)).cast("long")).cast("double")
-                / 1_000_000
-            ).alias("spend")
-        )
+        .agg(lsum(F.col("o_totalprice")).alias("spend"))
     )
     groups = pts.groupBy("bal").agg(F.max("spend").alias("gmax"))
     ranged = groups.repartitionByRange(8, F.desc("bal")).sortWithinPartitions(

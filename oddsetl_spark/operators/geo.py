@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 
 from ..io import table
 from ..registry import register
+from ._helpers import lsum
 
 # Deterministic synthetic coordinates in a continental box:
 # lat in [25, 48], lon in [-122, -71] — derived from the entity key.
@@ -866,10 +867,7 @@ def geo_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return contrib.groupBy("cell_i", "cell_j").agg(
-        (
-            F.sum(F.floor(F.col("w") * 1_000_000 + F.lit(0.5)).cast("long")).cast("double")
-            / 1_000_000
-        ).alias("density"),
+        lsum(F.col("w")).alias("density"),
         F.sum("own").cast("long").alias("n_points"),
     )
 
@@ -949,9 +947,6 @@ def geo_exposure_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "radius_km")
         .agg(
             F.count(F.lit(1)).alias("n_exposed"),
-            (
-                F.sum(F.floor(F.col("c_acctbal") * 1_000_000 + F.lit(0.5)).cast("long")).cast("double")
-                / 1_000_000
-            ).alias("exposed_balance"),
+            lsum(F.col("c_acctbal")).alias("exposed_balance"),
         )
     )

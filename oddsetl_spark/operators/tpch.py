@@ -573,9 +573,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(lsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
     )
-    total = pv.agg(
-        (F.sum(lng(F.col("value"))).cast("double") / 1_000_000).alias("_total")
-    )
+    total = pv.agg(lsum(F.col("value")).alias("_total"))
     return (
         pv.crossJoin(F.broadcast(total))
         .filter(F.col("value") > F.col("_total") * 0.002)
@@ -845,13 +843,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pa, li.l_partkey == F.col("apk"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
     )
-    return j.agg(
-        (
-            F.sum(lng(F.col("l_extendedprice"))).cast("double")
-            / 1_000_000
-            / 7.0
-        ).alias("avg_yearly")
-    )
+    return j.agg((lsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
 
 
 @register(
@@ -1128,11 +1120,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        (
-            F.sum(lng(F.col("c_acctbal"))).cast("double")
-            / 1_000_000
-            / F.count(F.lit(1))
-        ).alias("ab")
+        (lsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("ab")
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
@@ -1141,10 +1129,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            (
-                F.sum(lng(F.col("c_acctbal"))).cast("double")
-                / 1_000_000
-            ).alias("totacctbal"),
+            lsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
 

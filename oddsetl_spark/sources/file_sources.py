@@ -22,6 +22,10 @@ from pyspark.sql import types as T
 
 from ..io import table
 from ..registry import register
+from ..operators.geo import _SQL_LAT as _GEO_SQL_LAT
+from ..operators.geo import _SQL_LON as _GEO_SQL_LON
+from ..operators.geo import _lat as _geo_lat
+from ..operators.geo import _lon as _geo_lon
 from ..session import scratch_dir
 
 
@@ -708,11 +712,11 @@ def sink_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_geojson",
     category="sources",
-    oracle="""
+    oracle=f"""
 SELECT c_custkey AS site_id,
        c_mktsegment AS segment,
-       (-122.0 + ((c_custkey * 37) % 5100) / 100.0) AS lon,
-       (25.0 + ((c_custkey * 73) % 2300) / 100.0) AS lat
+       {_GEO_SQL_LON.format(k='c_custkey')} AS lon,
+       {_GEO_SQL_LAT.format(k='c_custkey')} AS lat
 FROM customer
 """,
 )
@@ -732,8 +736,8 @@ def source_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = table(spark, sf_dir, "customer")
     k = F.col("c_custkey")
-    lon = -122.0 + (k * 37 % 5100) / 100.0
-    lat = 25.0 + (k * 73 % 2300) / 100.0
+    lon = _geo_lon(k)
+    lat = _geo_lat(k)
     features = c.select(
         F.to_json(
             F.struct(
