@@ -94,8 +94,9 @@ NOTES = {
         "the only exchange belongs to the final aggregate.",
     "win_topk_per_group": "single exchange on o_custkey feeds sort+rank+filter; "
         "rank filter prunes before any further stage.",
-    "win_sessionize": "both window passes share the user_id exchange; final "
-        "session agg is the only second shuffle.",
+    "win_sessionize": "both window passes share the user_id exchange, and the "
+        "final session agg reuses it too (HashPartitioning(user_id) satisfies "
+        "the (user_id, session_id) clustering) — ONE shuffle total.",
     "sim_cosine_topk": "query vectors broadcast; corpus never shuffles until the "
         "tiny ranked result.",
     "text_token_count": "explode+agg with partial aggregation before the exchange.",
