@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import table
+from ..operators._helpers import sql_lsum
 from ..registry import register
 
 
@@ -1255,3 +1256,61 @@ END
             spark.conf.set("spark.sql.scripting.enabled", saved)
         else:
             spark.conf.unset("spark.sql.scripting.enabled")
+
+
+@register(
+    "sql_udf_create",
+    category="functions",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_lsum('l_extendedprice * (1 - l_discount)')} AS sum_dp,
+       {sql_lsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_tp,
+       CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bulk
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sql_udf_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4 CREATE FUNCTION ... RETURN expr) — the
+    catalog-function surface that needs NO Python on the executors:
+    a scalar disc_price, a COMPOSED taxed() that calls it, and a
+    CASE-bearing is_bulk(), all used inside an exact grouped
+    aggregation. SQL UDFs inline into the plan at analysis time, so
+    the aggregate stays in whole-stage codegen exactly as if the
+    expressions were written inline — the oracle IS those inlined
+    expressions.
+
+    A table-valued SQL function (RETURNS TABLE) is exercised in the
+    pytest suite; this registered query sticks to scalars so the oracle
+    stays a single statement.
+
+    Scale: zero Python boundary, zero extra shuffles — the function
+    layer is purely a naming/catalog abstraction.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION taxed(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN disc_price(p, d) * (1 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(q DOUBLE) "
+        "RETURNS INT RETURN CASE WHEN q >= 25 THEN 1 ELSE 0 END"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("sql_udf_lineitem")
+    return spark.sql(
+        """
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(disc_price(l_extendedprice, l_discount)*1000000
+            + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS sum_dp,
+       CAST(SUM(CAST(FLOOR(taxed(l_extendedprice, l_discount, l_tax)*1000000
+            + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS sum_tp,
+       CAST(SUM(is_bulk(l_quantity)) AS BIGINT) AS n_bulk
+FROM sql_udf_lineitem
+GROUP BY l_returnflag
+"""
+    )

@@ -1084,3 +1084,31 @@ def test_parquet_bloom_filter_bytes(spark):
     assert size(bloomed) > size(plain), (
         f"bloom write added no bytes: {size(bloomed)} <= {size(plain)}"
     )
+
+
+def test_sql_table_function_matches_inline_query(spark):
+    """Spark 4 SQL TABLE functions (CREATE FUNCTION ... RETURNS TABLE):
+    the parameterized table function must return exactly the rows of the
+    equivalent inline query, and compose with aggregation."""
+    from pyspark.sql import functions as F
+
+    from oddsetl_spark.io import table as t
+
+    sf = "/root/testdata/sf0.001"
+    t(spark, sf, "orders").createOrReplaceTempView("tf_orders")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION tf_top_orders(thr DOUBLE)
+RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE)
+RETURN SELECT o_orderkey, o_totalprice FROM tf_orders WHERE o_totalprice > thr"""
+    )
+    via_fn = spark.sql(
+        "SELECT COUNT(*) AS n, MIN(o_totalprice) AS mn FROM tf_top_orders(400000.0)"
+    ).collect()[0]
+    inline = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_totalprice").alias("mn"))
+        .collect()[0]
+    )
+    assert via_fn["n"] == inline["n"] > 0
+    assert via_fn["mn"] == inline["mn"]
