@@ -2509,3 +2509,78 @@ def etl_bridge_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("alloc_cents").cast("long").alias("allocated_cents"),
         )
     )
+
+
+@register(
+    "etl_incremental_join_mv",
+    category="etl",
+    oracle="""
+WITH a1 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+b1 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 4 = 0 THEN 'REASSIGNED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+)
+SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+FROM a1 JOIN b1 ON o_custkey = c_custkey
+""",
+)
+def etl_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view by delta rules (the
+    DBToaster/IVM classic the aggregate MV op doesn't cover): a
+    materialized V0 = A0 JOIN B0 is advanced to V2 by applying ONLY the
+    signed deltas — first the A side against the OLD B
+    (V1 = V0 + dA+ JOIN B0 - dA- JOIN B0), then the B side against the
+    NEW A (V2 = V1 + A1 JOIN dB+ - A1 JOIN dB-) — the asymmetric
+    old/new pairing that makes sequential application exact without the
+    dA JOIN dB cross term. The oracle is the full recompute
+    A1 JOIN B1, so any IVM soundness bug (missed retraction, double
+    -applied delta, wrong-side pairing) hash-fails.
+
+    Deltas here: A loses every 5th order and reprices every 7th
+    (update = retraction + insertion in the signed algebra); B
+    reassigns every 4th customer's segment.
+
+    Scale: each delta join touches |delta| x matching rows, never the
+    full V; the except/union steps are bag-exact on rows unique by
+    orderkey. At 100 TB, V0 and the deltas would be bucketed on
+    o_custkey so all five joins and the bag difference reuse one
+    partitioning.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a0 = o
+    a1 = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    b0 = c
+    b1 = c.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("REASSIGNED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"]
+
+    def jn(a, b):
+        return a.join(F.broadcast(b), a.o_custkey == b.c_custkey).select(*cols)
+
+    v0 = jn(a0, b0)
+    da_plus = a1.exceptAll(a0)
+    da_minus = a0.exceptAll(a1)
+    v1 = v0.unionAll(jn(da_plus, b0)).exceptAll(jn(da_minus, b0))
+    db_plus = b1.exceptAll(b0)
+    db_minus = b0.exceptAll(b1)
+    v2 = v1.unionAll(jn(a1, db_plus)).exceptAll(jn(a1, db_minus))
+    return v2

@@ -109,6 +109,8 @@ INVARIANCE_SET = [
     # streaming CEP: in-batch sort + monotone-count max collapse must make
     # the alert counts independent of micro-batch layout
     "stream_cep_pattern_alert",
+    # join-view IVM: exceptAll bag differences must be layout-independent
+    "etl_incremental_join_mv",
 ]
 
 
