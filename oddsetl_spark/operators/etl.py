@@ -2584,3 +2584,121 @@ def etl_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     db_minus = b0.exceptAll(b1)
     v2 = v1.unionAll(jn(a1, db_plus)).exceptAll(jn(a1, db_minus))
     return v2
+
+
+@register(
+    "etl_merkle_range_diff",
+    category="etl",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+),
+b AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+da AS (
+  SELECT o_orderkey // 256 AS range_id,
+         md5(string_agg(md5(o_orderkey || '|' || o_custkey || '|' ||
+                            CAST(o_totalprice AS VARCHAR)), ''
+                        ORDER BY o_orderkey)) AS digest,
+         COUNT(*) AS n
+  FROM a GROUP BY 1
+),
+db AS (
+  SELECT o_orderkey // 256 AS range_id,
+         md5(string_agg(md5(o_orderkey || '|' || o_custkey || '|' ||
+                            CAST(o_totalprice AS VARCHAR)), ''
+                        ORDER BY o_orderkey)) AS digest,
+         COUNT(*) AS n
+  FROM b GROUP BY 1
+)
+SELECT COALESCE(da.range_id, db.range_id) AS range_id,
+       da.n AS n_source, db.n AS n_target
+FROM da FULL JOIN db ON da.range_id = db.range_id
+WHERE da.digest IS DISTINCT FROM db.digest
+""",
+)
+def etl_merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation (the Dynamo/Cassandra Merkle-tree
+    idea, one level deep): both table versions hash every row, fold the
+    row hashes into ONE digest per contiguous key range (md5 of the
+    key-ordered concatenation), and a full outer join on range id
+    reports exactly the ranges whose digests differ — the ranges a
+    repair job must re-transfer. Rows compare by VALUE, so a repriced
+    row flags its range even though the key set is unchanged, and a
+    deleted row flags via both digest and count.
+
+    The target diverges from the source by deleting every 13th order
+    and repricing every 17th; doubles render through DuckDB-compatible
+    shortest-repr casts so row hashes agree cross-engine.
+
+    Scale: row hashing is map-side; each range digest folds a BOUNDED
+    range (256 keys) via sorted collect within the range's group — one
+    shuffle on range_id; the diff join carries |ranges| rows, ~1/256th
+    of the table. A production tree adds levels (ranges of ranges) to
+    binary-search huge tables in O(log) round trips; one level is the
+    verifiable core.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 17 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+    def digests(df):
+        rh = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.col("o_totalprice").cast("string"),
+            )
+        )
+        return (
+            df.select(
+                (F.col("o_orderkey") / 256).cast("long").alias("range_id"),
+                F.struct(F.col("o_orderkey"), rh.alias("h")).alias("r"),
+            )
+            .groupBy("range_id")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(F.collect_list("r")),
+                            lambda r: r["h"],
+                        ),
+                    )
+                ).alias("digest"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    da = digests(o).select(
+        F.col("range_id").alias("a_rid"), F.col("digest").alias("a_d"),
+        F.col("n").alias("n_source"),
+    )
+    db = digests(b).select(
+        F.col("range_id").alias("b_rid"), F.col("digest").alias("b_d"),
+        F.col("n").alias("n_target"),
+    )
+    return (
+        da.join(db, da.a_rid == db.b_rid, "full")
+        .filter(
+            ~(F.col("a_d") == F.col("b_d"))
+            | F.col("a_d").isNull()
+            | F.col("b_d").isNull()
+        )
+        .select(
+            F.coalesce(F.col("a_rid"), F.col("b_rid")).alias("range_id"),
+            "n_source",
+            "n_target",
+        )
+    )
