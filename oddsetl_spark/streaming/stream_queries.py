@@ -1215,7 +1215,15 @@ def stream_cep_pattern_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pin_session(spark)
     staged = stage_events(sf_dir, tag="cep")
-    grouped = read_events_stream(spark, staged).groupBy("user_id")
+    stream = read_events_stream(spark, staged)
+    return cep_alerts(stream, tag="cep")
+
+
+def cep_alerts(stream: DataFrame, tag: str) -> DataFrame:
+    """The CEP pipeline over any events stream (shared with the
+    multi-batch replay test): per-user (armed, count) state machine,
+    update-mode emission, per-user MAX collapse of the appended rows."""
+    grouped = stream.groupBy("user_id")
     out_schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -1254,5 +1262,5 @@ def stream_cep_pattern_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    landed = run_to_table(s, mode="update", tag="cep")
+    landed = run_to_table(s, mode="update", tag=tag)
     return landed.groupBy("user_id").agg(F.max("n_alerts").alias("n_alerts"))

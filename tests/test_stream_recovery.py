@@ -201,3 +201,85 @@ def test_two_sink_torn_batch_invisible_and_healed(spark):
     assert healed.agg(F.sum("n")).collect()[0][0] == 2 * n_batch, (
         "replay must not double-append within a batch dir"
     )
+
+
+def test_cep_alerts_invariant_under_microbatch_split(spark):
+    """The CEP state machine must produce the same per-user alert counts
+    whether the stream arrives as ONE micro-batch or as FOUR time-ordered
+    ones (maxFilesPerTrigger=1 over time-split files) — the cross-batch
+    state carry (armed flag persisting across batch boundaries) and the
+    update-mode MAX collapse are exactly what this exercises."""
+    import os
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from oddsetl_spark.io import table
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.streaming.runner import read_events_stream
+    from oddsetl_spark.streaming.stream_queries import cep_alerts
+
+    from .harness import SF_DIRS
+
+    sf_dir = SF_DIRS[_os.environ.get("ODDSETL_TEST_SF", "0.001")]
+    e = table(spark, sf_dir, "events")
+
+    # time-split the stream into 4 files in event-time order, mtimes
+    # ascending so the file source triggers them oldest-first
+    staged = scratch_dir("cep_split_in")
+    bounds = e.agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    ).collect()[0]
+    span = (bounds["t1"] - bounds["t0"]) / 4
+    for i in range(4):
+        lo = bounds["t0"] + i * span
+        hi = bounds["t0"] + (i + 1) * span
+        part = e.filter(
+            (F.col("ts") >= lo)
+            & ((F.col("ts") < hi) if i < 3 else (F.col("ts") <= bounds["t1"]))
+        )
+        path = os.path.join(staged, f"part-{i:04d}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(path + "_dir")
+        # single data file per trigger unit: move it up under a flat name
+        files = [
+            f
+            for f in os.listdir(path + "_dir")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+        os.rename(os.path.join(path + "_dir", files[0]), path)
+        _time.sleep(0.05)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = read_events_stream(spark, staged, max_files_per_trigger=1)
+    multi = {
+        r["user_id"]: r["n_alerts"]
+        for r in cep_alerts(stream, tag="cep_split").collect()
+    }
+
+    # batch regex twin (the registered oracle's semantics)
+    seq = (
+        e.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias("r"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("r")), lambda r: r["c"])
+            ).alias("s")
+        )
+    )
+    expect = {
+        r["user_id"]: r["n"]
+        for r in seq.select(
+            "user_id",
+            F.size(F.expr("regexp_extract_all(s, 'e[^s]*?p', 0)")).cast("long").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    assert multi == expect, (
+        f"multi-batch CEP diverged: {len(multi)} vs {len(expect)} users"
+    )
