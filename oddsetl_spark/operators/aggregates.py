@@ -4313,3 +4313,84 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(union_check))
     )
+
+
+@register(
+    "agg_sprt_sequential",
+    category="agg",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, ts, event_id,
+         CASE WHEN value > 50.0 THEN 405465 ELSE -133531 END AS inc
+  FROM events
+),
+walk AS (
+  SELECT event_type, ts, event_id,
+         SUM(inc) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS llr,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS n
+  FROM seq
+),
+crossing AS (
+  SELECT event_type, n, llr,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rk
+  FROM walk WHERE llr >= 2944439 OR llr <= -2944439
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_at_decision,
+       CAST(llr AS DOUBLE)/1000000 AS llr_at_decision,
+       CASE WHEN llr >= 2944439 THEN 'accept_h1' ELSE 'accept_h0' END
+         AS decision
+FROM crossing WHERE rk = 1
+""",
+)
+def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test (Wald's SPRT) — always-valid
+    sequential monitoring, the fixed-horizon z-test's (agg_abtest_ztest)
+    streaming-era sibling: per event type, walk the events in time order
+    accumulating the log-likelihood-ratio of 'value > 50' successes
+    under H1 (p=0.3) vs H0 (p=0.2), and stop at the FIRST crossing of
+    the alpha=beta=0.05 Wald boundaries, reporting the sample size and
+    decision at that moment.
+
+    Exactness: the two LLR increments and both boundaries are
+    PRECOMPUTED literals on the 1e-6 grid (ln(1.5)=0.405465 etc.), so
+    the running sum is integer arithmetic — cumulative double sums
+    could disagree across engines' window accumulation orders; integer
+    sums cannot. First-crossing selection is a rank over the (tiny)
+    crossing set.
+
+    Scale: one exchange on event_type; the walk is an ordered
+    cumulative window per type. At 100 TB the same test runs per
+    (experiment, variant) key — the partition IS the experiment unit,
+    so no partition outgrows its cohort.
+    """
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    inc = F.when(F.col("value") > 50.0, F.lit(405465)).otherwise(F.lit(-133531))
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    walk = e.select(
+        "event_type", "ts", "event_id", inc.alias("inc")
+    ).select(
+        "event_type",
+        F.sum("inc").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("llr"),
+        F.row_number().over(w).alias("n"),
+    )
+    crossed = walk.filter(
+        (F.col("llr") >= 2944439) | (F.col("llr") <= -2944439)
+    )
+    wf = W.partitionBy("event_type").orderBy("n")
+    return (
+        crossed.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_at_decision"),
+            (F.col("llr").cast("double") / 1_000_000).alias("llr_at_decision"),
+            F.when(F.col("llr") >= 2944439, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+        )
+    )
