@@ -1025,3 +1025,93 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dist.select("node", F.col("dist").alias("min_cost_cents"))
     finally:
         edges.unpersist()
+
+
+@register(
+    "graph_louvain_round",
+    category="graph",
+    oracle=f"""
+WITH e AS MATERIALIZED ({_COPURCHASE_EDGE_SQL}),
+und AS (
+  SELECT u AS i, v AS j FROM e UNION ALL SELECT v, u FROM e
+),
+deg AS (SELECT i, COUNT(*) AS k FROM und GROUP BY i),
+m AS (SELECT COUNT(*) AS m2 FROM und),
+gains AS (
+  SELECT und.i, und.j,
+         1.0 - (di.k * dj.k) / CAST(m.m2 AS DOUBLE) AS gain
+  FROM und JOIN deg di ON di.i = und.i
+  JOIN deg dj ON dj.i = und.j
+  CROSS JOIN m
+),
+best AS (
+  SELECT i, j, gain,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY gain DESC, j) AS rk
+  FROM gains
+),
+assign AS (
+  SELECT d.i,
+         CASE WHEN b.gain > 0 THEN LEAST(b.i, b.j) ELSE d.i END AS community
+  FROM deg d LEFT JOIN best b ON b.i = d.i AND b.rk = 1
+)
+SELECT community, COUNT(*) AS n_members,
+       CAST(MIN(i) AS BIGINT) AS first_member
+FROM assign GROUP BY community
+""",
+    heavy=True,
+)
+def graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain round from singleton communities on the
+    part co-purchase graph: every node evaluates the modularity gain of
+    joining each neighbor's (singleton) community —
+    gain(i->j) = w_ij - k_i*k_j/(2m) with unit weights — and moves to
+    the best strictly-positive one (ties to the smallest neighbor id;
+    the joint community is labeled min(i, j) so mutually-choosing pairs
+    agree). Louvain's full schedule iterates this with community
+    re-aggregation; the single synchronous round is the deterministic,
+    oracle-verifiable core, complementing graph_label_propagation
+    (count-based) with the modularity-gain criterion.
+
+    Exactness: the gain is ONE scalar expression per (i, j) on doubles
+    identical across engines, compared per-row — no accumulation, so no
+    ordering hazard; the argmax tie-breaks on j.
+
+    Scale: degrees and gains are one shuffle each on node id; the gain
+    join streams edges against the broadcast degree table; nothing is
+    quadratic — work is O(m) per round, the published Louvain cost.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    und = e.select(F.col("u").alias("i"), F.col("v").alias("j")).unionAll(
+        e.select(F.col("v").alias("i"), F.col("u").alias("j"))
+    )
+    deg = und.groupBy("i").agg(F.count(F.lit(1)).alias("k"))
+    m2 = und.agg(F.count(F.lit(1)).alias("m2"))
+    di = deg.select(F.col("i").alias("di_i"), F.col("k").alias("ki"))
+    dj = deg.select(F.col("i").alias("dj_i"), F.col("k").alias("kj"))
+    gains = (
+        und.join(F.broadcast(di), F.col("i") == F.col("di_i"))
+        .join(F.broadcast(dj), F.col("j") == F.col("dj_i"))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "i", "j",
+            (F.lit(1.0) - (F.col("ki") * F.col("kj")) / F.col("m2").cast("double")).alias("gain"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("i").orderBy(F.desc("gain"), "j")
+    best = gains.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    assign = deg.join(
+        best.select(F.col("i").alias("b_i"), F.col("j").alias("b_j"), "gain"),
+        F.col("i") == F.col("b_i"),
+        "left",
+    ).select(
+        "i",
+        F.when(F.col("gain") > 0, F.least(F.col("b_i"), F.col("b_j")))
+        .otherwise(F.col("i"))
+        .alias("community"),
+    )
+    return assign.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("i").cast("long").alias("first_member"),
+    )
