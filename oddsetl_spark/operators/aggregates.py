@@ -4394,3 +4394,82 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+@register(
+    "agg_diff_in_diff",
+    category="agg",
+    oracle="""
+WITH cells AS (
+  SELECT (user_id % 2 = 0) AS treated,
+         (ts >= TIMESTAMP '2024-01-15') AS post,
+         CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000 AS s,
+         COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT
+    MAX(CASE WHEN treated AND post THEN s/n END) AS tp,
+    MAX(CASE WHEN treated AND NOT post THEN s/n END) AS tpre,
+    MAX(CASE WHEN NOT treated AND post THEN s/n END) AS cp,
+    MAX(CASE WHEN NOT treated AND NOT post THEN s/n END) AS cpre,
+    MAX(CASE WHEN treated AND post THEN n END) AS n_tp,
+    MAX(CASE WHEN treated AND NOT post THEN n END) AS n_tpre,
+    MAX(CASE WHEN NOT treated AND post THEN n END) AS n_cp,
+    MAX(CASE WHEN NOT treated AND NOT post THEN n END) AS n_cpre
+  FROM cells
+)
+SELECT tp - tpre AS treated_delta,
+       cp - cpre AS control_delta,
+       (tp - tpre) - (cp - cpre) AS did_effect,
+       CAST(n_tp + n_tpre + n_cp + n_cpre AS BIGINT) AS n_total
+FROM m
+""",
+)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse causal estimator for
+    natural experiments (a policy lands on 2024-01-15; even user ids are
+    the treated group): effect = (treated post-pre delta) minus (control
+    post-pre delta), removing both group-level baselines and common time
+    trends. The 2x2 cell means use exact scaled-long sums divided by
+    counts, then three scalar subtractions — bit-identical across
+    engines; the pivot from cells to one row is MAX-of-disjoint-CASE.
+
+    Scale: ONE pass over the filtered facts into 4 cells (map-side
+    partials), then scalar math on a 1-row frame. Panel variants (per
+    -cohort DiD) just add the cohort key to the groupBy.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cells = e.groupBy(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp")).alias("post"),
+    ).agg(
+        lsum(F.col("value")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    m = cells.agg(
+        (cell(True, True, "s") / cell(True, True, "n")).alias("tp"),
+        (cell(True, False, "s") / cell(True, False, "n")).alias("tpre"),
+        (cell(False, True, "s") / cell(False, True, "n")).alias("cp"),
+        (cell(False, False, "s") / cell(False, False, "n")).alias("cpre"),
+        (
+            cell(True, True, "n")
+            + cell(True, False, "n")
+            + cell(False, True, "n")
+            + cell(False, False, "n")
+        ).cast("long").alias("n_total"),
+    )
+    return m.select(
+        (F.col("tp") - F.col("tpre")).alias("treated_delta"),
+        (F.col("cp") - F.col("cpre")).alias("control_delta"),
+        ((F.col("tp") - F.col("tpre")) - (F.col("cp") - F.col("cpre"))).alias("did_effect"),
+        "n_total",
+    )
