@@ -2210,3 +2210,97 @@ def curate_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
         F.round("p_keep", 9).alias("p_keep"),
     )
+
+
+@register(
+    "curate_kaplan_meier",
+    category="curation",
+    oracle="""
+WITH bounds AS (
+  SELECT MAX(ts) - INTERVAL 3 DAY AS cutoff FROM events
+),
+life AS (
+  SELECT user_id,
+         date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+           AS t,
+         MAX(ts) > (SELECT cutoff FROM bounds) AS censored
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT unnest(range(0, (SELECT MAX(t) FROM life) + 1)) AS t
+),
+tbl AS (
+  SELECT g.t,
+         (SELECT COUNT(*) FROM life l WHERE l.t >= g.t) AS n_at_risk,
+         (SELECT COUNT(*) FROM life l
+          WHERE l.t = g.t AND NOT l.censored) AS d_events,
+         (SELECT COUNT(*) FROM life l
+          WHERE l.t = g.t AND l.censored) AS n_censored
+  FROM grid g
+)
+SELECT CAST(t AS BIGINT) AS t, n_at_risk, d_events, n_censored,
+       CAST(d_events AS DOUBLE) / n_at_risk AS hazard
+FROM tbl WHERE n_at_risk > 0
+""",
+)
+def curate_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier life table WITH right-censoring — the estimator
+    curate_survival_curve's naive retention curve silently gets wrong:
+    users whose last event falls inside the final 3 days of the
+    observation window are CENSORED (still alive at cutoff), not
+    churned, so they contribute to the at-risk denominators up to their
+    censoring day but never to the death counts. Output per lifetime
+    day: n_at_risk, d_events (uncensored exits), n_censored, and the
+    discrete hazard d/n — the (1 - hazard) factors whose running
+    product is the KM survival estimate (the product itself is left to
+    the consumer: a cumulative double product has no cross-engine
+    -deterministic formulation, while every life-table column here is
+    exact integers + one scalar division).
+
+    Scale: one pass to per-user lifetimes; the day grid joins the tiny
+    lifetime histogram, and at-risk counts come from a reverse
+    cumulative sum over the grid — no per-(user, day) blowup.
+    """
+    e = table(spark, sf_dir, "events")
+    cutoff = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("cutoff")
+    )
+    life = (
+        e.groupBy("user_id")
+        .agg(
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("t"),
+            F.max("ts").alias("last_ts"),
+        )
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            "user_id", "t", (F.col("last_ts") > F.col("cutoff")).alias("censored")
+        )
+    )
+    hist = life.groupBy("t").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d_events"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias("n_censored"),
+        F.count(F.lit(1)).alias("n_exit"),
+    )
+    grid = life.agg(F.max("t").alias("tmax")).select(
+        F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t")
+    )
+    filled = grid.join(hist, "t", "left").select(
+        "t",
+        F.coalesce(F.col("d_events"), F.lit(0)).cast("long").alias("d_events"),
+        F.coalesce(F.col("n_censored"), F.lit(0)).cast("long").alias("n_censored"),
+        F.coalesce(F.col("n_exit"), F.lit(0)).cast("long").alias("n_exit"),
+    )
+    # n_at_risk(t) = users exiting at any day >= t: reverse running sum
+    # over the bounded day grid (observation window, not data volume)
+    wrev = W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    tbl = filled.select(
+        "t", "d_events", "n_censored",
+        F.sum("n_exit").over(wrev).alias("n_at_risk"),
+    )
+    return tbl.filter(F.col("n_at_risk") > 0).select(
+        F.col("t").cast("long").alias("t"),
+        "n_at_risk",
+        "d_events",
+        "n_censored",
+        (F.col("d_events").cast("double") / F.col("n_at_risk")).alias("hazard"),
+    )
