@@ -4291,7 +4291,7 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.to_date("ts").alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("n_exact"),
-    )
+    ).persist()  # feeds both the per-day rows and the union check
     union_check = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u_est")
     ).crossJoin(
@@ -4320,15 +4320,15 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="agg",
     oracle="""
 WITH seq AS (
-  SELECT event_type, ts, event_id,
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS tts, event_id,
          CASE WHEN value > 50.0 THEN 405465 ELSE -133531 END AS inc
   FROM events
 ),
 walk AS (
-  SELECT event_type, ts, event_id,
-         SUM(inc) OVER (PARTITION BY event_type ORDER BY ts, event_id
+  SELECT event_type, event_id,
+         SUM(inc) OVER (PARTITION BY event_type ORDER BY tts, event_id
                         ROWS UNBOUNDED PRECEDING) AS llr,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tts, event_id)
            AS n
   FROM seq
 ),
@@ -4402,7 +4402,7 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH cells AS (
   SELECT (user_id % 2 = 0) AS treated,
-         (ts >= TIMESTAMP '2024-01-15') AS post,
+         (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15') AS post,
          CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS DOUBLE)
            / 1000000 AS s,
          COUNT(*) AS n
@@ -4442,12 +4442,19 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     -cohort DiD) just add the cohort key to the groupBy.
     """
     e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    cells = e.groupBy(
-        (F.col("user_id") % 2 == 0).alias("treated"),
-        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp")).alias("post"),
-    ).agg(
-        lsum(F.col("value")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
+    # two-phase exact sums: 4 GLOBAL cells over the whole fact table is
+    # exactly the low-cardinality case lsum's long accumulator cannot
+    # carry at 100 TB (_helpers.py overflow bound) — scaled_group_sums
+    # sums longs per partition and merges decimal partials
+    cells = scaled_group_sums(
+        e.select(
+            (F.col("user_id") % 2 == 0).alias("treated"),
+            (F.col("ts") >= F.lit("2024-01-15").cast("timestamp")).alias("post"),
+            "value",
+        ),
+        keys=["treated", "post"],
+        sums={"s": F.col("value")},
+        count_alias="n",
     )
 
     def cell(t, p, col):

@@ -1081,10 +1081,14 @@ def graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic — work is O(m) per round, the published Louvain cost.
     """
     e = _copurchase_edges(spark, sf_dir)
-    und = e.select(F.col("u").alias("i"), F.col("v").alias("j")).unionAll(
-        e.select(F.col("v").alias("i"), F.col("u").alias("j"))
+    # the lineitem self-join feeds deg, m2, gains AND the final assign —
+    # persist it once (same discipline as the other heavy graph ops)
+    und = (
+        e.select(F.col("u").alias("i"), F.col("v").alias("j"))
+        .unionAll(e.select(F.col("v").alias("i"), F.col("u").alias("j")))
+        .persist()
     )
-    deg = und.groupBy("i").agg(F.count(F.lit(1)).alias("k"))
+    deg = und.groupBy("i").agg(F.count(F.lit(1)).alias("k")).persist()
     m2 = und.agg(F.count(F.lit(1)).alias("m2"))
     di = deg.select(F.col("i").alias("di_i"), F.col("k").alias("ki"))
     dj = deg.select(F.col("i").alias("dj_i"), F.col("k").alias("kj"))

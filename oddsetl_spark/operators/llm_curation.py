@@ -2217,13 +2217,13 @@ def curate_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="curation",
     oracle="""
 WITH bounds AS (
-  SELECT MAX(ts) - INTERVAL 3 DAY AS cutoff FROM events
+  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 DAY AS cutoff FROM events
 ),
 life AS (
   SELECT user_id,
          date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
            AS t,
-         MAX(ts) > (SELECT cutoff FROM bounds) AS censored
+         MAX(CAST(ts AS TIMESTAMP)) > (SELECT cutoff FROM bounds) AS censored
   FROM events GROUP BY user_id
 ),
 grid AS (
@@ -2279,7 +2279,6 @@ def curate_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = life.groupBy("t").agg(
         F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d_events"),
         F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias("n_censored"),
-        F.count(F.lit(1)).alias("n_exit"),
     )
     grid = life.agg(F.max("t").alias("tmax")).select(
         F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t")
@@ -2288,14 +2287,13 @@ def curate_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         F.coalesce(F.col("d_events"), F.lit(0)).cast("long").alias("d_events"),
         F.coalesce(F.col("n_censored"), F.lit(0)).cast("long").alias("n_censored"),
-        F.coalesce(F.col("n_exit"), F.lit(0)).cast("long").alias("n_exit"),
     )
     # n_at_risk(t) = users exiting at any day >= t: reverse running sum
     # over the bounded day grid (observation window, not data volume)
     wrev = W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, W.currentRow)
     tbl = filled.select(
         "t", "d_events", "n_censored",
-        F.sum("n_exit").over(wrev).alias("n_at_risk"),
+        F.sum(F.col("d_events") + F.col("n_censored")).over(wrev).alias("n_at_risk"),
     )
     return tbl.filter(F.col("n_at_risk") > 0).select(
         F.col("t").cast("long").alias("t"),

@@ -210,19 +210,20 @@ def test_cep_alerts_invariant_under_microbatch_split(spark):
     state carry (armed flag persisting across batch boundaries) and the
     update-mode MAX collapse are exactly what this exercises."""
     import os
-    import os as _os
-    import time as _time
 
     from pyspark.sql import functions as F
 
     from oddsetl_spark.io import table
     from oddsetl_spark.session import scratch_dir
     from oddsetl_spark.streaming.runner import read_events_stream
-    from oddsetl_spark.streaming.stream_queries import cep_alerts
+    from oddsetl_spark.streaming.stream_queries import (
+        cep_alerts,
+        stream_cep_pattern_alert,
+    )
 
     from .harness import SF_DIRS
 
-    sf_dir = SF_DIRS[_os.environ.get("ODDSETL_TEST_SF", "0.001")]
+    sf_dir = SF_DIRS[os.environ.get("ODDSETL_TEST_SF", "0.001")]
     e = table(spark, sf_dir, "events")
 
     # time-split the stream into 4 files in event-time order, mtimes
@@ -249,7 +250,6 @@ def test_cep_alerts_invariant_under_microbatch_split(spark):
         ]
         assert len(files) == 1
         os.rename(os.path.join(path + "_dir", files[0]), path)
-        _time.sleep(0.05)
         os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
 
     stream = read_events_stream(spark, staged, max_files_per_trigger=1)
@@ -258,27 +258,12 @@ def test_cep_alerts_invariant_under_microbatch_split(spark):
         for r in cep_alerts(stream, tag="cep_split").collect()
     }
 
-    # batch regex twin (the registered oracle's semantics)
-    seq = (
-        e.select(
-            "user_id",
-            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias("r"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list("r")), lambda r: r["c"])
-            ).alias("s")
-        )
-    )
+    # the stated invariant, tested directly: the ONE-micro-batch run is
+    # the registered query itself (already oracle-verified against the
+    # batch regex twin)
     expect = {
-        r["user_id"]: r["n"]
-        for r in seq.select(
-            "user_id",
-            F.size(F.expr("regexp_extract_all(s, 'e[^s]*?p', 0)")).cast("long").alias("n"),
-        )
-        .filter(F.col("n") > 0)
-        .collect()
+        r["user_id"]: r["n_alerts"]
+        for r in stream_cep_pattern_alert(spark, sf_dir).collect()
     }
     assert multi == expect, (
         f"multi-batch CEP diverged: {len(multi)} vs {len(expect)} users"
