@@ -111,6 +111,14 @@ INVARIANCE_SET = [
     "stream_cep_pattern_alert",
     # join-view IVM: exceptAll bag differences must be layout-independent
     "etl_incremental_join_mv",
+    # late additions: collect-order canonicalization (merkle), the
+    # integer LLR walk, the 2x2 two-phase cells, the persisted-edge
+    # argmax, and the reverse-cumsum life table
+    "etl_merkle_range_diff",
+    "agg_sprt_sequential",
+    "agg_diff_in_diff",
+    "graph_louvain_round",
+    "curate_kaplan_meier",
 ]
 
 
