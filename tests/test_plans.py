@@ -633,3 +633,32 @@ def test_skyline_running_max_is_range_partitioned(spark):
     plan = _plan(spark, "agg_skyline_pareto")
     assert "rangepartitioning" in plan.lower(), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_merkle_diff_exchanges_only_range_ids(spark):
+    """etl_merkle_range_diff: digests must aggregate on range_id (one
+    exchange per side) with no cartesian products; the diff join is over
+    digest rows, not raw rows."""
+    plan = _plan(spark, "etl_merkle_range_diff")
+    assert "CartesianProduct" not in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "hashpartitioning(range_id" in final, final
+
+
+def test_louvain_gain_join_broadcasts_degrees(spark):
+    """graph_louvain_round: the gain computation must stream edges against
+    BROADCAST degree tables — no shuffle join on the edge list, no
+    cartesian product (the m2 scalar rides a 1-row broadcast)."""
+    plan = _plan(spark, "graph_louvain_round")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_skyline_3d_refine_is_broadcast_anti_join(spark):
+    """agg_skyline_3d: phase 1 must be a shuffle-free mapInPandas scan
+    (MapInPandas over the scan, no exchange before it) and phase 2 a
+    broadcast left-anti join over the candidate union."""
+    plan = _plan(spark, "agg_skyline_3d")
+    assert "MapInPandas" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

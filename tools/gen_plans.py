@@ -43,7 +43,10 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             # disaster-domain batch
             "tpch_q03", "tpch_q08", "tpch_q17", "tpch_q21",
             "geo_spatiotemporal_join", "geo_kde_heatmap",
-            "sim_binary_quantize_rerank", "win_burst_detection"]
+            "sim_binary_quantize_rerank", "win_burst_detection",
+            "etl_incremental_join_mv", "etl_merkle_range_diff",
+            "graph_louvain_round", "agg_skyline_3d",
+            "agg_sprt_sequential", "curate_kaplan_meier"]
 
 NOTES = {
     "win_interval_union_length": "one (user_id) exchange feeds both sweep "
@@ -218,6 +221,20 @@ NOTES = {
         "stage; queries broadcast; per-query rank over 16-byte codes.",
     "win_burst_detection": "spine from the stream's own bounds (no "
         "collect); counts partial-agg before the one exchange.",
+    "etl_incremental_join_mv": "five delta joins broadcast the dim side; "
+        "bag differences ride exceptAll on the view columns.",
+    "etl_merkle_range_diff": "row hashes map-side; ONE exchange per side "
+        "on range_id; the diff join carries ~n/256 rows.",
+    "graph_louvain_round": "persisted edge list; gains stream edges "
+        "against broadcast degrees; argmax is a per-node window.",
+    "agg_skyline_3d": "local skylines inside mapInPandas (no shuffle); "
+        "the dominance refine is a broadcast anti-join over the tiny "
+        "candidate union.",
+    "agg_sprt_sequential": "integer LLR walk per event_type partition; "
+        "first crossing via rank over the crossing subset.",
+    "curate_kaplan_meier": "per-user lifetimes -> bounded day grid; "
+        "at-risk counts from a reverse cumsum over the grid, not "
+        "per-(user, day) rows.",
 }
 
 out = ["# PLANS — final physical plans of the headline queries (sf0.1, AQE final)",

@@ -98,6 +98,10 @@ QUERIES = [
     "agg_skyline_pareto",
     "agg_skyline_3d",
     "win_event_pattern_match",
+    # final-wave heavies: the m^2-free Louvain gain join and the
+    # range-digest fold (bounded 256-key groups)
+    "graph_louvain_round",
+    "etl_merkle_range_diff",
 ]
 
 
