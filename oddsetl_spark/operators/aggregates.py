@@ -4480,3 +4480,99 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("tp") - F.col("tpre")) - (F.col("cp") - F.col("cpre"))).alias("did_effect"),
         "n_total",
     )
+
+
+@register(
+    "agg_cuped_adjustment",
+    category="agg",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         (user_id % 2 = 0) AS treated,
+         CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+              THEN CAST(FLOOR(value*1000000 + 0.5) AS BIGINT) ELSE 0 END)
+              AS DOUBLE)/1000000 AS x,
+         CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
+              THEN CAST(FLOOR(value*1000000 + 0.5) AS BIGINT) ELSE 0 END)
+              AS DOUBLE)/1000000 AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(x*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS sx,
+         CAST(SUM(CAST(FLOOR(y*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS sy,
+         CAST(SUM(CAST(FLOOR(x*x*1000 + 0.5) AS BIGINT)) AS DOUBLE)/1000 AS sxx,
+         CAST(SUM(CAST(FLOOR(x*y*1000 + 0.5) AS BIGINT)) AS DOUBLE)/1000 AS sxy
+  FROM per_user
+),
+theta AS (
+  SELECT n, sx, sy,
+         (sxy - sx*sy/n) / (sxx - sx*sx/n) AS th
+  FROM mom
+)
+SELECT p.treated,
+       COUNT(*) AS n_users,
+       CAST(SUM(CAST(FLOOR(p.y*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000
+         / COUNT(*) AS mean_y,
+       CAST(SUM(CAST(FLOOR((p.y - t.th*(p.x - t.sx/t.n))*1000 + 0.5) AS BIGINT)) AS DOUBLE)/1000
+         / COUNT(*) AS mean_y_cuped
+FROM per_user p CROSS JOIN theta t
+GROUP BY p.treated
+""",
+)
+def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the experimentation-platform staple:
+    each user's post-period metric Y is adjusted by their PRE-period
+    covariate X (Y' = Y - theta*(X - mean X), theta = cov(X,Y)/var(X)),
+    shrinking variance without biasing the treatment contrast because
+    X predates the experiment. Output: per-variant raw and
+    CUPED-adjusted means.
+
+    Exactness: per-user X/Y and all four moments are scaled-long exact
+    sums (products x*x, x*y carry more decimals, so they round to the
+    1e-3 grid — disclosed, identical on both engines); theta and the
+    per-user adjustment are scalar double expressions, and the adjusted
+    values re-enter an exact grid sum before the mean division.
+
+    Scale: one pass to per-user rows, one tiny moment row broadcast
+    back, one grouped pass for the variant means — no quadratic stage.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("ts") < cut, lng(F.col("value"))).otherwise(F.lit(0))).cast("double")
+            / 1_000_000
+        ).alias("x"),
+        (
+            F.sum(F.when(F.col("ts") >= cut, lng(F.col("value"))).otherwise(F.lit(0))).cast("double")
+            / 1_000_000
+        ).alias("y"),
+    ).select(
+        (F.col("user_id") % 2 == 0).alias("treated"), "x", "y"
+    )
+
+    def g3(col):  # 1e-3 grid for the squared/product terms
+        return F.sum(F.floor(col * 1_000 + F.lit(0.5)).cast("long")).cast("double") / 1_000
+
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(lng(F.col("x"))).cast("double") / 1_000_000).alias("sx"),
+        g3(F.col("x") * F.col("x")).alias("sxx"),
+        g3(F.col("x") * F.col("y")).alias("sxy"),
+        (F.sum(lng(F.col("y"))).cast("double") / 1_000_000).alias("sy"),
+    ).select(
+        "n", "sx",
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+         / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))).alias("th"),
+    )
+    adj = per_user.crossJoin(F.broadcast(mom)).select(
+        "treated", "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("sx") / F.col("n"))).alias("y_adj"),
+    )
+    return adj.groupBy("treated").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        ((F.sum(lng(F.col("y"))).cast("double") / 1_000_000) / F.count(F.lit(1))).alias("mean_y"),
+        (g3(F.col("y_adj")) / F.count(F.lit(1))).alias("mean_y_cuped"),
+    )
