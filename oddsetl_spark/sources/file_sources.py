@@ -14,7 +14,6 @@ the round-tripped result against the ORIGINAL parquet via DuckDB.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
