@@ -49,6 +49,18 @@ class CommitConflictError(RuntimeError):
     """Another writer committed this version first (optimistic loss)."""
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a just-linked/renamed entry survives power
+    loss — the half of the POSIX put-if-absent recipe os.link alone
+    misses (a crashed dir entry would gap the log and make the fold
+    silently skip a committed version)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class AcidTable:
     def __init__(self, root: str):
         self.root = root
@@ -168,6 +180,7 @@ class AcidTable:
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, self._checkpoint_path(version))
+            _fsync_dir(self.log_dir)
         except BaseException:
             if os.path.exists(tmp):
                 os.unlink(tmp)
@@ -225,17 +238,26 @@ class AcidTable:
                 raise CommitConflictError(
                     f"version {version} already committed"
                 ) from exc
+            _fsync_dir(self.log_dir)
         finally:
             os.unlink(tmp)
 
     # ----------------------------------------------------------------- data
 
     def _write_files(self, df: DataFrame, tag: str) -> list[str]:
-        """Write df as parquet under data/<tag>/ and return the part-file
-        paths relative to the table root (what manifests reference)."""
-        out = os.path.join(self.data_dir, tag)
+        """Write df as parquet under data/<tag>-<token>/ and return the
+        part-file paths relative to the table root (what manifests
+        reference). The random token makes the DIRECTORY per-writer
+        unique: two writers racing the same next-version must lose at
+        the manifest put-if-absent (CommitConflictError -> rebase), not
+        die early on a colliding data path (mode('error')) — the loser's
+        orphaned directory is invisible to readers and reclaimed by
+        vacuum."""
+        import uuid
+
+        out = os.path.join(self.data_dir, f"{tag}-{uuid.uuid4().hex[:8]}")
         df.write.mode("error").parquet(out)
-        rel = os.path.join("data", tag)
+        rel = os.path.relpath(out, self.root)
         return sorted(
             os.path.join(rel, f)
             for f in os.listdir(out)
@@ -301,10 +323,17 @@ class AcidTable:
         version: int | None = None,
         merge_schema: bool = False,
     ) -> DataFrame:
+        files = self.active_files(version)
+        if not files:
+            raise ValueError(
+                f"empty snapshot at {self.root} (all rows deleted): the "
+                "manifest log stores no schema, so an empty table cannot "
+                "be materialized as a DataFrame"
+            )
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*self.active_files(version))
+        return reader.parquet(*files)
 
     def read_pruned(
         self,
@@ -339,29 +368,65 @@ class AcidTable:
             ok = True
             for col, (lo, hi) in preds.items():
                 s = st.get(col)
-                if s is not None and (s[0] > hi or s[1] < lo):
+                # [None, None] stats (all-NULL column in that file) prune
+                # like MISSING stats: the file is kept — lossless
+                if (
+                    s is not None
+                    and s[0] is not None
+                    and s[1] is not None
+                    and (s[0] > hi or s[1] < lo)
+                ):
                     ok = False
                     break
             if ok:
                 keep.append(os.path.join(self.root, f))
+        if not keep:
+            # everything pruned: empty result with the snapshot's schema
+            # (one footer read; zero data rows materialize)
+            any_file = next(iter(all_stats), None)
+            if any_file is None:
+                raise ValueError(f"empty snapshot at {self.root}")
+            df = spark.read.parquet(
+                os.path.join(self.root, any_file)
+            ).filter(F.lit(False))
+            return df, 0, len(all_stats)
         df = spark.read.parquet(*keep)
         return df, len(keep), len(all_stats)
 
-    def vacuum(self, retain_from_version: int) -> list[str]:
+    def vacuum(
+        self, retain_from_version: int, grace_seconds: float = 0.0
+    ) -> list[str]:
         """Physically delete data files not referenced by ANY snapshot at
         or after `retain_from_version` (the retention policy Delta's
         VACUUM applies by age — by version here for determinism). Time
         travel earlier than the horizon stops working, by design; the
-        commit log itself is never rewritten."""
+        commit log itself is never rewritten.
+
+        The referenced set is ONE fold at the horizon plus the adds of
+        every later manifest — a file added after the horizon was
+        referenced by the snapshot that added it even if later removed,
+        so the per-version refold the naive form does is redundant
+        (O(versions x tail) JSON reads collapse to O(tail)).
+
+        `grace_seconds` skips files younger than the window — the Delta
+        -style protection for a concurrent writer that has landed data
+        files but not yet published its manifest (its files reference
+        nothing until the commit wins). The default 0 keeps single
+        -writer replays deterministic; ANY concurrent deployment should
+        pass a grace comfortably above its write latency."""
+        import time as _time
+
         latest = self.latest_version()
-        referenced: set[str] = set()
+        horizon = min(retain_from_version, latest)
+        active, _stats, dvs = self._fold_state(horizon)
+        referenced: set[str] = set(active) | set(dvs)
         for v in self.versions():
-            if v >= retain_from_version and v <= latest:
-                active, _stats, dvs = self._fold_state(v)
-                referenced.update(active)
-                # live deletion vectors are part of the snapshot: deleting
-                # one would resurrect rows at every retained version
-                referenced.update(dvs)
+            if v <= horizon or v > latest:
+                continue
+            m = json.load(open(self._manifest_path(v)))
+            referenced.update(m.get("add", []))
+            referenced.update(m.get("dv", []))
+        now = _time.time()
         deleted = []
         for dirpath, _dirs, files in os.walk(self.data_dir):
             for f in files:
@@ -369,9 +434,14 @@ class AcidTable:
                     continue
                 full = os.path.join(dirpath, f)
                 rel = os.path.relpath(full, self.root)
-                if rel not in referenced:
-                    os.unlink(full)
-                    deleted.append(rel)
+                if rel in referenced:
+                    continue
+                if grace_seconds > 0 and (
+                    now - os.path.getmtime(full) < grace_seconds
+                ):
+                    continue
+                os.unlink(full)
+                deleted.append(rel)
         return deleted
 
     # ------------------------------------------------------------ operations
@@ -397,6 +467,7 @@ class AcidTable:
         key: str,
         as_of_version: int | None = None,
         tag: str = "",
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Copy-on-write MERGE: keys present in the base are updated in
         place (only their containing files rewritten), unmatched change
@@ -429,7 +500,6 @@ class AcidTable:
             self.purge_dv(spark)
             version = self.latest_version()
         files = self.active_files(version)
-        base = self.read(spark, version)
         tagged = spark.read.parquet(*files).select(
             "*", F.col("_metadata.file_path").alias("_fp")
         )
@@ -447,27 +517,36 @@ class AcidTable:
         ]
         add: list[str] = []
         next_v = version + 1
+        # Every change key present in the base necessarily lives in an
+        # affected file (that is how `affected` was found), so the
+        # matched-key set of the AFFECTED rows equals changes-keys-in
+        # -base — the update/insert split never needs the full base's
+        # distinct keys (a 100 TB-table scan + unbounded broadcast).
         if rel_affected:
             aff_rows = spark.read.parquet(
                 *[os.path.join(self.root, f) for f in rel_affected]
             )
+            aff_keys = aff_rows.select(key).distinct()
             kept = aff_rows.join(
                 F.broadcast(changes.select(key)), key, "left_anti"
             )
-            updates = changes.join(
-                F.broadcast(base.select(key).distinct()), key, "left_semi"
-            )
+            updates = changes.join(aff_keys, key, "left_semi")
             add += self._write_files(
                 kept.unionByName(updates), f"commit-{next_v:05d}{tag}-rewrite"
             )
-        inserts = changes.join(
-            F.broadcast(base.select(key).distinct()), key, "left_anti"
-        )
-        if inserts.limit(1).count() > 0:
-            add += self._write_files(
-                inserts, f"commit-{next_v:05d}{tag}-insert"
-            )
-        self.commit(next_v, "merge", add=add, remove=rel_affected)
+            inserts = changes.join(aff_keys, key, "left_anti")
+        else:
+            inserts = changes
+        inserts = inserts.persist()
+        try:
+            if inserts.limit(1).count() > 0:
+                add += self._write_files(
+                    inserts, f"commit-{next_v:05d}{tag}-insert"
+                )
+        finally:
+            inserts.unpersist()
+        stats = self._collect_stats(spark, add, stats_cols or [])
+        self.commit(next_v, "merge", add=add, remove=rel_affected, stats=stats)
         return next_v
 
     def merge_with_rebase(
@@ -501,7 +580,9 @@ class AcidTable:
                     raise
                 base_v = self.latest_version()  # rebase onto the new head
 
-    def delete_where(self, spark: SparkSession, cond) -> int:
+    def delete_where(
+        self, spark: SparkSession, cond, stats_cols: list[str] | None = None
+    ) -> int:
         """Copy-on-write DELETE: rewrite only files containing matches.
         Live deletion vectors are purged first (see merge)."""
         if self.dv_files(self.latest_version()):
@@ -524,12 +605,18 @@ class AcidTable:
             aff_rows = spark.read.parquet(
                 *[os.path.join(self.root, f) for f in rel_affected]
             )
-            survivors = aff_rows.filter(~cond)
+            # SQL DELETE removes only rows where cond is TRUE; a NULL
+            # predicate row matches neither cond nor ~cond, so a plain
+            # ~cond filter would silently drop it from the rewrite
+            survivors = aff_rows.filter(~F.coalesce(cond, F.lit(False)))
             if survivors.limit(1).count() > 0:
                 add = self._write_files(
                     survivors, f"commit-{next_v:05d}-delete"
                 )
-        self.commit(next_v, "delete", add=add, remove=rel_affected)
+        stats = self._collect_stats(spark, add, stats_cols or [])
+        self.commit(
+            next_v, "delete", add=add, remove=rel_affected, stats=stats
+        )
         return next_v
 
     def dv_files(self, version: int | None = None) -> list[str]:
@@ -624,11 +711,17 @@ class AcidTable:
         # must re-publish those too, not just the data-file set
         dv_want = {self._ref(p) for p in self.dv_files(version)}
         next_v = head + 1
+        # re-added files regain the stats they had at the target
+        # snapshot (the fold popped them on removal) — without this,
+        # stats-skipping silently degrades to full scans after a restore
+        _a, want_stats, _d = self._fold_state(version)
+        readd = sorted(want - have)
         self.commit(
             next_v,
             "restore",
-            add=sorted(want - have),
+            add=readd,
             remove=sorted(have - want),
+            stats={f: want_stats[f] for f in readd if f in want_stats},
             dv=sorted(dv_want - dv_now),
             dv_remove=sorted(dv_now - dv_want),
         )
@@ -657,7 +750,12 @@ class AcidTable:
         )
         return clone
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """OPTIMIZE: rewrite the active set into `target_files` files,
         content byte-identical (row-set equality is what the oracle
         checks), then swap atomically in one commit."""
@@ -669,7 +767,8 @@ class AcidTable:
         df = spark.read.parquet(*files).coalesce(target_files)
         next_v = version + 1
         add = self._write_files(df, f"commit-{next_v:05d}-compact")
-        self.commit(next_v, "compact", add=add, remove=rel)
+        stats = self._collect_stats(spark, add, stats_cols or [])
+        self.commit(next_v, "compact", add=add, remove=rel, stats=stats)
         return next_v
 
 
@@ -1361,11 +1460,30 @@ def overwrite_partitions(
             batch_parts.add(pv)
             stats[rel] = {part_col: [pv, pv]}
     old_stats = t.file_stats(version)
-    remove = [
-        f
-        for f, st in old_stats.items()
-        if st.get(part_col) is not None and str(st[part_col][0]) in batch_parts
-    ]
+    # A file is replaceable iff its recorded partition value is DEGENERATE
+    # ([v, v]): dynamic overwrite removes whole files, so a file whose
+    # stats straddle values (min != max) or are missing might hold rows
+    # of BOTH overwritten and untouched partitions — removing it loses
+    # the untouched rows, keeping it duplicates the overwritten ones.
+    # Refuse rather than corrupt.
+    remove = []
+    for f, st in old_stats.items():
+        pv = st.get(part_col)
+        if pv is None or pv[0] is None:
+            raise ValueError(
+                f"dynamic overwrite needs [v, v] {part_col} stats on every "
+                f"active file; {f} has none — rewrite it partitioned first"
+            )
+        if str(pv[0]) != str(pv[1]):
+            if any(str(pv[0]) <= b <= str(pv[1]) for b in batch_parts):
+                raise ValueError(
+                    f"{f} spans {part_col} range {pv} which intersects the "
+                    "batch's partitions — whole-file replacement would "
+                    "corrupt; compact the table per-partition first"
+                )
+            continue
+        if str(pv[0]) in batch_parts:
+            remove.append(f)
     t.commit(next_v, "dynamic_overwrite", add=sorted(add), remove=remove, stats=stats)
     return next_v
 

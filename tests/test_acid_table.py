@@ -430,3 +430,140 @@ def test_shallow_clone_zero_copy_and_isolation(spark):
     deleted = clone.vacuum(retain_from_version=clone.latest_version())
     assert all(not d.startswith("..") for d in deleted)
     assert t.read(spark).count() == base.count()
+
+
+def test_delete_where_keeps_null_predicate_rows(spark):
+    """SQL DELETE removes only rows where the predicate is TRUE: rows
+    where it evaluates NULL must survive the copy-on-write rewrite (a
+    plain ~cond filter drops them — the silent-loss class)."""
+    base = (
+        table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 3 == 0, None)
+            .otherwise(F.col("o_totalprice"))
+            .alias("amount"),
+        )
+    )
+    t = AcidTable.create(spark, base.repartition(2), scratch_dir("acid_nulldel"))
+    n_null = base.filter(F.col("amount").isNull()).count()
+    n_live = base.filter(~(F.col("amount") > 200000.0)).count()  # excl. NULLs
+    assert n_null > 0
+    t.delete_where(spark, F.col("amount") > 200000.0)
+    after = t.read(spark)
+    assert after.filter(F.col("amount").isNull()).count() == n_null, (
+        "NULL-predicate rows were dropped by DELETE"
+    )
+    assert after.count() == n_live + n_null
+
+
+def test_read_pruned_empty_result_and_null_stats(spark):
+    """Pruning everything returns an EMPTY frame with the right schema
+    (not a crash), and a file whose stats column is all-NULL ([None,
+    None]) prunes like a missing-stats file — kept, lossless."""
+    base = (
+        table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.lit(None).cast("double").alias("allnull"),
+            "o_totalprice",
+        )
+    )
+    t = AcidTable.create(
+        spark, base.repartition(2), scratch_dir("acid_nullstats"),
+        stats_cols=["o_orderkey", "allnull"],
+    )
+    # disjoint band: every file pruned, schema intact, zero rows
+    df, n_kept, n_total = t.read_pruned(spark, "o_orderkey", 10**9, 2 * 10**9)
+    assert n_kept == 0 and n_total > 0
+    assert df.count() == 0
+    assert set(df.columns) == {"o_orderkey", "allnull", "o_totalprice"}
+    # [None, None] stats must NOT prune the file
+    df2, n_kept2, _ = t.read_pruned(spark, "allnull", 0.0, 1.0)
+    assert n_kept2 == n_total
+    assert df2.count() == base.count()
+
+
+def test_dynamic_overwrite_refuses_straddling_partition_stats(spark):
+    """A file whose partition-column stats straddle values intersecting
+    the batch cannot be atomically replaced whole — overwrite must
+    REFUSE (ValueError), never silently drop the other value's rows."""
+    from oddsetl_spark.sources.acid_table import overwrite_partitions
+
+    base = (
+        table(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+            "value",
+        )
+        .filter(F.col("event_id") < 500)
+    )
+    # ONE file holding many event_day values -> straddling [min, max]
+    t = AcidTable.create(
+        spark, base.coalesce(1), scratch_dir("acid_straddle"),
+        stats_cols=["event_day"],
+    )
+    batch = base.filter(
+        F.col("event_day") == base.agg(F.min("event_day")).collect()[0][0]
+    ).withColumn("value", F.col("value") * 2)
+    with pytest.raises(ValueError, match="spans|stats"):
+        overwrite_partitions(t, spark, batch, "event_day")
+
+
+def test_restore_carries_stats_for_readded_files(spark):
+    """RESTORE must re-publish the target snapshot's per-file stats for
+    re-added files — otherwise stats-skipping degrades to full scans
+    after any rollback."""
+    t, base = _mk(spark, "acid_restore_stats", n_parts=4)
+    t0_stats = t.file_stats(0)
+    assert not any(t0_stats.values()), "fixture helper writes no stats"
+    # build a stats-bearing table instead
+    b2 = (
+        table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select("o_orderkey", "o_totalprice")
+        .sort("o_orderkey")
+    )
+    t2 = AcidTable.create(
+        spark, b2.repartition(4, "o_orderkey"), scratch_dir("acid_rs2"),
+        stats_cols=["o_orderkey"],
+    )
+    v0_stats = t2.file_stats(0)
+    assert all("o_orderkey" in st for st in v0_stats.values())
+    # mutate away from v0, then restore back
+    t2.delete_where(spark, F.col("o_orderkey") % 2 == 0)
+    t2.restore(0)
+    after = t2.file_stats()
+    assert set(after) == set(v0_stats)
+    assert all(
+        "o_orderkey" in st for st in after.values()
+    ), "restored files lost their stats"
+
+
+def test_same_version_race_hits_commit_conflict_not_path_error(spark):
+    """Two writers racing the SAME next version with the SAME tag must
+    resolve at the manifest put-if-absent (CommitConflictError), never
+    die earlier on a colliding data directory."""
+    t, base = _mk(spark, "acid_race", n_parts=2)
+    ch = base.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 5.0
+    )
+    v1 = t.merge(spark, ch, "o_orderkey")  # writer A wins version 1
+    assert v1 == 1
+    with pytest.raises(CommitConflictError):
+        t.merge(spark, ch, "o_orderkey", as_of_version=0)  # stale writer B
+
+
+def test_vacuum_grace_spares_young_orphans(spark):
+    """An unreferenced (orphan) data file younger than the grace window
+    must survive vacuum — the in-flight-writer protection."""
+    t, base = _mk(spark, "acid_grace", n_parts=2)
+    orphan_dir = os.path.join(t.data_dir, "inflight-writer")
+    base.limit(10).coalesce(1).write.parquet(orphan_dir)
+    deleted_young = t.vacuum(0, grace_seconds=3600)
+    assert not any("inflight-writer" in d for d in deleted_young)
+    deleted_now = t.vacuum(0, grace_seconds=0)
+    assert any("inflight-writer" in d for d in deleted_now)
