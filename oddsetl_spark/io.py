@@ -43,6 +43,16 @@ FIXED_DIMS = ("region", "nation")
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def normalize_ts_nanos(df):
+    """Nanosecond-epoch ts (legacy TIMESTAMP(NANOS) fixture read as bigint)
+    -> microsecond TimestampType. ONE definition shared by the batch
+    reader and the streaming source — the two must truncate identically
+    or stream-vs-batch oracle parity breaks."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; pins session confs first.
 
@@ -60,9 +70,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     if name == "events" and dtypes.get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_ts_nanos(df)
     # Belt-and-braces vs the inferTimestampNTZ pin: if a caller's session read
     # the fixture as TIMESTAMP_NTZ anyway, normalize to TimestampType (session
     # tz is UTC, so values are identical) so epoch functions keep resolving.

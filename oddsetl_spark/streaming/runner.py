@@ -22,8 +22,8 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -50,16 +50,19 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-EVENTS_RAW_SCHEMA = _events_schema(T.TimestampType())
-
-
 def stage_events(sf_dir: str, copies: int = 1, tag: str = "stream") -> str:
     """Copy events.parquet into a fresh dir `copies` times (dedup inputs
-    stage it twice). Returns the staging dir path."""
+    stage it twice). Copies get ASCENDING mtimes so a multi-batch replay
+    (maxFilesPerTrigger) triggers them in a deterministic order — Spark's
+    file source sorts by timestamp, and shutil.copy alone would stamp
+    near-identical 'now' mtimes whose ties make batch order (and thus
+    watermark progression) nondeterministic. Returns the staging dir."""
     d = scratch_dir(f"{tag}_in")
     src = os.path.join(sf_dir, "events.parquet")
     for i in range(copies):
-        shutil.copy(src, os.path.join(d, f"part-{i:04d}.parquet"))
+        dst = os.path.join(d, f"part-{i:04d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     return d
 
 
@@ -67,7 +70,7 @@ def read_events_stream(
     spark: SparkSession, staged_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Streaming scan over a staged events dir, ts normalized to µs."""
-    from ..session import pin_session, scratch_dir
+    from ..session import pin_session
 
     pin_session(spark)
     ts_physical = dict(spark.read.parquet(staged_dir).dtypes).get("ts")
@@ -78,7 +81,9 @@ def read_events_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(staged_dir)
     if nanos:
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        from ..io import normalize_ts_nanos
+
+        df = normalize_ts_nanos(df)
     return df
 
 
@@ -135,6 +140,11 @@ def run_to_table(
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     try:
         return spark.read.parquet(out)
-    except Exception:
-        # No batch produced rows — return an empty frame with the stream's schema.
+    except AnalysisException:
+        # No batch produced rows (the sink dir was never created) — an
+        # empty frame with the stream's schema. Anything else (a wrong
+        # path wired in, unreadable files) must surface, not read as
+        # "the query emitted nothing".
+        if os.path.isdir(out):
+            raise
         return spark.createDataFrame([], stream_df.schema)
