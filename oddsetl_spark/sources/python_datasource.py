@@ -18,9 +18,8 @@ connector needs (split by shard/page/offset-range).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import (
+from pyspark.sql.datasource import (  # noqa: F401 — used inside factories
     DataSource,
-    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -32,55 +31,70 @@ _N_PARTS = 8
 _MULT = 2654435761  # Knuth multiplicative hash (same constant as curation)
 
 
-class _RangePartition(InputPartition):
-    def __init__(self, start: int, end: int):
-        self.start = start
-        self.end = end
+def make_sensor_source():
+    """Build the BATCH sensor DataSource dynamically so cloudpickle
+    serializes it BY VALUE — same reason as make_tick_source below: the
+    planner-side python worker cannot import this package when the
+    driver loaded it from a non-sys.path repo dir (the external driver
+    does exactly that), so a module-level class pickled by reference
+    dies with ModuleNotFoundError there."""
+    import numpy as _np  # noqa: F401 — early-fail if absent on driver
+    from pyspark.sql.datasource import (
+        DataSource as _DS,
+        DataSourceReader as _DSR,
+        InputPartition as _IP,
+    )
 
+    mult = 2654435761
 
-class SensorReader(DataSourceReader):
-    def __init__(self, options):
-        self.n_rows = int(options.get("n_rows", _N_ROWS))
-        self.n_parts = int(options.get("n_parts", _N_PARTS))
+    class _Part(_IP):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
 
-    def partitions(self):
-        step = (self.n_rows + self.n_parts - 1) // self.n_parts
-        return [
-            _RangePartition(lo, min(lo + step, self.n_rows))
-            for lo in range(0, self.n_rows, step)
-        ]
+    class _Reader(_DSR):
+        def __init__(self, options):
+            self.n_rows = int(options.get("n_rows", 0))
+            self.n_parts = int(options.get("n_parts", 1))
 
-    def read(self, partition: _RangePartition):
-        # Yield ONE Arrow batch per split (vectorized numpy) instead of
-        # per-row tuples: the row path crosses the Python/Arrow boundary
-        # per record and dominated the scan (4.9s -> ~1s for 20k rows).
-        import numpy as np
-        import pyarrow as pa
+        def partitions(self):
+            if self.n_rows <= 0 or self.n_parts <= 0:
+                return []
+            step = max(1, (self.n_rows + self.n_parts - 1) // self.n_parts)
+            return [
+                _Part(lo, min(lo + step, self.n_rows))
+                for lo in range(0, self.n_rows, step)
+            ]
 
-        i = np.arange(partition.start, partition.end, dtype=np.int64)
-        yield pa.record_batch(
-            [
-                pa.array(i),
-                pa.array((i % 50).astype(np.int32)),
-                pa.array(i * 15),
-                pa.array(((i * _MULT) % 1000000) / 1000.0),
-            ],
-            names=["reading_id", "sensor_id", "ts_offset_s", "reading"],
-        )
+        def read(self, partition):
+            import numpy as np
+            import pyarrow as pa
 
+            i = np.arange(partition.start, partition.end, dtype=np.int64)
+            yield pa.record_batch(
+                [
+                    pa.array(i),
+                    pa.array((i % 50).astype(np.int32)),
+                    pa.array(i * 15),
+                    pa.array(((i * mult) % 1000000) / 1000.0),
+                ],
+                names=["reading_id", "sensor_id", "ts_offset_s", "reading"],
+            )
 
-class SensorDataSource(DataSource):
-    """`spark.read.format("oddsetl_sensors")` — deterministic feed."""
+    class SensorDataSource(_DS):
+        """`spark.read.format("oddsetl_sensors")` — deterministic feed."""
 
-    @classmethod
-    def name(cls) -> str:
-        return "oddsetl_sensors"
+        @classmethod
+        def name(cls) -> str:
+            return "oddsetl_sensors"
 
-    def schema(self) -> str:
-        return "reading_id bigint, sensor_id int, ts_offset_s bigint, reading double"
+        def schema(self) -> str:
+            return "reading_id bigint, sensor_id int, ts_offset_s bigint, reading double"
 
-    def reader(self, schema):
-        return SensorReader(self.options)
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    return SensorDataSource
 
 
 @register(
@@ -96,8 +110,14 @@ FROM generate_series(0, {_N_ROWS - 1}) AS t(i)
 )
 def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource read: register the class, read through the
-    format name, project straight off the Arrow batches."""
-    spark.dataSource.register(SensorDataSource)
+    format name, project straight off the Arrow batches. The class is
+    built by-value (make_sensor_source) and the session pins the package
+    zip first — the by-reference/foreign-cwd failure make_tick_source's
+    docstring describes applies to the batch planner worker too."""
+    from ..session import pin_session
+
+    pin_session(spark)
+    spark.dataSource.register(make_sensor_source())
     return (
         spark.read.format("oddsetl_sensors")
         .option("n_rows", _N_ROWS)
@@ -175,14 +195,20 @@ def make_tick_source():
             try:
                 with open(path) as f:
                     cur = int(f.read())
-            except (OSError, ValueError):
+            except (FileNotFoundError, ValueError):
+                # only "feed not started" (or a torn write, healed by the
+                # atomic replace below) may reset the cursor; any OTHER
+                # OSError (fd exhaustion, EIO) must SURFACE — treating it
+                # as 0 would rewind the monotonic tail below Spark's
+                # committed offset and double-process the early feed
                 cur = 0
-            cur = min(cur + self.chunk, self.total)
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(cur))
-            os.replace(tmp, path)
-            return {"offset": cur}
+            new = min(cur + self.chunk, self.total)
+            if new > cur:  # the tail only ever moves forward
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(new))
+                os.replace(tmp, path)
+            return {"offset": new}
 
         def partitions(self, start, end):
             lo, hi = start["offset"], end["offset"]
@@ -269,6 +295,11 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         spark.readStream.format("oddsetl_ticks")
         .option("feed_id", ckpt)
+        # the oracle is built from these module constants; options cross
+        # the pickle boundary as plain data, so the feed and the oracle
+        # cannot silently desync
+        .option("n_rows", _TICKS_TOTAL)
+        .option("chunk", _TICKS_CHUNK)
         .load()
         .withColumn("ts", F.timestamp_seconds(F.col("ts_offset_s")))
         .withWatermark("ts", "1 hour")
@@ -319,7 +350,8 @@ def make_jsonl_sink():
     )
 
     class _Committed(_WCM):
-        def __init__(self, fname: str, n_rows: int):
+        def __init__(self, attempt: str, fname: str, n_rows: int):
+            self.attempt = attempt
             self.fname = fname
             self.n_rows = n_rows
 
@@ -332,23 +364,34 @@ def make_jsonl_sink():
             import os
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
-            # task attempts write to an attempt-unique temp name and the
-            # final name only appears via the manifest on commit
+            tc = TaskContext.get()
+            pid = tc.partitionId()
+            # attempt-UNIQUE temp name (partition id alone is not: a
+            # speculative/zombie attempt racing a retry would truncate
+            # the other's in-progress file); the final name appears only
+            # when the job-level commit renames the winners
             fname = f"part-{pid:05d}.jsonl"
-            tmp = os.path.join(self.path, f".{fname}.attempt")
+            attempt = f".{fname}.attempt-{tc.taskAttemptId()}"
             n = 0
-            with open(tmp, "w") as f:
+            with open(os.path.join(self.path, attempt), "w") as f:
                 for row in iterator:
                     f.write(json.dumps(row.asDict()) + "\n")
                     n += 1
-            os.replace(tmp, os.path.join(self.path, fname))
-            return _Committed(fname, n)
+            return _Committed(attempt, fname, n)
 
         def commit(self, messages):
             import json
             import os
 
+            # phase 2: promote exactly the reported attempts, then
+            # publish the manifest — a job that dies before commit()
+            # leaves only dot-hidden attempt files and no manifest, so
+            # readers (which trust the manifest) see nothing
+            for m in messages:
+                os.replace(
+                    os.path.join(self.path, m.attempt),
+                    os.path.join(self.path, m.fname),
+                )
             manifest = {
                 "files": sorted(m.fname for m in messages),
                 "rows": sum(m.n_rows for m in messages),
@@ -357,7 +400,16 @@ def make_jsonl_sink():
                 json.dump(manifest, f)
 
         def abort(self, messages):
-            pass
+            import glob
+            import os
+
+            # drop every attempt file (failed jobs leave no debris; the
+            # sweep also catches attempts whose task never reported)
+            for p in glob.glob(os.path.join(self.path, ".*.attempt-*")):
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
 
     class JsonlSinkDataSource(_DS):
         @classmethod
@@ -417,5 +469,9 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(schema).json(
         [os.path.join(out, fn) for fn in manifest["files"]]
     )
-    assert back.count() == manifest["rows"], "manifest row count mismatch"
+    n_back = back.count()
+    if n_back != manifest["rows"]:  # contract check — must survive -O
+        raise AssertionError(
+            f"manifest row count mismatch: {n_back} != {manifest['rows']}"
+        )
     return back
