@@ -46,11 +46,22 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def normalize_ts_nanos(df):
     """Nanosecond-epoch ts (legacy TIMESTAMP(NANOS) fixture read as bigint)
     -> microsecond TimestampType. ONE definition shared by the batch
-    reader and the streaming source — the two must truncate identically
-    or stream-vs-batch oracle parity breaks."""
+    reader and the streaming source — the two must reduce identically or
+    stream-vs-batch oracle parity breaks. The reduction is integer FLOOR
+    division (DuckDB's TIMESTAMP_NS -> TIMESTAMP cast floors; Spark's
+    `div` truncates toward zero, which differs for pre-epoch values with
+    sub-microsecond nanos — and float division would lose precision on
+    ns-epoch int64 magnitudes past 2^53)."""
     from pyspark.sql import functions as F
 
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr(
+                "(ts div 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
+            )
+        ),
+    )
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,10 +74,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     wherever events.ts is compared or output.
     """
     pin_session(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict plans cached for OTHER (stopped) sessions: appIds never
+    # repeat, so stale entries can only leak JVM references
+    for k in [k for k in _TABLE_CACHE if k[0] != app]:
+        del _TABLE_CACHE[k]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     if name == "events" and dtypes.get("ts") == "bigint":

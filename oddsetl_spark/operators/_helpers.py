@@ -22,10 +22,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Wide enough for 100 TB-scale sums of money-magnitude values.
-_PREC = 38
-
-
 def dec(col: Column, scale: int = 6) -> Column:
     """Deterministic double->decimal cast (per-row, order-free)."""
     return col.cast(f"decimal(30,{scale})")
@@ -107,7 +103,12 @@ def scaled_group_sums(
     a partition) — ONE real shuffle of tiny partial rows, same as a plain
     groupBy. Phase 2's decimal adds see |groups| x |partitions| rows."""
     avgs = avgs or {}
-    exprs = {**sums, **{a: c for a, c in avgs.items()}}
+    overlap = sums.keys() & avgs.keys()
+    if overlap:
+        raise ValueError(
+            f"scaled_group_sums: aliases in BOTH sums and avgs: {sorted(overlap)}"
+        )
+    exprs = {**sums, **avgs}
     part = df.groupBy(*keys, F.spark_partition_id().alias("_pid")).agg(
         *[F.sum(lng(c)).alias(f"_s_{a}") for a, c in exprs.items()],
         F.count(F.lit(1)).alias("_c"),
@@ -183,9 +184,20 @@ def with_global_rank(
     wall = W.orderBy("_pid").rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
+    # monotonically_increasing_id keeps the record position in the low 33
+    # bits; a range partition past 2^33 rows would overflow into the pid
+    # bits and corrupt ranks SILENTLY — fail loudly instead (the check
+    # rides the tiny offsets frame: assert_true is NULL on success)
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("_pn") < F.lit(1 << 33),
+            F.lit("range partition exceeds 2^33 rows — raise num_partitions"),
+        ).cast("long"),
+        F.lit(0),
+    )
     offsets = counts.select(
         "_pid",
-        F.coalesce(F.sum("_pn").over(wcum), F.lit(0)).alias("_offset"),
+        (F.coalesce(F.sum("_pn").over(wcum), F.lit(0)) + guard).alias("_offset"),
         F.sum("_pn").over(wall).alias(total_alias),
     )
     return local.join(F.broadcast(offsets), "_pid").select(

@@ -30,8 +30,9 @@ _RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively;
-    # read as long nanos and convert in io.table (floor to micros, matching
-    # DuckDB's CAST(ts_ns AS TIMESTAMP) truncation).
+    # read as long nanos and convert in io.normalize_ts_nanos (true FLOOR
+    # to micros — matching DuckDB's CAST(ts_ns AS TIMESTAMP), which floors;
+    # a plain `div` would truncate toward zero and differ pre-epoch).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Fixture timestamps are tz-naive micros; with session tz pinned UTC,
     # reading them as TimestampType (not NTZ) gives identical values while
