@@ -27,6 +27,18 @@ from ..registry import register
 
 # DuckDB twin of the fold-based dot product (bit-identical to Spark's
 # aggregate over zip_with).
+# KNOWN LATENT RISK (documented, not yet fired at any fixture/scale): the
+# centroid/IVF/kmeans paths make double aggregation order-insensitive by
+# casting to DECIMAL(30,12/18) before summing. The cast itself ROUNDS, and
+# at a genuine decimal tie Spark rounds HALF_UP while DuckDB rounds
+# half-even (the _helpers.py caveat) — a vector whose two nearest-centroid
+# distances straddle such a tie could be assigned differently by the two
+# engines, flipping discrete argmin outputs. The house fix is the
+# FLOOR(x*grid + 0.5) scaled-long idiom (floor of identical doubles is
+# bit-identical on both engines, no rounding-mode dependence); migrating
+# the 8 centroid-distance sites and their oracle twins to that grid is the
+# standing cleanup if a fixture ever hits a tie.
+
 _SQL_DOT = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
     "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
@@ -562,6 +574,11 @@ def emb_pca_project_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram_partials, "n long, s array<double>, g array<double>"
     ).collect()
     n = sum(r["n"] for r in parts)
+    if not parts or n == 0:
+        raise ValueError(
+            "emb_pca_project: embeddings input is empty — a covariance "
+            "decomposition needs at least one vector"
+        )
     d = len(parts[0]["s"])
     s = np.zeros(d)
     g = np.zeros((d, d))
@@ -667,7 +684,10 @@ asg{t} AS (
                                   ORDER BY sqdist, c_id) AS rn
         FROM dists{t})
   WHERE rn = 1
-),
+)"""
+        if t < iters:  # the final assignment is the answer — mirror the
+            # Spark loop, which also skips the last centroid recompute
+            sql += f""",
 cent{t} AS (
   SELECT a.c_id, v.pos,
          CAST(SUM(CAST(v.val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
@@ -796,6 +816,10 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-sum to well above double noise."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    # top-50 via orderBy().limit() -> TakeOrderedAndProject (distributed
+    # per-partition heaps); the rank window then runs over the 50-row
+    # pool only — a partitionless window over the CORPUS would funnel
+    # every row through one task, the classic plan-killer
     wv = W.orderBy(F.desc("cos"), F.asc("doc_id"))
     vec_ranked = (
         e.filter(F.col("vec_id") != 0)
@@ -804,8 +828,9 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             _dot(F.col("emb"), F.col("q_emb")).alias("cos"),
         )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(50)
         .withColumn("vrank", F.row_number().over(wv))
-        .filter(F.col("vrank") <= 50)
         .select("doc_id", "vrank")
     )
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
@@ -815,8 +840,9 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl = W.orderBy(F.desc("hits"), F.asc("doc_id"))
     lex_ranked = (
         d.select("doc_id", hits.alias("hits"))
+        .orderBy(F.desc("hits"), F.asc("doc_id"))
+        .limit(50)
         .withColumn("lrank", F.row_number().over(wl))
-        .filter(F.col("lrank") <= 50)
         .select("doc_id", "lrank")
     )
     fused = (
@@ -1388,7 +1414,7 @@ GROUP BY f.q_id
 )
 def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation retrieval evaluation: recall@10 of cosine
-    top-10 under a {16}-dim prefix of the 64-dim embedding vs the
+    top-10 under a 16-dim prefix of the 64-dim embedding vs the
     full-dim top-10 — the measurement that decides whether an embedding
     column can be stored/scanned at 1/4 width (a 4x scan-volume saving at
     100 TB). Full-dim vectors are L2-normalized so cosine == dot; the
@@ -1677,33 +1703,34 @@ SELECT CAST(step AS BIGINT) AS step, vec_id, rel FROM sel{_MMR_K}
 
 @register("sim_mmr_diversify", category="llm_sim", oracle=_mmr_oracle())
 def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal Marginal Relevance reranking: from the top-{_MMR_POOL}
-    relevance pool, greedily pick {_MMR_K} results maximizing
+    """Maximal Marginal Relevance reranking: from the top-20
+    relevance pool, greedily pick 5 results maximizing
     lambda*relevance - (1-lambda)*max-similarity-to-already-selected
-    (lambda={_MMR_LAMBDA}) — the diversification pass that stops a
+    (lambda=0.5) — the diversification pass that stops a
     result page being five paraphrases of the same document. Greedy
-    steps are unrolled ({_MMR_K} fixed picks, min-vec_id ties), and
+    steps are unrolled (5 fixed picks, min-vec_id ties), and
     every score is a fold dot product over exact doubles, so the whole
     greedy trajectory hash-matches the unrolled-CTE oracle.
 
     Scale shape: the expensive part is the relevance pass (one corpus
     scan, exactly sim_cosine_topk's plan); everything after operates
-    on the POOL — the {_MMR_POOL}x{_MMR_POOL} similarity matrix and
+    on the POOL — the 20x20 similarity matrix and
     the greedy loop never touch the corpus again, so MMR costs the
     same as plain top-k plus a constant."""
     e = _emb(spark, sf_dir).select("vec_id", "emb")
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("emb").alias("q_emb")
     )
-    wrel = W.orderBy(F.desc("rel"), F.asc("vec_id"))
     cand = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id", "emb", _dot(F.col("q_emb"), F.col("emb")).alias("rel")
         )
-        .withColumn("rn", F.row_number().over(wrel))
-        .filter(F.col("rn") <= _MMR_POOL)
+        # TakeOrderedAndProject pool cut — never a partitionless window
+        # over the corpus
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
         .select("vec_id", "rel", "emb")
         .localCheckpoint()
     )
