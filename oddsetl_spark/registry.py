@@ -97,11 +97,61 @@ _UNVERIFIED_ORDER = (
 )
 _UNVERIFIED_RANK = {c: i for i, c in enumerate(_UNVERIFIED_ORDER)}
 
+# SURVEY.md §2 binding inventory (A-K, 98 keys). These are the keys the
+# judge checks line by line, so any of them still lacking a driver
+# hash-match must sort ahead of every addendum query in the sweep
+# (VERDICT r4 "Next round" #1: the r4 rotation put 39 addendum stats
+# aggregates ahead of the nine §2.K binding keys).
+_S2_BINDING = frozenset({
+    "scan_parquet", "scan_projection_pushdown", "scan_filter_pushdown",
+    "source_csv", "source_json", "sink_parquet_partitioned", "sink_csv",
+    "sink_json", "source_stream_file",
+    "project_compute", "filter_conjunctive", "filter_like_regex",
+    "filter_null_semantics", "cast_types", "distinct_rows", "dedup_by_key",
+    "explode_tokens", "sample_deterministic",
+    "join_inner_equi", "join_left_outer", "join_right_outer",
+    "join_full_outer", "join_left_semi", "join_left_anti",
+    "join_broadcast_star", "join_sort_merge", "join_cross",
+    "join_theta_band", "join_range_binned", "join_asof",
+    "join_interval_overlap", "join_self", "join_skew_salted",
+    "agg_global", "agg_groupby_multi", "agg_count_distinct",
+    "agg_approx_distinct", "agg_filtered", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_stats", "agg_percentiles",
+    "agg_minby_maxby_firstlast", "agg_collect", "agg_pivot",
+    "win_ranking", "win_topk_per_group", "win_lag_lead", "win_running_sum",
+    "win_sliding_avg", "win_range_frame", "win_first_last_nth",
+    "win_sessionize",
+    "sort_multikey", "limit_offset", "topk_global",
+    "sort_within_partitions",
+    "set_union_all", "set_union_distinct", "set_union_by_name",
+    "set_intersect", "set_intersect_all", "set_except", "set_except_all",
+    "fn_string", "fn_datetime", "fn_math", "fn_conditional", "fn_array",
+    "fn_map", "fn_json", "fn_hash",
+    "stream_tumbling_counts", "stream_sliding_agg", "stream_session_window",
+    "stream_watermark_late", "stream_dedup_stateful", "stream_static_join",
+    "stream_stream_join", "stream_stateful_custom",
+    "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
+    "udtf_python", "map_in_pandas",
+    "text_stats", "text_tfidf_topterms", "text_ngrams",
+    "dedup_exact_hash", "dedup_minhash_lsh", "dedup_components",
+    "sim_cosine_topk", "sim_knn_join", "sim_lsh_approx",
+    "mm_centroids", "mm_nearest_centroid", "mm_pairwise_dist",
+})
+
+# Queries whose only positive driver evidence is a stale r1/r2
+# `no_oracle` rows-only row; they carry full oracles now and must be
+# re-proven under the driver (VERDICT r4 "Next round" #4). All but
+# fn_hash_engine are §2 binding keys already front-loaded above.
+_REPROVE = frozenset({"fn_hash_engine"})
+
 
 def _load_verified() -> frozenset[str]:
     """Names with positive driver evidence: latest CORRECTNESS row is a
-    hash match (or a declared rows-only run). A later failed/errored row
-    demotes a name back to unverified so it re-enters the sweep front."""
+    hash match. A later failed/errored row demotes a name back to
+    unverified so it re-enters the sweep front. Since round 4 every
+    registered query carries an oracle, so a stale `no_oracle` rows-only
+    row no longer counts as verified — those queries must be re-proven
+    under the driver's full hash compare (VERDICT r4 #4)."""
     import glob
     import json
     import os
@@ -119,10 +169,7 @@ def _load_verified() -> frozenset[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            good = row.get("hash_match") is True or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            )
-            if good:
+            if row.get("hash_match") is True:
                 ok.add(name)
             else:
                 ok.discard(name)
@@ -151,8 +198,15 @@ def _ordered() -> list[QueryDef]:
 
     def key(q: QueryDef):
         if q.name not in verified:
+            if q.name in _S2_BINDING:
+                tier = 0
+            elif q.name in _REPROVE:
+                tier = 1
+            else:
+                tier = 2
             return (
                 0,
+                tier,
                 _UNVERIFIED_RANK.get(q.category, len(_UNVERIFIED_ORDER)),
                 1 if q.heavy else 0,
                 reg_index[q.name],
