@@ -33,6 +33,9 @@ from oddsetl_spark.session import get_spark  # noqa: E402
 #     per-user rollup, so the collected result is ~n_users rows)
 #   cosine top-k              -> sim_cosine_topk     (baseline 2.14 s Spark)
 #   token explode + counts    -> text_token_count    (baseline 0.032 s DuckDB)
+#   minhash-LSH near-dup      -> dedup_minhash_det   (baseline 4.46 s DuckDB;
+#     the §2.K north-star differentiator: shingle -> 16 md5-family minhash
+#     sigs -> 8x2 LSH bands -> candidate join -> exact-Jaccard refine)
 HEADLINE = [
     "agg_groupby_multi",
     "join3_topk_revenue",
@@ -42,7 +45,16 @@ HEADLINE = [
     "win_sessionize_stats",
     "sim_cosine_topk",
     "text_token_count",
+    "dedup_minhash_det",
 ]
+
+# Queries whose collect() time is dominated by Py4J transfer of a wide
+# ~50-95k-row result rather than execution (BASELINE.md "Wide-result
+# caveat": win_sessionize executes in ~0.5 s, transfer adds ~0.6 s). For
+# these, also report an execution-only time under "queries_exec" via the
+# noop sink — full plan execution on the executors, zero rows to the
+# driver — alongside the like-for-like collect() number.
+EXEC_ONLY = ["win_sessionize"]
 
 
 def main() -> None:
@@ -77,6 +89,22 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — bench must always emit
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    times_exec: dict[str, float] = {}
+    for name in EXEC_ONLY:
+        if name not in available or name in errors:
+            continue
+        try:
+            fn = available[name].fn
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            times_exec[name] = round(sorted(runs)[1], 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"{name}_exec"] = f"{type(exc).__name__}: {exc}"[:300]
+
     out = {
         "metric": "headline query wall time (warm), sum over queries",
         "value": round(sum(times.values()), 4),
@@ -84,6 +112,11 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if times_exec:
+        # Execution-only twins (noop sink, no driver transfer) for the
+        # wide-result rows; NOT included in "value" — the like-for-like
+        # collect() numbers above remain the comparable series.
+        out["queries_exec"] = times_exec
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
