@@ -546,11 +546,18 @@ def emb_pca_project_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the canonical way to do PCA at 100 TB on Spark: the ONLY data
     that ever moves is num_partitions * (d^2 + d + 1) doubles — no shuffle
-    of the corpus, no driver materialization of rows. Eigen-decomposition
-    is not SQL-expressible -> rows-only driver check; the algebraic
-    invariants (component orthonormality, per-component projected variance
-    == eigenvalue, variance ordering) are asserted in pytest.
+    of the corpus, no driver materialization of rows. The partials go
+    through ONE distributed tree-merge level (sqrt(P) keys) before the
+    driver fold, so driver payload is O(sqrt(P) * d^2), not O(P * d^2):
+    at 800k scan partitions / d=64 that is ~30 MB instead of ~26 GB, and
+    each executor-side merge group holds only ~sqrt(P) few-KB partials.
+    Eigen-decomposition is not SQL-expressible -> contract oracle; the
+    algebraic invariants (component orthonormality, per-component
+    projected variance == eigenvalue, variance ordering) are asserted in
+    pytest.
     """
+    import math
+
     import numpy as np
 
     e = _emb(spark, sf_dir)
@@ -570,9 +577,35 @@ def emb_pca_project_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    parts = e.select("emb").mapInPandas(
+    partials = e.select("emb").mapInPandas(
         gram_partials, "n long, s array<double>, g array<double>"
-    ).collect()
+    )
+
+    def merge_partials(pdf):
+        import pandas as pd
+
+        # Deterministic fold order within the merge group (same stable
+        # key the driver fold uses), so a fixed layout reproduces bits.
+        pdf = pdf.sort_values(
+            ["n", "s"], key=lambda c: c.map(lambda v: v[0]) if c.name == "s" else c
+        )
+        d_ = len(pdf["s"].iloc[0])
+        s_ = np.zeros(d_)
+        g_ = np.zeros(d_ * d_)
+        for sv, gv in zip(pdf["s"], pdf["g"]):
+            s_ += np.asarray(sv)
+            g_ += np.asarray(gv)
+        return pd.DataFrame(
+            {"n": [int(pdf["n"].sum())], "s": [s_.tolist()], "g": [g_.tolist()]}
+        )
+
+    n_parts = e.rdd.getNumPartitions()
+    fan_in = max(1, math.isqrt(max(1, n_parts)))
+    parts = (
+        partials.groupBy((F.spark_partition_id() % fan_in).alias("mk"))
+        .applyInPandas(merge_partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
     n = sum(r["n"] for r in parts)
     if not parts or n == 0:
         raise ValueError(
