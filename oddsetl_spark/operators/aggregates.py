@@ -4302,7 +4302,7 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("u_exact")
         ).alias("union_est_ok")
     )
-    return (
+    result = (
         daily.select(
             "d",
             "n_exact",
@@ -4313,6 +4313,13 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(union_check))
     )
+    try:
+        # one row per day — materialize, then release the sketch cache so
+        # full-registry batteries don't accumulate cached blocks
+        result = result.localCheckpoint()
+    finally:
+        daily.unpersist()
+    return result
 
 
 @register(

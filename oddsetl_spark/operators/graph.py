@@ -1115,7 +1115,16 @@ def graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("i"))
         .alias("community"),
     )
-    return assign.groupBy("community").agg(
+    result = assign.groupBy("community").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("i").cast("long").alias("first_member"),
     )
+    try:
+        # materialize before releasing the caches (the sibling heavy-op
+        # discipline, e.g. graph_sssp_bounded) so full-registry batteries
+        # don't accumulate orphaned cached blocks for the session
+        result = result.localCheckpoint()
+    finally:
+        und.unpersist()
+        deg.unpersist()
+    return result

@@ -288,8 +288,44 @@ class AcidTable:
         out: dict[str, dict] = {}
         for r in rows:
             rel = by_base[os.path.basename(r["_fp"])]
-            out[rel] = {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols}
+            out[rel] = {
+                c: [
+                    self._json_safe_stat(c, r[f"min_{c}"]),
+                    self._json_safe_stat(c, r[f"max_{c}"]),
+                ]
+                for c in cols
+            }
         return out
+
+    @staticmethod
+    def _json_safe_stat(col: str, v):
+        """Normalize a collected min/max value so the manifest's
+        json.dumps cannot raise at commit time. date/datetime become ISO
+        strings (lossless AND order-preserving lexicographically, so
+        stats pruning against string bounds stays correct); JSON-native
+        types pass through; anything else (Decimal, binary, ...) is
+        refused with a clear error at stats-collection time instead of a
+        TypeError deep inside commit()."""
+        import datetime
+        import decimal
+
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) \
+                else v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            raise ValueError(
+                f"stats_cols column {col!r} is DECIMAL-typed: its min/max "
+                "cannot be stored losslessly as JSON numbers nor compared "
+                "correctly as strings — cast the column (e.g. to DOUBLE or "
+                "a scaled BIGINT) before using it for stats pruning"
+            )
+        raise ValueError(
+            f"stats_cols column {col!r} has unsupported stat type "
+            f"{type(v).__name__}: only numeric, string, boolean, date and "
+            "timestamp columns can back manifest stats pruning"
+        )
 
     def append(
         self,
@@ -363,6 +399,16 @@ class AcidTable:
         narrow on every interleaved dimension at once. Returns
         (df, n_files_scanned, n_files_total)."""
         all_stats = self.file_stats(version)
+        # Bounds go through the same normalization as stored stats, so a
+        # date/datetime predicate compares ISO-string-to-ISO-string (order
+        # -preserving) instead of raising str-vs-datetime TypeErrors.
+        preds = {
+            col: (
+                self._json_safe_stat(col, lo),
+                self._json_safe_stat(col, hi),
+            )
+            for col, (lo, hi) in preds.items()
+        }
         keep = []
         for f, st in all_stats.items():
             ok = True
@@ -382,12 +428,17 @@ class AcidTable:
                 keep.append(os.path.join(self.root, f))
         if not keep:
             # everything pruned: empty result with the snapshot's schema
-            # (one footer read; zero data rows materialize)
-            any_file = next(iter(all_stats), None)
-            if any_file is None:
+            # (one footer read; zero data rows materialize). Use the MOST
+            # RECENTLY ADDED active file (file_stats preserves manifest
+            # add order): under schema evolution by addition the newest
+            # file carries the superset schema, whereas an arbitrary old
+            # file could lack newer columns and give the empty frame a
+            # different schema than a non-empty read of the same snapshot.
+            newest = next(reversed(all_stats), None)
+            if newest is None:
                 raise ValueError(f"empty snapshot at {self.root}")
             df = spark.read.parquet(
-                os.path.join(self.root, any_file)
+                os.path.join(self.root, newest)
             ).filter(F.lit(False))
             return df, 0, len(all_stats)
         df = spark.read.parquet(*keep)
@@ -1447,6 +1498,24 @@ def overwrite_partitions(
     tag = f"commit-{next_v:05d}-dynover"
     out = os.path.join(t.data_dir, tag)
     df.write.mode("error").partitionBy(part_col).parquet(out)
+
+    # Hive directory names are strings; the manifest stats must carry the
+    # COLUMN's type (mixed str/int stats would break later typed pruning
+    # and straddle checks), so parse each directory value per the batch
+    # schema before recording it.
+    from pyspark.sql import types as T
+
+    dt = df.schema[part_col].dataType
+
+    def _parse_dir_value(v: str):
+        if isinstance(dt, T.BooleanType):
+            return v.lower() == "true"
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(v)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return float(v)
+        return v  # string / date / timestamp: ISO strings order correctly
+
     add, stats = [], {}
     batch_parts = set()
     for dirpath, _dirs, files in os.walk(out):
@@ -1456,7 +1525,7 @@ def overwrite_partitions(
             rel = os.path.relpath(os.path.join(dirpath, fname), t.root)
             add.append(rel)
             # .../<part_col>=<value>/part-*.parquet
-            pv = os.path.basename(dirpath).split("=", 1)[1]
+            pv = _parse_dir_value(os.path.basename(dirpath).split("=", 1)[1])
             batch_parts.add(pv)
             stats[rel] = {part_col: [pv, pv]}
     old_stats = t.file_stats(version)
@@ -1465,7 +1534,26 @@ def overwrite_partitions(
     # stats straddle values (min != max) or are missing might hold rows
     # of BOTH overwritten and untouched partitions — removing it loses
     # the untouched rows, keeping it duplicates the overwritten ones.
-    # Refuse rather than corrupt.
+    # Refuse rather than corrupt. All comparisons are TYPED: the hive
+    # directory strings are parsed to the stat value's Python type first
+    # — string order is wrong for numerics ('10' < '9' lexicographically,
+    # so a file spanning [9, 12] would look disjoint from batch partition
+    # 10 and its rows would be silently duplicated), and string-equality
+    # membership is representation-sensitive (5 vs '5', 5.0 vs '5.0').
+    def _typed(b, exemplar):
+        if type(b) is type(exemplar):
+            return b
+        bs = str(b)
+        if isinstance(exemplar, bool):  # before int: bool is an int subclass
+            return bs.lower() == "true"
+        if isinstance(exemplar, int):
+            return int(bs)
+        if isinstance(exemplar, float):
+            return float(bs)
+        if isinstance(exemplar, str):
+            return bs
+        raise TypeError(type(exemplar).__name__)
+
     remove = []
     for f, st in old_stats.items():
         pv = st.get(part_col)
@@ -1474,15 +1562,24 @@ def overwrite_partitions(
                 f"dynamic overwrite needs [v, v] {part_col} stats on every "
                 f"active file; {f} has none — rewrite it partitioned first"
             )
-        if str(pv[0]) != str(pv[1]):
-            if any(str(pv[0]) <= b <= str(pv[1]) for b in batch_parts):
+        try:
+            typed_parts = {_typed(b, pv[0]) for b in batch_parts}
+        except (TypeError, ValueError) as exc:
+            raise ValueError(
+                f"dynamic overwrite cannot compare batch {part_col} values "
+                f"{sorted(batch_parts)} against {f}'s stats {pv} "
+                f"({type(pv[0]).__name__}): {exc} — use a string-typed "
+                "partition column or rewrite the file's stats"
+            ) from exc
+        if pv[0] != pv[1]:
+            if any(pv[0] <= b <= pv[1] for b in typed_parts):
                 raise ValueError(
                     f"{f} spans {part_col} range {pv} which intersects the "
                     "batch's partitions — whole-file replacement would "
                     "corrupt; compact the table per-partition first"
                 )
             continue
-        if str(pv[0]) in batch_parts:
+        if pv[0] in typed_parts:
             remove.append(f)
     t.commit(next_v, "dynamic_overwrite", add=sorted(add), remove=remove, stats=stats)
     return next_v

@@ -513,6 +513,74 @@ def test_dynamic_overwrite_refuses_straddling_partition_stats(spark):
         overwrite_partitions(t, spark, batch, "event_day")
 
 
+def test_dynamic_overwrite_numeric_partition_stats_typed_compare(spark):
+    """Numeric partition columns: the straddle/membership tests must
+    compare TYPED values. Lexicographically '10' is NOT inside ['9','12'],
+    so a string compare would silently KEEP a straddling file and
+    duplicate its rows under the new batch; and a degenerate [5, 5]
+    int-stat file must match directory value '5'. Both directions:
+    (a) straddling numeric range intersecting the batch -> refuse;
+    (b) degenerate numeric stats -> replaced, row counts exact."""
+    from oddsetl_spark.sources.acid_table import overwrite_partitions
+
+    base = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            (F.pmod(F.col("event_id"), F.lit(4)) + 9).alias("bucket"),
+            "value",
+        )
+    )
+    # (a) one file spans buckets 9..12; batch lands bucket 10 -> refuse
+    t = AcidTable.create(
+        spark, base.coalesce(1), scratch_dir("acid_numstraddle"),
+        stats_cols=["bucket"],
+    )
+    batch = base.filter(F.col("bucket") == 10).withColumn(
+        "value", F.col("value") * 2
+    )
+    with pytest.raises(ValueError, match="spans|intersects"):
+        overwrite_partitions(t, spark, batch, "bucket")
+
+    # (b) per-bucket files (degenerate [v, v] int stats): bucket 10 is
+    # replaced exactly once — no silent keep, no duplication
+    t2 = AcidTable(scratch_dir("acid_numdegen"))
+    out = os.path.join(t2.data_dir, "commit-00000")
+    base.repartition("bucket").write.partitionBy("bucket").parquet(out)
+    add, stats = [], {}
+    for dirpath, _dirs, files in os.walk(out):
+        for fname in files:
+            if fname.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, fname), t2.root)
+                add.append(rel)
+                bv = int(os.path.basename(dirpath).split("=", 1)[1])
+                stats[rel] = {"bucket": [bv, bv]}  # typed INT stats
+    t2.commit(0, "load", add=sorted(add), remove=[], stats=stats)
+    n_before = t2.read(spark).count()
+    # partition value lives in manifest stats (not the file data), so
+    # bucket selection goes through stats pruning with INT bounds
+    n_b10 = t2.read_pruned(spark, "bucket", 10, 10)[0].count()
+    assert n_b10 > 0
+    overwrite_partitions(t2, spark, batch, "bucket")
+    assert t2.read(spark).count() == n_before, (
+        "replaced partition duplicated or lost rows"
+    )
+    doubled, n_kept, _n_total = t2.read_pruned(spark, "bucket", 10, 10)
+    assert n_kept >= 1 and doubled.count() == n_b10
+    # every bucket-10 row is from the new batch (value doubled vs base)
+    joined = doubled.alias("a").join(
+        base.filter(F.col("bucket") == 10).select(
+            "event_id", F.col("value").alias("old_value")
+        ),
+        "event_id",
+    )
+    assert joined.count() == n_b10
+    assert joined.filter(
+        F.col("value") != F.col("old_value") * 2
+    ).count() == 0
+
+
 def test_restore_carries_stats_for_readded_files(spark):
     """RESTORE must re-publish the target snapshot's per-file stats for
     re-added files — otherwise stats-skipping degrades to full scans

@@ -1092,9 +1092,13 @@ def test_sql_table_function_matches_inline_query(spark):
     equivalent inline query, and compose with aggregation."""
     from pyspark.sql import functions as F
 
+    import os
+
     from oddsetl_spark.io import table as t
 
-    sf = "/root/testdata/sf0.001"
+    from .harness import SF_DIRS
+
+    sf = SF_DIRS[os.environ.get("ODDSETL_TEST_SF", "0.001")]
     t(spark, sf, "orders").createOrReplaceTempView("tf_orders")
     spark.sql(
         """CREATE OR REPLACE TEMPORARY FUNCTION tf_top_orders(thr DOUBLE)
