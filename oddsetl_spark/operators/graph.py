@@ -1080,6 +1080,25 @@ def graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     join streams edges against the broadcast degree table; nothing is
     quadratic — work is O(m) per round, the published Louvain cost.
     """
+    result, caches = graph_louvain_round_plan(spark, sf_dir)
+    try:
+        # materialize before releasing the caches (the sibling heavy-op
+        # discipline, e.g. graph_sssp_bounded) so full-registry batteries
+        # don't accumulate orphaned cached blocks for the session
+        result = result.localCheckpoint()
+    finally:
+        for c in caches:
+            c.unpersist()
+    return result
+
+
+def graph_louvain_round_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """LAZY Louvain-round plan plus the frames it persisted — split out so
+    plan tests can inspect the broadcast-join shape (the registered query
+    localCheckpoints, which replaces the plan with an ExistingRDD scan).
+    Callers must unpersist the returned caches after materializing."""
     e = _copurchase_edges(spark, sf_dir)
     # the lineitem self-join feeds deg, m2, gains AND the final assign —
     # persist it once (same discipline as the other heavy graph ops)
@@ -1119,12 +1138,4 @@ def graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("i").cast("long").alias("first_member"),
     )
-    try:
-        # materialize before releasing the caches (the sibling heavy-op
-        # discipline, e.g. graph_sssp_bounded) so full-registry batteries
-        # don't accumulate orphaned cached blocks for the session
-        result = result.localCheckpoint()
-    finally:
-        und.unpersist()
-        deg.unpersist()
-    return result
+    return result, [und, deg]

@@ -648,8 +648,18 @@ def test_merkle_diff_exchanges_only_range_ids(spark):
 def test_louvain_gain_join_broadcasts_degrees(spark):
     """graph_louvain_round: the gain computation must stream edges against
     BROADCAST degree tables — no shuffle join on the edge list, no
-    cartesian product (the m2 scalar rides a 1-row broadcast)."""
-    plan = _plan(spark, "graph_louvain_round")
+    cartesian product (the m2 scalar rides a 1-row broadcast). Inspects
+    the lazy plan helper: the registered query localCheckpoints its
+    result (cache-hygiene), which would hide the join shape."""
+    from oddsetl_spark.operators.graph import graph_louvain_round_plan
+    from oddsetl_spark.plans.report import executed_plan
+
+    df, caches = graph_louvain_round_plan(spark, SF_DIR)
+    try:
+        plan = executed_plan(df)
+    finally:
+        for c in caches:
+            c.unpersist()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
