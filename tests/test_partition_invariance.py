@@ -119,6 +119,11 @@ INVARIANCE_SET = [
     "agg_diff_in_diff",
     "graph_louvain_round",
     "curate_kaplan_meier",
+    # round 5: the PCA Gramian fold now tree-merges on spark_partition_id
+    # mod isqrt(P) — the contract output (count + tolerance flags) must
+    # stay invariant when the layout (and therefore the merge grouping
+    # AND float fold order) changes under it
+    "emb_pca_project",
 ]
 
 
