@@ -635,3 +635,81 @@ def test_vacuum_grace_spares_young_orphans(spark):
     assert not any("inflight-writer" in d for d in deleted_young)
     deleted_now = t.vacuum(0, grace_seconds=0)
     assert any("inflight-writer" in d for d in deleted_now)
+
+
+def test_stats_cols_date_timestamp_json_safe_and_prunable(spark):
+    """Date/timestamp stats columns must survive commit (json.dumps used
+    to raise TypeError on datetime values) as ISO strings — which order
+    correctly lexicographically, so stats pruning with date/datetime
+    bounds still eliminates files."""
+    import datetime
+
+    base = (
+        table(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("tts"),
+            F.col("ts").cast("date").alias("tday"),
+        )
+        .repartitionByRange(8, "tts")
+    )
+    t = AcidTable.create(
+        spark, base, scratch_dir("acid_datestats"),
+        stats_cols=["tts", "tday"],
+    )
+    # every stored stat is a JSON-native string now
+    for st in t.file_stats().values():
+        for c in ("tts", "tday"):
+            assert all(isinstance(v, str) for v in st[c]), st
+    days = sorted(
+        r[0] for r in base.select("tday").distinct().collect()
+    )
+    lo = days[len(days) // 2]
+    # datetime.date bounds are normalized like the stats -> typed pruning
+    pruned, n_kept, n_total = t.read_pruned(spark, "tday", lo, days[-1])
+    assert 0 < n_kept < n_total, (n_kept, n_total)
+    assert (
+        pruned.filter(F.col("tday") >= F.lit(lo)).count()
+        == base.filter(F.col("tday") >= F.lit(lo)).count()
+    )
+
+
+def test_stats_cols_decimal_refused_with_clear_error(spark):
+    """Decimal stats columns cannot be stored losslessly as JSON numbers
+    nor compared as strings — creation must fail with an actionable
+    message at stats-collection time, not a TypeError inside commit."""
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec")
+    )
+    with pytest.raises(ValueError, match="DECIMAL|decimal"):
+        AcidTable.create(
+            spark, base, scratch_dir("acid_decstats"),
+            stats_cols=["price_dec"],
+        )
+
+
+def test_everything_pruned_schema_tracks_evolution(spark):
+    """After a superset-schema append, an everything-pruned read must
+    synthesize its empty frame from the NEWEST file so the schema matches
+    a non-empty read — not from an arbitrary older file lacking the
+    added column."""
+    base = (
+        table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    t = AcidTable.create(
+        spark, base.coalesce(1), scratch_dir("acid_evoprune"),
+        stats_cols=["o_orderkey"],
+    )
+    widened = base.limit(50).select(
+        (F.col("o_orderkey") + 2000).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("priority").alias("channel"),
+    ).coalesce(1)
+    t.append(spark, widened, stats_cols=["o_orderkey"])
+    empty, n_kept, _ = t.read_pruned(
+        spark, "o_orderkey", 10_000_000, 20_000_000
+    )
+    assert n_kept == 0 and empty.count() == 0
+    assert "channel" in empty.columns, empty.columns

@@ -102,6 +102,9 @@ QUERIES = [
     # range-digest fold (bounded 256-key groups)
     "graph_louvain_round",
     "etl_merkle_range_diff",
+    # round 5: the tree-merged Gramian fold — driver payload tracks
+    # partition count, not rows, so sec/K must stay flat
+    "emb_pca_project",
 ]
 
 
