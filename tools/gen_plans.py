@@ -46,7 +46,9 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "sim_binary_quantize_rerank", "win_burst_detection",
             "etl_incremental_join_mv", "etl_merkle_range_diff",
             "graph_louvain_round", "agg_skyline_3d",
-            "agg_sprt_sequential", "curate_kaplan_meier"]
+            "agg_sprt_sequential", "curate_kaplan_meier",
+            # round 5: the tree-merged distributed PCA
+            "emb_pca_project"]
 
 NOTES = {
     "win_interval_union_length": "one (user_id) exchange feeds both sweep "
@@ -235,6 +237,10 @@ NOTES = {
     "curate_kaplan_meier": "per-user lifetimes -> bounded day grid; "
         "at-risk counts from a reverse cumsum over the grid, not "
         "per-(user, day) rows.",
+    "emb_pca_project": "partial Gramians per partition (mapInPandas), "
+        "ONE tree-merge exchange on pmod(partition_id, sqrt(P)), driver "
+        "folds O(sqrt(P)) rows; projection is a broadcast-literal "
+        "zip_with fold — the corpus itself never shuffles.",
 }
 
 out = ["# PLANS — final physical plans of the headline queries (sf0.1, AQE final)",
@@ -264,6 +270,17 @@ def _plan_for(name: str) -> str:
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    if name == "graph_louvain_round":
+        # The registered query localCheckpoints (cache hygiene), which
+        # hides the join plan — render the lazy twin like the test does.
+        from oddsetl_spark.operators.graph import graph_louvain_round_plan
+
+        df, caches = graph_louvain_round_plan(spark, sf)
+        try:
+            return executed_plan(df)
+        finally:
+            for c in caches:
+                c.unpersist()
     return executed_plan(registry.get(name).fn(spark, sf))
 
 
