@@ -535,32 +535,16 @@ def mm_pairwise_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def emb_pca_project_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA projection to 2 components via the partial-Gramian
-    pattern: each partition emits ONE row holding its (d x d) Gramian
-    X'X, column sum, and count (a few KB regardless of partition size);
-    the driver merges the partials in deterministic partition order,
-    eigendecomposes the d x d covariance (d=64 — trivially driver-sized),
-    and the projection runs as a broadcast-literal zip_with/aggregate fold
-    back on the executors.
-
-    This is the canonical way to do PCA at 100 TB on Spark: the ONLY data
-    that ever moves is num_partitions * (d^2 + d + 1) doubles — no shuffle
-    of the corpus, no driver materialization of rows. The partials go
-    through ONE distributed tree-merge level (sqrt(P) keys) before the
-    driver fold, so driver payload is O(sqrt(P) * d^2), not O(P * d^2):
-    at 800k scan partitions / d=64 that is ~30 MB instead of ~26 GB, and
-    each executor-side merge group holds only ~sqrt(P) few-KB partials.
-    Eigen-decomposition is not SQL-expressible -> contract oracle; the
-    algebraic invariants (component orthonormality, per-component
-    projected variance == eigenvalue, variance ordering) are asserted in
-    pytest.
-    """
+def gram_merged_partials(e: DataFrame) -> DataFrame:
+    """LAZY tree-merged Gramian partials of `e`'s `emb` column: each
+    partition emits ONE (n, column-sum, X'X) row via mapInPandas, then
+    one applyInPandas merge level on `pmod(spark_partition_id, isqrt(P))`
+    reduces them to O(sqrt(P)) rows for the driver fold. Split out so
+    plan tests can assert the single-merge-exchange shape (the caller
+    collects eagerly)."""
     import math
 
     import numpy as np
-
-    e = _emb(spark, sf_dir)
 
     def gram_partials(it):
         import pandas as pd
@@ -601,11 +585,37 @@ def emb_pca_project_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_parts = e.rdd.getNumPartitions()
     fan_in = max(1, math.isqrt(max(1, n_parts)))
-    parts = (
+    return (
         partials.groupBy((F.spark_partition_id() % fan_in).alias("mk"))
         .applyInPandas(merge_partials, "n long, s array<double>, g array<double>")
-        .collect()
     )
+
+
+def emb_pca_project_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection to 2 components via the partial-Gramian
+    pattern: each partition emits ONE row holding its (d x d) Gramian
+    X'X, column sum, and count (a few KB regardless of partition size);
+    the driver merges the partials in deterministic partition order,
+    eigendecomposes the d x d covariance (d=64 — trivially driver-sized),
+    and the projection runs as a broadcast-literal zip_with/aggregate fold
+    back on the executors.
+
+    This is the canonical way to do PCA at 100 TB on Spark: the ONLY data
+    that ever moves is num_partitions * (d^2 + d + 1) doubles — no shuffle
+    of the corpus, no driver materialization of rows. The partials go
+    through ONE distributed tree-merge level (sqrt(P) keys) before the
+    driver fold, so driver payload is O(sqrt(P) * d^2), not O(P * d^2):
+    at 800k scan partitions / d=64 that is ~30 MB instead of ~26 GB, and
+    each executor-side merge group holds only ~sqrt(P) few-KB partials.
+    Eigen-decomposition is not SQL-expressible -> contract oracle; the
+    algebraic invariants (component orthonormality, per-component
+    projected variance == eigenvalue, variance ordering) are asserted in
+    pytest.
+    """
+    import numpy as np
+
+    e = _emb(spark, sf_dir)
+    parts = gram_merged_partials(e).collect()
     n = sum(r["n"] for r in parts)
     if not parts or n == 0:
         raise ValueError(

@@ -672,3 +672,24 @@ def test_skyline_3d_refine_is_broadcast_anti_join(spark):
     assert "MapInPandas" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_pca_gram_merge_is_single_small_exchange(spark):
+    """emb_pca_project: the Gramian reduction must be partial-per-
+    partition (MapInPandas directly over the scan — no exchange below
+    it) followed by ONE merge exchange keyed on pmod(partition_id,
+    isqrt(P)) feeding the applyInPandas tree-merge — the corpus itself
+    never shuffles, and the driver collects O(sqrt(P)) rows."""
+    from oddsetl_spark.operators.llm_similarity import (
+        _emb,
+        gram_merged_partials,
+    )
+    from oddsetl_spark.plans.report import executed_plan
+
+    plan = executed_plan(gram_merged_partials(_emb(spark, SF_DIR)))
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    # exactly one exchange, keyed on the merge bucket — not the corpus
+    assert final.count("Exchange") == 1, final
+    assert "hashpartitioning(mk" in final, final
