@@ -549,30 +549,48 @@ def gram_merged_partials(e: DataFrame) -> DataFrame:
     def gram_partials(it):
         import pandas as pd
 
+        # Accumulate across Arrow batches so each PARTITION emits exactly
+        # one row, tagged with its spark_partition_id — a UNIQUE fold key,
+        # so downstream sorts have no ties and the float accumulation
+        # order is bit-reproducible for a fixed layout (sorting on
+        # (n, s[0]) could tie two partials and reorder nondeterministically).
+        n = 0
+        pid = -1
+        s_ = g_ = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
+            pid = int(pdf["pid"].iloc[0])
             X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            n += len(X)
+            if s_ is None:
+                s_ = X.sum(axis=0)
+                g_ = X.T @ X
+            else:
+                s_ += X.sum(axis=0)
+                g_ += X.T @ X
+        if n:
             yield pd.DataFrame(
                 {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0).tolist()],
-                    "g": [(X.T @ X).ravel().tolist()],
+                    "pid": [pid],
+                    "n": [n],
+                    "s": [s_.tolist()],
+                    "g": [g_.ravel().tolist()],
                 }
             )
 
-    partials = e.select("emb").mapInPandas(
-        gram_partials, "n long, s array<double>, g array<double>"
+    partials = (
+        e.select("emb")
+        .withColumn("pid", F.spark_partition_id())
+        .mapInPandas(gram_partials, "pid long, n long, s array<double>, g array<double>")
     )
 
     def merge_partials(pdf):
         import pandas as pd
 
-        # Deterministic fold order within the merge group (same stable
-        # key the driver fold uses), so a fixed layout reproduces bits.
-        pdf = pdf.sort_values(
-            ["n", "s"], key=lambda c: c.map(lambda v: v[0]) if c.name == "s" else c
-        )
+        # pid is unique per input row (one partial per source partition),
+        # so this sort is a total order — deterministic fold, no ties.
+        pdf = pdf.sort_values("pid", kind="mergesort")
         d_ = len(pdf["s"].iloc[0])
         s_ = np.zeros(d_)
         g_ = np.zeros(d_ * d_)
@@ -580,14 +598,21 @@ def gram_merged_partials(e: DataFrame) -> DataFrame:
             s_ += np.asarray(sv)
             g_ += np.asarray(gv)
         return pd.DataFrame(
-            {"n": [int(pdf["n"].sum())], "s": [s_.tolist()], "g": [g_.tolist()]}
+            {
+                "pid": [int(pdf["pid"].min())],
+                "n": [int(pdf["n"].sum())],
+                "s": [s_.tolist()],
+                "g": [g_.tolist()],
+            }
         )
 
     n_parts = e.rdd.getNumPartitions()
     fan_in = max(1, math.isqrt(max(1, n_parts)))
     return (
-        partials.groupBy((F.spark_partition_id() % fan_in).alias("mk"))
-        .applyInPandas(merge_partials, "n long, s array<double>, g array<double>")
+        partials.groupBy(F.pmod(F.col("pid"), F.lit(fan_in)).alias("mk"))
+        .applyInPandas(
+            merge_partials, "pid long, n long, s array<double>, g array<double>"
+        )
     )
 
 
@@ -625,7 +650,8 @@ def emb_pca_project_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = len(parts[0]["s"])
     s = np.zeros(d)
     g = np.zeros((d, d))
-    for r in sorted(parts, key=lambda r: (r["n"], r["s"][0])):  # stable order
+    # group-min pids are distinct across merge groups -> total order
+    for r in sorted(parts, key=lambda r: r["pid"]):
         s += np.asarray(r["s"])
         g += np.asarray(r["g"]).reshape(d, d)
     mean = s / n

@@ -1502,19 +1502,45 @@ def overwrite_partitions(
     # Hive directory names are strings; the manifest stats must carry the
     # COLUMN's type (mixed str/int stats would break later typed pruning
     # and straddle checks), so parse each directory value per the batch
-    # schema before recording it.
+    # schema before recording it. Spark hive-escapes reserved path chars
+    # as %XX ('ts=2020-01-01 00%3A00%3A00'), and a raw '%' in a string
+    # value is itself written as %25, so unquoting is lossless and
+    # mandatory — comparing the escaped form against the ISO strings
+    # _json_safe_stat records would never match, silently keeping the old
+    # file and duplicating the overwritten partition's rows.
+    import datetime
+    import urllib.parse
+
     from pyspark.sql import types as T
 
     dt = df.schema[part_col].dataType
 
-    def _parse_dir_value(v: str):
+    def _parse_dir_value(raw: str):
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            raise ValueError(
+                f"batch has NULL {part_col} values (Spark wrote a "
+                "__HIVE_DEFAULT_PARTITION__ directory): dynamic overwrite "
+                "cannot model a null partition in [v, v] stats — filter "
+                "the nulls or map them to a sentinel value first (the "
+                "aborted batch files were never committed and stay "
+                "invisible to readers)"
+            )
+        v = urllib.parse.unquote(raw)
         if isinstance(dt, T.BooleanType):
             return v.lower() == "true"
         if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
             return int(v)
         if isinstance(dt, (T.FloatType, T.DoubleType)):
             return float(v)
-        return v  # string / date / timestamp: ISO strings order correctly
+        # date/timestamp: round-trip through datetime and re-serialize
+        # exactly as _json_safe_stat does, so the membership compare is
+        # rendering-insensitive (Spark may trim trailing fractional zeros
+        # in dir names; isoformat pads microseconds to 6 digits).
+        if isinstance(dt, T.DateType):
+            return datetime.date.fromisoformat(v).isoformat()
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return datetime.datetime.fromisoformat(v).isoformat(sep=" ")
+        return v  # string: compares as-is
 
     add, stats = [], {}
     batch_parts = set()
@@ -1543,6 +1569,15 @@ def overwrite_partitions(
     def _typed(b, exemplar):
         if type(b) is type(exemplar):
             return b
+        if isinstance(exemplar, str) and not isinstance(b, str):
+            # Legacy/external string-typed stats for a non-string batch
+            # column: stringifying the batch values would silently revert
+            # the straddle range check to lexicographic order ('9' > '10')
+            # — the exact corruption the typed compare exists to prevent.
+            raise TypeError(
+                f"stat is str but the batch column is {type(b).__name__}: "
+                "refusing to compare lexicographically"
+            )
         bs = str(b)
         if isinstance(exemplar, bool):  # before int: bool is an int subclass
             return bs.lower() == "true"
@@ -1550,8 +1585,6 @@ def overwrite_partitions(
             return int(bs)
         if isinstance(exemplar, float):
             return float(bs)
-        if isinstance(exemplar, str):
-            return bs
         raise TypeError(type(exemplar).__name__)
 
     remove = []

@@ -713,3 +713,219 @@ def test_everything_pruned_schema_tracks_evolution(spark):
     )
     assert n_kept == 0 and empty.count() == 0
     assert "channel" in empty.columns, empty.columns
+
+
+def test_dynamic_overwrite_timestamp_partition_column(spark):
+    """Timestamp partition values are hive-escaped in directory names
+    ('ts_hour=2020-01-01 00%3A00%3A00'): the membership compare must
+    unescape and normalize the rendering, or the overwritten partition's
+    old file is silently KEPT and its rows duplicated."""
+    from oddsetl_spark.sources.acid_table import overwrite_partitions
+
+    base = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") < 400)
+        .select(
+            "event_id",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("ts_hour"),
+            "value",
+        )
+    )
+    hours = sorted(
+        r["ts_hour"] for r in base.select("ts_hour").distinct().collect()
+    )[:3]
+    base = base.filter(F.col("ts_hour").isin(hours))
+    # one append per hour -> degenerate [v, v] timestamp stats recorded
+    # through the REAL _json_safe_stat path (ISO strings)
+    t = AcidTable.create(
+        spark,
+        base.filter(F.col("ts_hour") == hours[0]).coalesce(1),
+        scratch_dir("acid_tspart"),
+        stats_cols=["ts_hour"],
+    )
+    for h in hours[1:]:
+        t.append(
+            spark, base.filter(F.col("ts_hour") == h).coalesce(1),
+            stats_cols=["ts_hour"],
+        )
+    n_before = t.read(spark).count()
+    target = hours[1]
+    old_files = set(t.active_files(t.latest_version()))
+    batch = base.filter(F.col("ts_hour") == target).withColumn(
+        "value", F.col("value") * 2
+    )
+    n_target = batch.count()
+    assert n_target > 0
+    overwrite_partitions(t, spark, batch, "ts_hour")
+    got = t.read(spark)
+    assert got.count() == n_before, (
+        "escaped-vs-ISO compare kept the old file: rows duplicated"
+    )
+    # the target hour's file was actually replaced, not carried over
+    new_files = set(t.active_files(t.latest_version()))
+    assert old_files - new_files, "no old file was removed"
+    # partition value lives in the manifest stats (partitionBy strips it
+    # from the data files), so select the hour via stats pruning
+    pruned, n_kept, _ = t.read_pruned(spark, "ts_hour", target, target)
+    assert n_kept >= 1
+    joined = pruned.join(
+        base.filter(F.col("ts_hour") == target).select(
+            "event_id", F.col("value").alias("old_value")
+        ),
+        "event_id",
+    )
+    assert joined.count() == n_target
+    assert joined.filter(F.col("value") != F.col("old_value") * 2).count() == 0
+
+
+def test_dynamic_overwrite_refuses_null_partition_values(spark):
+    """A NULL partition value writes a __HIVE_DEFAULT_PARTITION__
+    directory; overwrite must refuse with a clear error BEFORE the
+    commit, leaving the table unchanged (no uncaught int() ValueError,
+    no silent treatment of the sentinel as a real string value)."""
+    from oddsetl_spark.sources.acid_table import overwrite_partitions
+
+    base = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            (F.pmod(F.col("event_id"), F.lit(3))).alias("bucket"),
+            "value",
+        )
+    )
+    t = AcidTable.create(
+        spark,
+        base.filter(F.col("bucket") == 0).coalesce(1),
+        scratch_dir("acid_nullpart"),
+        stats_cols=["bucket"],
+    )
+    v_before = t.latest_version()
+    batch = base.filter(F.col("bucket") == 0).withColumn(
+        "bucket",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("bucket")
+        ),
+    )
+    with pytest.raises(ValueError, match="NULL|null"):
+        overwrite_partitions(t, spark, batch, "bucket")
+    assert t.latest_version() == v_before, "refusal must not commit"
+    # string partition column: the sentinel must ALSO refuse, not pass
+    # through as a literal '__HIVE_DEFAULT_PARTITION__' value
+    base_s = base.withColumn("bucket", F.col("bucket").cast("string"))
+    t2 = AcidTable.create(
+        spark,
+        base_s.filter(F.col("bucket") == "0").coalesce(1),
+        scratch_dir("acid_nullpart_str"),
+        stats_cols=["bucket"],
+    )
+    batch_s = base_s.filter(F.col("bucket") == "0").withColumn(
+        "bucket",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("bucket")
+        ),
+    )
+    with pytest.raises(ValueError, match="NULL|null"):
+        overwrite_partitions(t2, spark, batch_s, "bucket")
+
+
+def test_dynamic_overwrite_refuses_legacy_string_stats_for_numeric_batch(spark):
+    """A file carrying STRING-typed stats for a numeric partition column
+    (legacy manifest / external commit) must be refused: coercing the
+    numeric batch values to strings would silently revert the straddle
+    range check to lexicographic order ('9' > '10')."""
+    from oddsetl_spark.sources.acid_table import overwrite_partitions
+
+    base = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") < 300)
+        .select(
+            "event_id",
+            (F.pmod(F.col("event_id"), F.lit(4)) + 9).alias("bucket"),
+            "value",
+        )
+    )
+    t = AcidTable(scratch_dir("acid_strstats"))
+    out = os.path.join(t.data_dir, "commit-00000")
+    base.coalesce(1).write.parquet(out)
+    add = []
+    stats = {}
+    for dirpath, _dirs, files in os.walk(out):
+        for fname in files:
+            if fname.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, fname), t.root)
+                add.append(rel)
+                stats[rel] = {"bucket": ["12", "9"]}  # legacy STRING stats
+    t.commit(0, "load", add=sorted(add), remove=[], stats=stats)
+    batch = base.filter(F.col("bucket") == 10)
+    with pytest.raises(ValueError, match="str|lexicograph"):
+        overwrite_partitions(t, spark, batch, "bucket")
+
+
+def test_concurrent_interleaved_writers_exactly_one_wins(spark, monkeypatch):
+    """Two genuinely interleaved writers (threads synchronized at the
+    commit attempt via a barrier, so BOTH try the same version) must
+    resolve as: exactly one wins each version, the loser rebases once,
+    and the final table carries BOTH change sets."""
+    import threading
+
+    t, base = _mk(spark, "acid_threads", n_parts=4)
+    keys = [r["o_orderkey"] for r in base.select("o_orderkey").limit(8).collect()]
+    ka, kb = keys[:4], keys[4:]
+    changes = {
+        "A": base.filter(F.col("o_orderkey").isin(ka)).withColumn(
+            "o_orderstatus", F.lit("A")
+        ),
+        "B": base.filter(F.col("o_orderkey").isin(kb)).withColumn(
+            "o_orderstatus", F.lit("B")
+        ),
+    }
+    n_before = t.read(spark).count()
+
+    barrier = threading.Barrier(2)
+    real_commit = AcidTable.commit
+    attempts = []
+    lock = threading.Lock()
+
+    def synced_commit(self, version, op, add, remove, stats=None):
+        with lock:
+            attempts.append(version)
+            sync = len(attempts) <= 2
+        if sync:  # first attempt of each thread: force true interleave
+            barrier.wait(timeout=60)
+        return real_commit(self, version, op, add, remove, stats=stats)
+
+    monkeypatch.setattr(AcidTable, "commit", synced_commit)
+
+    results: dict[str, tuple[int, int]] = {}
+    errors: list[BaseException] = []
+
+    def run(tag):
+        try:
+            results[tag] = t.merge_with_rebase(
+                spark, changes[tag], "o_orderkey", as_of_version=0
+            )
+        except BaseException as exc:  # surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run, args=(tag,)) for tag in ("A", "B")]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    monkeypatch.setattr(AcidTable, "commit", real_commit)
+
+    # both threads attempted v1 (genuine interleave), loser rebased to v2
+    assert sorted(attempts) == [1, 1, 2], attempts
+    assert sorted(v for v, _ in results.values()) == [1, 2], results
+    assert sorted(r for _, r in results.values()) == [0, 1], results
+    assert t.latest_version() == 2
+    got = t.read(spark)
+    assert got.count() == n_before
+    st = {
+        r["o_orderkey"]: r["o_orderstatus"]
+        for r in got.filter(F.col("o_orderkey").isin(keys)).collect()
+    }
+    assert all(st[k] == "A" for k in ka), st
+    assert all(st[k] == "B" for k in kb), st
