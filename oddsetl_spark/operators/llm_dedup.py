@@ -629,9 +629,19 @@ def _propagate_min_labels(edges: DataFrame, labels: DataFrame, rounds: int) -> D
     chained CTEs. Convergence is detected with ONE scalar aggregate on the
     already-materialized labels: labels only ever decrease, so an
     unchanged exact sum means a fixed point (no per-round old-vs-new
-    join). Early exit yields the identical result to running all rounds."""
+    join). Early exit yields the identical result to running all rounds.
+
+    NON-CONVERGENCE GUARD: a component whose min-label eccentricity
+    exceeds `rounds` would otherwise silently return NON-components —
+    and because the chained-CTE oracle replays the same truncated
+    rounds, the hash compare would still pass (correctness theater).
+    A fixed point is only PROVEN by a round that changes nothing, so
+    when all `rounds` rounds changed the sum we run one extra proof
+    round: unchanged -> converged exactly at the budget; changed ->
+    raise rather than return wrong clusters."""
     prev_sum = None
-    for _ in range(rounds):
+    converged = False
+    for _ in range(rounds + 1):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
@@ -652,8 +662,17 @@ def _propagate_min_labels(edges: DataFrame, labels: DataFrame, rounds: int) -> D
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise ValueError(
+            f"min-label propagation still changing after {rounds} rounds: "
+            "a component's diameter exceeds the round budget, so the "
+            "result would NOT be connected components (and the round-"
+            "replaying oracle would not catch it) — raise _CC_ROUNDS or "
+            "pre-contract the graph"
+        )
     return labels
 
 

@@ -489,6 +489,39 @@ def test_components_converge_and_are_consistent(spark):
         assert lbl[r["a"]] == lbl[r["b"]], (r["a"], r["b"])
 
 
+def test_components_raise_when_diameter_exceeds_round_budget(spark):
+    """A path graph longer than the round budget must RAISE, never return
+    non-components: the chained-CTE oracle replays the same truncated
+    rounds, so a silent cutoff would hash-match while being wrong. The
+    exact-budget case (eccentricity == rounds) must still converge via
+    the proof round."""
+    from oddsetl_spark.operators.llm_dedup import _propagate_min_labels
+
+    def path_edges(n):
+        half = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "a long, b long"
+        )
+        return half.unionByName(
+            half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
+
+    def labels0(edges):
+        return edges.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("lbl")
+        )
+
+    # eccentricity of node 0's label along a 9-node path is 8 > 3 rounds
+    long_path = path_edges(9)
+    with pytest.raises(ValueError, match="round"):
+        _propagate_min_labels(long_path, labels0(long_path), 3)
+
+    # eccentricity exactly == rounds: converges (one proof round), and
+    # every node carries the path's min label
+    exact = path_edges(4)
+    got = _propagate_min_labels(exact, labels0(exact), 3)
+    assert {r["lbl"] for r in got.collect()} == {0}
+
+
 def test_quality_buckets_approx_tracks_exact_ntile(spark):
     """The sketch-cutpoint bucketing (scale path) must put ~n/10 docs in
     every decile — within the approx_percentile accuracy bound — and
