@@ -151,25 +151,56 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_TABLES, _LSH_PLANES = 8, 3
+_LSH_TABLES = 8
+# Density-adaptive AND-amplification: planes per table p is the smallest
+# value with expected bucket occupancy n / 2^p <= _LSH_TARGET_BUCKET,
+# clamped to [MIN, MAX]. A FIXED p makes bucket occupancy grow O(n/2^p)
+# and the within-bucket self-join quadratic in bucket size at corpus
+# scale; the ladder keeps per-bucket work ~target^2 and total candidate
+# volume ~n*target — linear in n. The ladder is integer threshold
+# compares (no float log2 at power-of-two boundaries) and is replayed
+# VERBATIM by the SQL oracle from the same COUNT(*). At a real 100 TB
+# corpus, raise MAX (and tables, to hold recall) — or re-hash oversized
+# buckets — rather than letting the clamp reintroduce the quadratic.
+_LSH_MIN_PLANES, _LSH_MAX_PLANES, _LSH_TARGET_BUCKET = 3, 8, 64
+
+
+def _lsh_planes_for(n: int) -> int:
+    p = _LSH_MIN_PLANES
+    while p < _LSH_MAX_PLANES and n > (_LSH_TARGET_BUCKET << p):
+        p += 1
+    return p
 
 
 def _lsh_plane(t: int, j: int) -> list[float]:
-    """Hyperplane weights sin((t*planes+j)*131 + d*17), computed ONCE in
-    Python and embedded as identical double literals in BOTH the Spark
+    """Hyperplane weights sin((t*MAX_PLANES+j)*131 + d*17), computed ONCE
+    in Python and embedded as identical double literals in BOTH the Spark
     plan and the DuckDB oracle — no cross-libm sin() divergence can
-    change a bucket sign."""
+    change a bucket sign. Seeded by MAX_PLANES so the plane draw for
+    (t, j) is stable regardless of the adaptive planes-per-table count."""
     import math
 
     return [
-        math.sin(float((t * _LSH_PLANES + j) * 131 + d * 17)) for d in range(64)
+        math.sin(float((t * _LSH_MAX_PLANES + j) * 131 + d * 17))
+        for d in range(64)
     ]
+
+
+def _lsh_planes_sql_case() -> str:
+    """The planes ladder as a SQL CASE over COUNT(*) — same integer
+    thresholds as _lsh_planes_for."""
+    whens = "\n    ".join(
+        f"WHEN n <= {_LSH_TARGET_BUCKET << p} THEN {p}"
+        for p in range(_LSH_MIN_PLANES, _LSH_MAX_PLANES)
+    )
+    return f"CASE {whens}\n    ELSE {_LSH_MAX_PLANES} END"
 
 
 def _lsh_oracle() -> str:
     """Full SQL replay of sim_lsh_approx: same plane literals, same
-    bucket arithmetic, same candidate join, same sequential-fold dot
-    product (_SQL_DOT) in the refine — every stage is deterministic
+    density ladder (np.p from COUNT(*)), same bucket arithmetic with
+    planes j >= p masked out, same candidate join, same sequential-fold
+    dot product (_SQL_DOT) in the refine — every stage is deterministic
     IEEE double arithmetic shared verbatim across engines."""
     plane_rows = ",\n".join(
         "({t}, {p})".format(
@@ -178,23 +209,27 @@ def _lsh_oracle() -> str:
                 "["
                 + ", ".join(repr(w) for w in _lsh_plane(t, j))
                 + "]::DOUBLE[]"
-                for j in range(_LSH_PLANES)
+                for j in range(_LSH_MAX_PLANES)
             ),
         )
         for t in range(_LSH_TABLES)
     )
     bucket = " + ".join(
-        f"(CASE WHEN {_SQL_DOT.format(a='e.emb', b=f'p.p{j}')} > 0 "
+        f"(CASE WHEN {j} < np.p AND {_SQL_DOT.format(a='e.emb', b=f'p.p{j}')} > 0 "
         f"THEN {1 << j} ELSE 0 END)"
-        for j in range(_LSH_PLANES)
+        for j in range(_LSH_MAX_PLANES)
     )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-p(table_id, {', '.join(f'p{j}' for j in range(_LSH_PLANES))}) AS (VALUES
+np AS (
+  SELECT {_lsh_planes_sql_case()} AS p
+  FROM (SELECT COUNT(*) AS n FROM e)
+),
+p(table_id, {', '.join(f'p{j}' for j in range(_LSH_MAX_PLANES))}) AS (VALUES
 {plane_rows}),
 b AS (
   SELECT e.vec_id, p.table_id, {bucket} AS bucket
-  FROM e CROSS JOIN p
+  FROM e CROSS JOIN p CROSS JOIN np
 ),
 cand AS (
   SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
@@ -214,12 +249,15 @@ WHERE {_SQL_DOT.format(a='ea.emb', b='eb.emb')} >= 0.3
 @register("sim_lsh_approx", category="llm_sim", oracle=_lsh_oracle(), heavy=True)
 def sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join at scale: random-hyperplane (SimHash)
-    LSH with OR-amplification — L=8 hash tables of 3 hyperplanes each
-    (8 buckets/table). Candidates = pairs sharing a bucket in ANY table,
-    then refined by exact cosine. AND within a table keeps buckets small;
-    OR across tables recovers recall (P[candidate] = 1-(1-p^3)^8 ~ 0.85
-    at cosine 0.3). At higher corpus density, raise planes-per-table to
-    keep buckets bounded and tables to hold recall.
+    LSH with OR-amplification — L=8 hash tables, planes-per-table p
+    DENSITY-ADAPTIVE via _lsh_planes_for (expected bucket occupancy
+    n / 2^p <= 64, integer threshold ladder). Candidates = pairs sharing
+    a bucket in ANY table, then refined by exact cosine. AND within a
+    table keeps buckets bounded as the corpus grows (fixed p made the
+    within-bucket self-join quadratic in n/2^p); OR across tables
+    recovers recall (P[candidate] = 1-(1-s^p)^8). The corpus count is
+    ONE scalar aggregate, and the oracle derives the identical p from
+    COUNT(*) in SQL, so the full pipeline stays hash-match replayable.
 
     Hyperplane h_j dimension d weight = sin(j*131 + d*17) — computed in
     PYTHON once (_lsh_plane) and shared as identical double literals with
@@ -231,7 +269,9 @@ def sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs sim_cosine_topk additionally asserted in tests.
     """
     e = _emb(spark, sf_dir)
-    n_tables, planes_per_table = _LSH_TABLES, _LSH_PLANES
+    # density ladder: one scalar count, mirrored by the oracle's COUNT(*)
+    n_tables = _LSH_TABLES
+    planes_per_table = _lsh_planes_for(e.count())
     buckets = []
     for t in range(n_tables):
         planes = [

@@ -105,6 +105,10 @@ QUERIES = [
     # round 5: the tree-merged Gramian fold — driver payload tracks
     # partition count, not rows, so sec/K must stay flat
     "emb_pca_project",
+    # round 6: density-adaptive hyperplane LSH — planes ladder must keep
+    # the bucket join sub-quadratic (see tools/lsh_density_probe.py for
+    # the candidate-count companion probe)
+    "sim_lsh_approx",
 ]
 
 
