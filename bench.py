@@ -36,6 +36,9 @@ from oddsetl_spark.session import get_spark  # noqa: E402
 #   minhash-LSH near-dup      -> dedup_minhash_det   (baseline 4.46 s DuckDB;
 #     the §2.K north-star differentiator: shingle -> 16 md5-family minhash
 #     sigs -> 8x2 LSH bands -> candidate join -> exact-Jaccard refine)
+#   IVF ANN probe + rerank    -> sim_ann_ivf         (baseline 0.29 s DuckDB,
+#     1.19 s Spark measured r6: the inverted-list path you'd run at 100 TB —
+#     coarse-quantizer build, nprobe=2 pruning, exact-cosine rerank)
 HEADLINE = [
     "agg_groupby_multi",
     "join3_topk_revenue",
@@ -46,6 +49,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_token_count",
     "dedup_minhash_det",
+    "sim_ann_ivf",
 ]
 
 # Queries whose collect() time is dominated by Py4J transfer of a wide
@@ -54,7 +58,7 @@ HEADLINE = [
 # these, also report an execution-only time under "queries_exec" via the
 # noop sink — full plan execution on the executors, zero rows to the
 # driver — alongside the like-for-like collect() number.
-EXEC_ONLY = ["win_sessionize"]
+EXEC_ONLY = ["win_sessionize", "win_topk_per_group"]
 
 
 def main() -> None:

@@ -318,6 +318,63 @@ def sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign_probes(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF coarse-quantizer build: per-label centroids (exact
+    decimal sums), centroid-distance table, nearest-list assignment and
+    nprobe=2 query probes.
+
+    The exactness discipline: centroid values are exact decimal means
+    (tiny: nlist*64 rows), and the vector-to-centroid sqdist is the
+    1e12 SCALED-LONG grid this repo's PQ operators established
+    (sim_ann_pq ADC pattern): per-term double math, FLOOR(x*1e12+0.5)
+    to a BIGINT, exact integer sum — terms are <= 4e12 and 64 of them
+    sum well under 2^63. Long sums run in whole-stage codegen; the
+    earlier DECIMAL(30,18) per-term sum over the same n*64*nlist
+    joined rows was the pipeline's hot spot (~2 s of the 2.7 s at
+    sf0.1 — decimal agg updates don't codegen), and a zip_with decimal
+    fold was slower still (interpreted BigDecimal per element)."""
+    ex = e.select("label", F.posexplode("emb").alias("pos", "val"))
+    cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    vex = e.select("vec_id", F.posexplode("emb").alias("pos", "val"))
+    vdists = (
+        vex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                    * F.lit(1e12)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("sqdist")
+        )
+    )
+    # Nearest-centroid assignment as min(struct(sqdist, c_label)) — a
+    # partial-aggregable hash agg (map-side combine, no per-key sort).
+    # Struct ordering is lexicographic by field, so this is exactly the
+    # oracle's ROW_NUMBER() ... ORDER BY sqdist, c_label = 1 row; the
+    # window formulation measured ~2 s slower at sf0.1.
+    assign = (
+        vdists.groupBy("vec_id")
+        .agg(F.min(F.struct("sqdist", "c_label")).alias("m"))
+        .select("vec_id", F.col("m.c_label").alias("list_id"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("sqdist"), F.asc("c_label"))
+    probes = (
+        vdists.filter(F.col("vec_id") < 5)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("q_id"), F.col("c_label").alias("list_id"))
+    )
+    return assign, probes
+
+
 @register(
     "sim_ann_ivf",
     category="llm_sim",
@@ -336,8 +393,8 @@ vex AS (
 ),
 vdists AS (
   SELECT v.vec_id, c.c_label,
-         CAST(SUM(CAST((v.val - c.cval) * (v.val - c.cval)
-                       AS DECIMAL(30,18))) AS DOUBLE) AS sqdist
+         SUM(CAST(FLOOR((v.val - c.cval) * (v.val - c.cval)
+                        * 1000000000000 + 0.5) AS BIGINT)) AS sqdist
   FROM vex v JOIN cent c ON v.pos = c.pos
   GROUP BY v.vec_id, c.c_label
 ),
@@ -381,57 +438,28 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, engine-identical — in production this is k-means, which
     would make the op rows-only-checkable; label centroids keep a full SQL
     oracle). Every vector is assigned to its nearest centroid's inverted
-    list. Query: probe the nprobe=2 nearest lists and score exact cosine
-    ONLY against their members — the corpus scan that brute-force
+    list (see _ivf_assign_probes for the shuffle-free distance build).
+    Query: probe the nprobe=2 nearest lists and score exact cosine ONLY
+    against their members — the corpus scan that brute-force
     sim_cosine_topk does is replaced by a scan of ~nprobe/nlist of the
-    data. At 100 TB the corpus is PARTITIONED BY list_id at build time, so
-    a probe is partition pruning, queries broadcast to the probed lists,
-    and each list scans locally — no full-corpus shuffle ever. Recall vs
+    data. The candidate set (probed-list members + their query vector) is
+    broadcast INTO the corpus-side join, so the scan never shuffles; at
+    100 TB the corpus is PARTITIONED BY list_id at build time, so the
+    probe becomes partition pruning with the same plan shape. Recall vs
     the exact oracle is asserted in tests."""
     e = _emb(spark, sf_dir)
-    ex = e.select("label", F.posexplode("emb").alias("pos", "val"))
-    cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cval")
-    )
-    vex = e.select("vec_id", F.posexplode("emb").alias("pos", "val"))
-    vdists = (
-        vex.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "c_label")
-        .agg(
-            F.sum(
-                ((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).cast(
-                    "decimal(30,18)"
-                )
-            )
-            .cast("double")
-            .alias("sqdist")
-        )
-        .localCheckpoint()  # reused by assignment AND query probing
-    )
-    w = W.partitionBy("vec_id").orderBy(F.asc("sqdist"), F.asc("c_label"))
-    assign = (
-        vdists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("list_id"))
-    )
-    probes = (
-        vdists.filter(F.col("vec_id") < 5)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2)
-        .select(F.col("vec_id").alias("q_id"), F.col("c_label").alias("list_id"))
-    )
+    assign, probes = _ivf_assign_probes(e)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
-    scored = (
+    cand = (
         assign.join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(F.broadcast(q), "q_id")
-        .join(e.select("vec_id", "emb"), "vec_id")
-        .select("q_id", "vec_id", _dot(F.col("q_emb"), F.col("emb")).alias("cosine"))
+        .select("q_id", "vec_id", "q_emb")
+    )
+    scored = e.select("vec_id", "emb").join(F.broadcast(cand), "vec_id").select(
+        "q_id", "vec_id", _dot(F.col("q_emb"), F.col("emb")).alias("cosine")
     )
     wq = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -1082,15 +1110,12 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sqdist")
         )
     )
+    # min-struct nearest-codeword: exact (sqdist, j) ordering,
+    # partial-aggregable hash agg, no window sort
     codes = (
-        cdist.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id", "sub").orderBy("sqdist", "j")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", F.col("j").alias("code"))
+        cdist.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("sqdist", "j")).alias("m"))
+        .select("vec_id", "sub", F.col("m.j").alias("code"))
     )
     lut = (
         sx.filter(F.col("vec_id") < 5)
@@ -1143,8 +1168,8 @@ vex AS (
 ),
 vdists AS (
   SELECT v.vec_id, c.c_label,
-         CAST(SUM(CAST((v.val - c.cval) * (v.val - c.cval)
-                       AS DECIMAL(30,18))) AS DOUBLE) AS sqdist
+         SUM(CAST(FLOOR((v.val - c.cval) * (v.val - c.cval)
+                        * 1000000000000 + 0.5) AS BIGINT)) AS sqdist
   FROM vex v JOIN cent c ON v.pos = c.pos
   GROUP BY v.vec_id, c.c_label
 ),
@@ -1233,44 +1258,9 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, 1e12 scaled-long ADC grid), so the composite still
     hash-matches its full SQL oracle."""
     e = _emb(spark, sf_dir)
-    # --- coarse quantizer (sim_ann_ivf build) ---
-    ex = e.select("label", F.posexplode("emb").alias("pos", "val"))
-    cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cval")
-    )
+    # --- coarse quantizer: exactly sim_ann_ivf's shuffle-free build ---
+    assign, probes = _ivf_assign_probes(e)
     vex = e.select("vec_id", F.posexplode("emb").alias("pos", "val"))
-    vdists = (
-        vex.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "c_label")
-        .agg(
-            F.sum(
-                (
-                    (F.col("val") - F.col("cval"))
-                    * (F.col("val") - F.col("cval"))
-                ).cast("decimal(30,18)")
-            )
-            .cast("double")
-            .alias("sqdist")
-        )
-        .localCheckpoint()  # reused by assignment AND query probing
-    )
-    w = W.partitionBy("vec_id").orderBy(F.asc("sqdist"), F.asc("c_label"))
-    assign = (
-        vdists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("list_id"))
-    )
-    probes = (
-        vdists.filter(F.col("vec_id") < 5)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2)
-        .select(
-            F.col("vec_id").alias("q_id"), F.col("c_label").alias("list_id")
-        )
-    )
     # --- PQ codes + per-query LUTs (sim_ann_pq build) ---
     sx = vex.select(
         "vec_id",
@@ -1295,15 +1285,12 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sqdist")
         )
     )
+    # min-struct nearest-codeword: exact (sqdist, j) ordering,
+    # partial-aggregable hash agg, no window sort
     codes = (
-        cdist.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id", "sub").orderBy("sqdist", "j")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", F.col("j").alias("code"))
+        cdist.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("sqdist", "j")).alias("m"))
+        .select("vec_id", "sub", F.col("m.j").alias("code"))
     )
     lut = (
         sx.filter(F.col("vec_id") < 5)
