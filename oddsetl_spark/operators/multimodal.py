@@ -9,10 +9,12 @@ every byte-level transform is exact and replayable.
 
 The decode / feature-extract / resize / frame-sample ladder runs as
 Arrow-batched mapInPandas — the real plumbing (schema, partitioning, UDF
-signature, batch shape) with the codec call stubbed: decoders try the real
-library (PIL etc., absent in this container) and otherwise run a
-clearly-marked deterministic fake over the same byte payloads. Swapping in
-a real codec changes ONE function body, no plan shape.
+signature, batch shape). The resize step uses a VENDORED pure-numpy
+bilinear codec (_bilinear_resize_bytes — real resampling math,
+deterministic in every environment; no optional-import branch); the
+remaining decode steps are clearly-marked deterministic byte math over
+the same payloads. Swapping in a real media decoder (PIL/ffmpeg, absent
+in this container) changes ONE function body, no plan shape.
 
 Scale notes: mapInPandas streams Arrow batches — payload bytes never
 gather on the driver; per-type rollups aggregate metadata columns only
@@ -153,41 +155,46 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _resize_pil(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
-    """Real-codec resize: rasterize the payload bytes as a (h, w) 8-bit
-    grayscale image (np.resize tiles/truncates deterministically to w*h
-    pixels) and bilinear-resize to (tw, th) with PIL. Output is always
-    tw*th bytes. Deterministic: same payload -> same thumbnail."""
+def _bilinear_resize_bytes(
+    payload: bytes, w: int, h: int, tw: int, th: int
+) -> bytes:
+    """Vendored pure-numpy bilinear codec: rasterize the payload bytes as
+    a (h, w) 8-bit grayscale image (np.resize tiles/truncates
+    deterministically to w*h pixels) and bilinear-resample to (tw, th)
+    with pixel-center sampling and edge replication — the same math class
+    as PIL's Image.BILINEAR, but with zero external dependency, so the
+    thumbnail bytes are identical in EVERY environment (the earlier
+    PIL-when-importable branch made results environment-dependent and
+    left an importorskip'd test). Output is always tw*th bytes."""
     import numpy as np
-    from PIL import Image
 
-    arr = np.resize(np.frombuffer(payload, dtype=np.uint8), w * h)
-    img = Image.fromarray(arr.reshape(h, w), mode="L")
-    return img.resize((tw, th), Image.BILINEAR).tobytes()
-
-
-def _resize_fake(payload: bytes, tw: int, th: int) -> bytes:
-    """Fallback when PIL is absent: deterministic byte decimation — keep
-    every k-th byte so the output has at most tw*th 'pixels'."""
-    k = max(1, -(-len(payload) // (tw * th)))
-    return payload[::k]
-
-
-def _has_pil() -> bool:
-    try:
-        from PIL import Image  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+    arr = (
+        np.resize(np.frombuffer(payload, dtype=np.uint8), w * h)
+        .reshape(h, w)
+        .astype(np.float64)
+    )
+    xs = (np.arange(tw) + 0.5) * (w / tw) - 0.5
+    ys = (np.arange(th) + 0.5) * (h / th) - 0.5
+    x0f = np.floor(xs)
+    y0f = np.floor(ys)
+    fx = xs - x0f
+    fy = ys - y0f
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    top = arr[y0][:, x0] * (1.0 - fx) + arr[y0][:, x1] * fx
+    bot = arr[y1][:, x0] * (1.0 - fx) + arr[y1][:, x1] * fx
+    out = top * (1.0 - fy)[:, None] + bot * fy[:, None]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8).tobytes()
 
 
 def mm_resize_stub_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize-to-thumbnail over image payloads. Uses the real codec (PIL
-    bilinear resize on the byte raster) when importable on the workers;
-    otherwise a deterministic fake byte-decimation. Either way the
-    Spark-side contract is fixed: mapInPandas in,
-    (doc_id, out_w, out_h, out_payload, out_bytes) out."""
+    """Resize-to-thumbnail over image payloads via the vendored bilinear
+    codec (_bilinear_resize_bytes — deterministic on every worker, no
+    import probe). The Spark-side contract is fixed: mapInPandas in,
+    (doc_id, out_w, out_h, out_payload, out_bytes) out; swapping in a
+    real media decoder changes one function body, no plan shape."""
     target_w, target_h = 64, 64
     m = (
         media_table(spark, sf_dir)
@@ -196,22 +203,16 @@ def mm_resize_stub_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        use_pil = _has_pil()  # probe on the WORKER: that's where it runs
         for pdf in batches:
-            if use_pil:
-                out = pd.Series(
-                    [
-                        _resize_pil(
-                            b, meta["width"], meta["height"], target_w, target_h
-                        )
-                        for b, meta in zip(pdf["payload"], pdf["meta"])
-                    ],
-                    index=pdf.index,
-                )
-            else:
-                out = pdf["payload"].map(
-                    lambda b: _resize_fake(b, target_w, target_h)
-                )
+            out = pd.Series(
+                [
+                    _bilinear_resize_bytes(
+                        b, meta["width"], meta["height"], target_w, target_h
+                    )
+                    for b, meta in zip(pdf["payload"], pdf["meta"])
+                ],
+                index=pdf.index,
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -240,20 +241,21 @@ FROM documents WHERE doc_id % 3 = 0
 """,
 )
 def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-verifiable resize contract. The thumbnail BYTES depend on
-    which codec the worker has (PIL bilinear vs the deterministic fake),
-    so they can never hash-match a fixed oracle; the CONTRACT can: exactly
-    one output row per image doc (doc_id % 3 = 0 — exact count), every
-    thumbnail is 64x64, and every payload is non-empty with out_bytes
-    equal to its true byte length. A batching bug (dropped rows), a
-    dimension bug, or a payload/length mismatch all hash-fail. The real
-    thumbnail rows are mm_resize_stub_raw (determinism pytest-asserted)."""
+    """Driver-verifiable resize contract: exactly one output row per
+    image doc (doc_id % 3 = 0 — exact count), every thumbnail is 64x64,
+    and every payload is EXACTLY 64*64 bytes matching its recorded
+    length (the vendored bilinear codec always emits tw*th bytes, so the
+    size is part of the hash-checked contract — tighter than the old
+    codec-dependent non-empty check). A batching bug (dropped rows), a
+    dimension bug, or a payload/length mismatch all hash-fail. The
+    thumbnail bytes themselves are mm_resize_stub_raw (determinism and
+    codec math pytest-asserted)."""
     out = mm_resize_stub_raw(spark, sf_dir)
     stats = out.agg(
         F.count(F.lit(1)).alias("n_images"),
         F.min((F.col("out_w") == 64) & (F.col("out_h") == 64)).alias("dims"),
         F.min(
-            (F.col("out_bytes") > 0)
+            (F.col("out_bytes") == 64 * 64)
             & (F.col("out_bytes") == F.octet_length("out_payload"))
         ).alias("payload"),
     )
