@@ -693,3 +693,19 @@ def test_pca_gram_merge_is_single_small_exchange(spark):
     # exactly one exchange, keyed on the merge bucket — not the corpus
     assert final.count("Exchange") == 1, final
     assert "hashpartitioning(mk" in final, final
+
+
+def test_ivf_scoring_join_broadcasts_candidates_into_scan(spark):
+    """sim_ann_ivf (round-6 rework): the exact-cosine rerank must join the
+    corpus scan against a BROADCAST candidate set — never shuffle the
+    corpus side — and the build must contain no row_number window except
+    the probes top-2 and the final per-query top-k (nearest-centroid
+    assignment and PQ codeword selection are min-struct hash aggregates)."""
+    plan = _plan(spark, "sim_ann_ivf")
+    assert "BroadcastHashJoin" in plan, plan
+    # true Window operators (not WindowGroupLimit pushdowns): probes
+    # (rn <= 2) + final top-10 only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("row_number() windowspecdefinition") <= 2, final
+    # the scaled-long sqdist keeps the distance agg out of decimal buffers
+    assert "sum(FLOOR(" in plan, plan

@@ -48,9 +48,18 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "graph_louvain_round", "agg_skyline_3d",
             "agg_sprt_sequential", "curate_kaplan_meier",
             # round 5: the tree-merged distributed PCA
-            "emb_pca_project"]
+            "emb_pca_project",
+            # round 6: the reworked IVF headliner and the density-adaptive
+            # hyperplane LSH
+            "sim_ann_ivf", "sim_lsh_approx"]
 
 NOTES = {
+    "sim_ann_ivf": "scaled-long sqdist feeds min-struct assignment (hash "
+        "aggs, no window sort); candidates broadcast INTO the corpus-side "
+        "rerank join — the scan never shuffles.",
+    "sim_lsh_approx": "planes-per-table from the corpus-count ladder; "
+        "bucket join volume ~ n*target occupancy, refine touches "
+        "candidates only.",
     "win_interval_union_length": "one (user_id) exchange feeds both sweep "
         "windows AND the island agg; frames support-bounded.",
     "join_bloom_membership": "bit set and dim broadcast twice; probe side "
