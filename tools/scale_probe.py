@@ -107,8 +107,10 @@ QUERIES = [
     "emb_pca_project",
     # round 6: density-adaptive hyperplane LSH — planes ladder must keep
     # the bucket join sub-quadratic (see tools/lsh_density_probe.py for
-    # the candidate-count companion probe)
+    # the candidate-count companion probe) — and the reworked IVF
+    # headliner (scaled-long distances, broadcast-candidate rerank)
     "sim_lsh_approx",
+    "sim_ann_ivf",
 ]
 
 
