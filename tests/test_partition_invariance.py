@@ -124,6 +124,13 @@ INVARIANCE_SET = [
     # stay invariant when the layout (and therefore the merge grouping
     # AND float fold order) changes under it
     "emb_pca_project",
+    # round 6: the reworked IVF (scaled-long sqdist partials + min-struct
+    # assignment are exact integer math, so layout must not move any
+    # nearest-centroid tie) and the density-adaptive LSH (the planes
+    # ladder reads a COUNT — layout-independent — and bucket signs are
+    # per-row expressions)
+    "sim_ann_ivf",
+    "sim_lsh_approx",
 ]
 
 
