@@ -452,14 +452,26 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
+    # Broadcast only the (q_id, vec_id) candidate pairs into the corpus
+    # scan, then attach each query's vector from a SECOND tiny broadcast
+    # (|q| rows) — duplicating the 64-double q_emb into every candidate
+    # row would multiply the broadcast payload ~60x for nothing. The
+    # candidate set is ~n*nprobe/nlist*|q| ids; past Spark's broadcast
+    # ceiling you partition the corpus BY list_id at build time and the
+    # probe becomes partition pruning + a shuffle-free semi-join, same
+    # plan shape.
     cand = (
         assign.join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .join(F.broadcast(q), "q_id")
-        .select("q_id", "vec_id", "q_emb")
+        .select("q_id", "vec_id")
     )
-    scored = e.select("vec_id", "emb").join(F.broadcast(cand), "vec_id").select(
-        "q_id", "vec_id", _dot(F.col("q_emb"), F.col("emb")).alias("cosine")
+    scored = (
+        e.select("vec_id", "emb")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id", "vec_id", _dot(F.col("q_emb"), F.col("emb")).alias("cosine")
+        )
     )
     wq = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

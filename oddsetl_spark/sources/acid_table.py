@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +48,50 @@ from pyspark.sql import functions as F
 
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first (optimistic loss)."""
+
+
+def parse_hive_dir_value(raw: str, dt, part_col: str):
+    """Parse one hive partition-directory value (the '<v>' of
+    '<col>=<v>') to the COLUMN's Python stat type. EVERY walker that
+    records directory values into manifest stats must go through this
+    (overwrite_partitions AND initial partitioned loads) — Spark
+    hive-escapes reserved path chars as %XX ('ts=2020-01-01
+    00%3A00%3A00'), and a raw '%' in a string value is itself written as
+    %25, so unquoting is lossless and mandatory: storing or comparing
+    the escaped form against the ISO strings _json_safe_stat records
+    would never match, silently keeping a replaced file and duplicating
+    the overwritten partition's rows. Mixed str/int stats would likewise
+    break later typed pruning and straddle checks, so numerics parse to
+    their column type."""
+    import datetime
+    import urllib.parse
+
+    from pyspark.sql import types as T
+
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        raise ValueError(
+            f"batch has NULL {part_col} values (Spark wrote a "
+            "__HIVE_DEFAULT_PARTITION__ directory): [v, v] partition "
+            "stats cannot model a null partition — filter the nulls or "
+            "map them to a sentinel value first (the aborted batch files "
+            "were never committed and stay invisible to readers)"
+        )
+    v = urllib.parse.unquote(raw)
+    if isinstance(dt, T.BooleanType):
+        return v.lower() == "true"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(v)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(v)
+    # date/timestamp: round-trip through datetime and re-serialize
+    # exactly as _json_safe_stat does, so the membership compare is
+    # rendering-insensitive (Spark may trim trailing fractional zeros
+    # in dir names; isoformat pads microseconds to 6 digits).
+    if isinstance(dt, T.DateType):
+        return datetime.date.fromisoformat(v).isoformat()
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return datetime.datetime.fromisoformat(v).isoformat(sep=" ")
+    return v  # string: compares as-is
 
 
 def _fsync_dir(path: str) -> None:
@@ -1499,122 +1544,102 @@ def overwrite_partitions(
     out = os.path.join(t.data_dir, tag)
     df.write.mode("error").partitionBy(part_col).parquet(out)
 
-    # Hive directory names are strings; the manifest stats must carry the
-    # COLUMN's type (mixed str/int stats would break later typed pruning
-    # and straddle checks), so parse each directory value per the batch
-    # schema before recording it. Spark hive-escapes reserved path chars
-    # as %XX ('ts=2020-01-01 00%3A00%3A00'), and a raw '%' in a string
-    # value is itself written as %25, so unquoting is lossless and
-    # mandatory — comparing the escaped form against the ISO strings
-    # _json_safe_stat records would never match, silently keeping the old
-    # file and duplicating the overwritten partition's rows.
-    import datetime
-    import urllib.parse
-
-    from pyspark.sql import types as T
-
     dt = df.schema[part_col].dataType
 
-    def _parse_dir_value(raw: str):
-        if raw == "__HIVE_DEFAULT_PARTITION__":
-            raise ValueError(
-                f"batch has NULL {part_col} values (Spark wrote a "
-                "__HIVE_DEFAULT_PARTITION__ directory): dynamic overwrite "
-                "cannot model a null partition in [v, v] stats — filter "
-                "the nulls or map them to a sentinel value first (the "
-                "aborted batch files were never committed and stay "
-                "invisible to readers)"
-            )
-        v = urllib.parse.unquote(raw)
-        if isinstance(dt, T.BooleanType):
-            return v.lower() == "true"
-        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-            return int(v)
-        if isinstance(dt, (T.FloatType, T.DoubleType)):
-            return float(v)
-        # date/timestamp: round-trip through datetime and re-serialize
-        # exactly as _json_safe_stat does, so the membership compare is
-        # rendering-insensitive (Spark may trim trailing fractional zeros
-        # in dir names; isoformat pads microseconds to 6 digits).
-        if isinstance(dt, T.DateType):
-            return datetime.date.fromisoformat(v).isoformat()
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            return datetime.datetime.fromisoformat(v).isoformat(sep=" ")
-        return v  # string: compares as-is
-
-    add, stats = [], {}
-    batch_parts = set()
-    for dirpath, _dirs, files in os.walk(out):
-        for fname in files:
-            if not fname.endswith(".parquet"):
-                continue
-            rel = os.path.relpath(os.path.join(dirpath, fname), t.root)
-            add.append(rel)
-            # .../<part_col>=<value>/part-*.parquet
-            pv = _parse_dir_value(os.path.basename(dirpath).split("=", 1)[1])
-            batch_parts.add(pv)
-            stats[rel] = {part_col: [pv, pv]}
-    old_stats = t.file_stats(version)
-    # A file is replaceable iff its recorded partition value is DEGENERATE
-    # ([v, v]): dynamic overwrite removes whole files, so a file whose
-    # stats straddle values (min != max) or are missing might hold rows
-    # of BOTH overwritten and untouched partitions — removing it loses
-    # the untouched rows, keeping it duplicates the overwritten ones.
-    # Refuse rather than corrupt. All comparisons are TYPED: the hive
-    # directory strings are parsed to the stat value's Python type first
-    # — string order is wrong for numerics ('10' < '9' lexicographically,
-    # so a file spanning [9, 12] would look disjoint from batch partition
-    # 10 and its rows would be silently duplicated), and string-equality
-    # membership is representation-sensitive (5 vs '5', 5.0 vs '5.0').
-    def _typed(b, exemplar):
-        if type(b) is type(exemplar):
-            return b
-        if isinstance(exemplar, str) and not isinstance(b, str):
-            # Legacy/external string-typed stats for a non-string batch
-            # column: stringifying the batch values would silently revert
-            # the straddle range check to lexicographic order ('9' > '10')
-            # — the exact corruption the typed compare exists to prevent.
-            raise TypeError(
-                f"stat is str but the batch column is {type(b).__name__}: "
-                "refusing to compare lexicographically"
-            )
-        bs = str(b)
-        if isinstance(exemplar, bool):  # before int: bool is an int subclass
-            return bs.lower() == "true"
-        if isinstance(exemplar, int):
-            return int(bs)
-        if isinstance(exemplar, float):
-            return float(bs)
-        raise TypeError(type(exemplar).__name__)
-
-    remove = []
-    for f, st in old_stats.items():
-        pv = st.get(part_col)
-        if pv is None or pv[0] is None:
-            raise ValueError(
-                f"dynamic overwrite needs [v, v] {part_col} stats on every "
-                f"active file; {f} has none — rewrite it partitioned first"
-            )
-        try:
-            typed_parts = {_typed(b, pv[0]) for b in batch_parts}
-        except (TypeError, ValueError) as exc:
-            raise ValueError(
-                f"dynamic overwrite cannot compare batch {part_col} values "
-                f"{sorted(batch_parts)} against {f}'s stats {pv} "
-                f"({type(pv[0]).__name__}): {exc} — use a string-typed "
-                "partition column or rewrite the file's stats"
-            ) from exc
-        if pv[0] != pv[1]:
-            if any(pv[0] <= b <= pv[1] for b in typed_parts):
-                raise ValueError(
-                    f"{f} spans {part_col} range {pv} which intersects the "
-                    "batch's partitions — whole-file replacement would "
-                    "corrupt; compact the table per-partition first"
+    # Everything after the write can refuse (validation) — clean the
+    # just-written uncommitted directory up on ANY failure, else a retry
+    # of the SAME version recomputes the same tag and df.write
+    # .mode("error") dies on path-already-exists instead of succeeding.
+    try:
+        add, stats = [], {}
+        batch_parts = set()
+        for dirpath, _dirs, files in os.walk(out):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, fname), t.root)
+                add.append(rel)
+                # .../<part_col>=<value>/part-*.parquet
+                pv = parse_hive_dir_value(
+                    os.path.basename(dirpath).split("=", 1)[1], dt, part_col
                 )
-            continue
-        if pv[0] in typed_parts:
-            remove.append(f)
-    t.commit(next_v, "dynamic_overwrite", add=sorted(add), remove=remove, stats=stats)
+                batch_parts.add(pv)
+                stats[rel] = {part_col: [pv, pv]}
+        old_stats = t.file_stats(version)
+        # A file is replaceable iff its recorded partition value is
+        # DEGENERATE ([v, v]): dynamic overwrite removes whole files, so a
+        # file whose stats straddle values (min != max) or are missing
+        # might hold rows of BOTH overwritten and untouched partitions —
+        # removing it loses the untouched rows, keeping it duplicates the
+        # overwritten ones. Refuse rather than corrupt. All comparisons
+        # are TYPED: the hive directory strings are parsed to the stat
+        # value's Python type first — string order is wrong for numerics
+        # ('10' < '9' lexicographically, so a file spanning [9, 12] would
+        # look disjoint from batch partition 10 and its rows would be
+        # silently duplicated), and string-equality membership is
+        # representation-sensitive (5 vs '5', 5.0 vs '5.0').
+        def _typed(b, exemplar):
+            if type(b) is type(exemplar):
+                return b
+            if isinstance(exemplar, str) and not isinstance(b, str):
+                # Legacy/external string-typed stats for a non-string
+                # batch column: stringifying the batch values would
+                # silently revert the straddle range check to
+                # lexicographic order ('9' > '10') — the exact corruption
+                # the typed compare exists to prevent.
+                raise TypeError(
+                    f"stat is str but the batch column is "
+                    f"{type(b).__name__}: refusing to compare "
+                    "lexicographically"
+                )
+            bs = str(b)
+            if isinstance(exemplar, bool):  # before int: bool is int subclass
+                return bs.lower() == "true"
+            if isinstance(exemplar, int):
+                return int(bs)
+            if isinstance(exemplar, float):
+                return float(bs)
+            raise TypeError(type(exemplar).__name__)
+
+        remove = []
+        for f, st in old_stats.items():
+            pv = st.get(part_col)
+            if pv is None or pv[0] is None:
+                raise ValueError(
+                    f"dynamic overwrite needs [v, v] {part_col} stats on "
+                    f"every active file; {f} has none — rewrite it "
+                    "partitioned first"
+                )
+            try:
+                typed_parts = {_typed(b, pv[0]) for b in batch_parts}
+            except (TypeError, ValueError) as exc:
+                raise ValueError(
+                    f"dynamic overwrite cannot compare batch {part_col} "
+                    f"values {sorted(batch_parts)} against {f}'s stats "
+                    f"{pv} ({type(pv[0]).__name__}): {exc} — use a "
+                    "string-typed partition column or rewrite the file's "
+                    "stats"
+                ) from exc
+            if pv[0] != pv[1]:
+                if any(pv[0] <= b <= pv[1] for b in typed_parts):
+                    raise ValueError(
+                        f"{f} spans {part_col} range {pv} which intersects "
+                        "the batch's partitions — whole-file replacement "
+                        "would corrupt; compact the table per-partition "
+                        "first"
+                    )
+                continue
+            if pv[0] in typed_parts:
+                remove.append(f)
+        t.commit(
+            next_v, "dynamic_overwrite", add=sorted(add), remove=remove,
+            stats=stats,
+        )
+    except BaseException:
+        # never committed -> invisible to readers; remove so a retry of
+        # the same version can re-write the same tag
+        shutil.rmtree(out, ignore_errors=True)
+        raise
     return next_v
 
 
@@ -1675,7 +1700,14 @@ def table_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             if fname.endswith(".parquet"):
                 rel = os.path.relpath(os.path.join(dirpath, fname), t.root)
                 add.append(rel)
-                pv = os.path.basename(dirpath).split("=", 1)[1]
+                # same unescape/typing path the overwrite walker uses —
+                # recording the RAW dir value here would recreate the
+                # escaped-vs-unquoted stat mismatch for reserved chars
+                pv = parse_hive_dir_value(
+                    os.path.basename(dirpath).split("=", 1)[1],
+                    e.schema["event_day"].dataType,
+                    "event_day",
+                )
                 stats[rel] = {"event_day": [pv, pv]}
     t.commit(0, "create", add=sorted(add), remove=[], stats=stats)
     days = [

@@ -929,3 +929,41 @@ def test_concurrent_interleaved_writers_exactly_one_wins(spark, monkeypatch):
     }
     assert all(st[k] == "A" for k in ka), st
     assert all(st[k] == "B" for k in kb), st
+
+
+def test_dynamic_overwrite_refusal_allows_same_version_retry(spark):
+    """A refused overwrite must clean its uncommitted batch directory so
+    a CORRECTED batch can retry at the SAME version (the tag is derived
+    from the version, so an orphaned dir would fail mode('error') with
+    path-already-exists)."""
+    from oddsetl_spark.sources.acid_table import overwrite_partitions
+
+    base = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            (F.pmod(F.col("event_id"), F.lit(3))).alias("bucket"),
+            "value",
+        )
+    )
+    t = AcidTable.create(
+        spark,
+        base.filter(F.col("bucket") == 0).coalesce(1),
+        scratch_dir("acid_retry"),
+        stats_cols=["bucket"],
+    )
+    bad = base.filter(F.col("bucket") == 0).withColumn(
+        "bucket",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("bucket")
+        ),
+    )
+    with pytest.raises(ValueError, match="NULL|null"):
+        overwrite_partitions(t, spark, bad, "bucket")
+    good = base.filter(F.col("bucket") == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    v = overwrite_partitions(t, spark, good, "bucket")  # must not raise
+    assert v == 1
+    assert t.read(spark).count() == good.count()

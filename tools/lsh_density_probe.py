@@ -16,6 +16,18 @@ not index inefficiency. The adaptive win shows in the DISTINCT-vector
 occupancy term, which the fixed-p index lets grow linearly with corpus
 size (quadratic candidates) and the ladder holds at ~target.
 
+Caveats the numbers carry:
+- "cand_fixed3" evaluates p=3 under the CURRENT plane seeding
+  (t*MAX_PLANES+j); the pre-round-6 operator drew planes with t*3+j, so
+  this is an apples-to-apples p comparison on one draw, not a bit-replay
+  of the old operator (statistically equivalent, same family).
+- Raising p trades MODERATE-similarity recall for bucket size: with
+  L=8 fixed, P[candidate] = 1-(1-s^p)^8 collapses at s~0.6 (cosine 0.3)
+  for large p while staying high in the near-dup band (s >= 0.85). The
+  recall table below quantifies it; holding fixed-s recall while
+  shrinking buckets requires L ~ (1/s)^p tables — exponential, the
+  fundamental LSH trade. The ladder's design point is near-dup dedup.
+
 Usage: python tools/lsh_density_probe.py [K ...]   (default 1 4 10)
 """
 
@@ -79,8 +91,50 @@ def _rotate(col, i: int, d: int = 64):
     return F.concat(F.slice(col, i + 1, d - i), F.slice(col, 1, i))
 
 
+def recall_table() -> None:
+    """Recall vs planes-per-table on the raw sf0.1 embeddings (n=2000,
+    numpy replay of the exact plane draws): candidate recall for true
+    pairs at cosine >= 0.3 (moderate similarity) and >= 0.8 (near-dup
+    band), L=8 tables throughout."""
+    import duckdb
+    import numpy as np
+
+    E = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{SRC}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchnumpy()
+    X = np.stack(E["embedding"]).astype(np.float64)
+    n = len(X)
+    cos = X @ X.T
+    iu = np.triu_indices(n, 1)
+    truth = {
+        tau: set(zip(*[a[cos[iu] >= tau] for a in iu])) for tau in (0.3, 0.8)
+    }
+    print(f"\n-- recall vs p at n={n}, L={_LSH_TABLES} --")
+    print(f"{'p':>2} {'recall>=0.3':>12} {'recall>=0.8':>12} {'candidates':>11}")
+    for p in (3, 5, 8):
+        cand: set = set()
+        tot = 0
+        for t in range(_LSH_TABLES):
+            P = np.stack([_lsh_plane(t, j) for j in range(p)])
+            sig = ((X @ P.T) > 0).astype(np.int64) @ (1 << np.arange(p))
+            for b in np.unique(sig):
+                idx = np.where(sig == b)[0]
+                tot += len(idx) * (len(idx) - 1) // 2
+                for i in range(len(idx)):
+                    for j in range(i + 1, len(idx)):
+                        cand.add((idx[i], idx[j]))
+        def rec(tau):
+            if not truth[tau]:  # fixture has no pairs that similar
+                return "   (no pairs)"
+            return f"{len(truth[tau] & cand) / len(truth[tau]):>13.3f}"
+
+        print(f"{p:>2} {rec(0.3):>12} {rec(0.8):>12} {tot:>11,}")
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    recall_table()
     spark = get_spark("lsh-density-probe")
     base = spark.read.parquet(f"{SRC}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
