@@ -3219,14 +3219,21 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ante", "cons")
         .agg(F.count(F.lit(1)).alias("c_ab"))
     )
-    ranked = pair_n.select(
-        "ante",
-        "cons",
-        "c_ab",
-        F.row_number()
-        .over(W.orderBy(F.desc("c_ab"), F.asc("ante"), F.asc("cons")))
-        .alias("rk"),
-    ).filter(F.col("rk") <= 20)
+    # top-20 via orderBy().limit() -> TakeOrderedAndProject; the rank
+    # window runs over the 20-row pool (a partitionless window over the
+    # full co-occurrence pair table would single-task it at scale)
+    ranked = (
+        pair_n.orderBy(F.desc("c_ab"), F.asc("ante"), F.asc("cons"))
+        .limit(20)
+        .select(
+            "ante",
+            "cons",
+            "c_ab",
+            F.row_number()
+            .over(W.orderBy(F.desc("c_ab"), F.asc("ante"), F.asc("cons")))
+            .alias("rk"),
+        )
+    )
     ia = item_n.select(
         F.col("l_partkey").alias("ante"), F.col("c").alias("c_a")
     )

@@ -924,21 +924,40 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonically_increasing_id() (the tempting shortcut) is
     partition-layout-dependent and changes across runs and engines; a
     rank over a total order is reproducible anywhere, which is what makes
-    reloads idempotent and cross-system joins stable. Cost is one
-    range-partitioned sort; at 100 TB assign SKs per partition with
-    zipWithIndex-style offset composition (sort_total_order_range shows
-    the distributed total-order machinery this builds on)."""
+    reloads idempotent and cross-system joins stable.
+
+    Scale shape (round 6): the row SK comes from _helpers.with_global_rank
+    — range-partition + local positions + broadcast cumulative offsets —
+    so NO partitionless window ever touches the dimension rows (the
+    earlier ROW_NUMBER()-over-total-order form funneled the whole dim
+    through one task); the segment SK is a rank over the DISTINCT
+    segment values (a bounded handful), broadcast back. Values are
+    identical to the oracle's DENSE_RANK/ROW_NUMBER by construction."""
     from pyspark.sql import Window as W
 
+    from ._helpers import with_global_rank
+
     c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
-    return c.select(
+    seg = (
+        c.select("c_mktsegment")
+        .distinct()
+        .withColumn(
+            "segment_sk",
+            F.row_number().over(W.orderBy("c_mktsegment")).cast("long"),
+        )
+    )
+    ranked = with_global_rank(
+        c.join(F.broadcast(seg), "c_mktsegment"),
+        order_cols=[F.asc("c_mktsegment"), F.asc("c_custkey")],
+        payload_cols=["c_custkey", "c_mktsegment", "segment_sk"],
+        num_partitions=8,
+        rank_alias="customer_sk",
+    )
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
-        F.dense_rank().over(W.orderBy("c_mktsegment")).cast("long").alias("segment_sk"),
-        F.row_number()
-        .over(W.orderBy("c_mktsegment", "c_custkey"))
-        .cast("long")
-        .alias("customer_sk"),
+        "segment_sk",
+        F.col("customer_sk").cast("long").alias("customer_sk"),
     )
 
 
@@ -1795,13 +1814,21 @@ def etl_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = per_key.agg(
         F.sum("n").alias("total_n"), F.count(F.lit(1)).alias("n_keys")
     )
-    ranked = per_key.select(
-        "o_custkey",
-        "n",
-        F.row_number()
-        .over(W.orderBy(F.desc("n"), F.asc("o_custkey")))
-        .alias("rnk"),
-    ).filter(F.col("rnk") <= 10)
+    # top-10 via orderBy().limit() -> TakeOrderedAndProject; the rank
+    # window runs over the 10-row pool only (a partitionless window over
+    # ALL distinct keys is the single-task hazard this report exists to
+    # catch in other people's jobs)
+    ranked = (
+        per_key.orderBy(F.desc("n"), F.asc("o_custkey"))
+        .limit(10)
+        .select(
+            "o_custkey",
+            "n",
+            F.row_number()
+            .over(W.orderBy(F.desc("n"), F.asc("o_custkey")))
+            .alias("rnk"),
+        )
+    )
     return ranked.crossJoin(F.broadcast(stats)).select(
         "o_custkey",
         "n",

@@ -758,15 +758,15 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
     )
-    from pyspark.sql import Window as W
-
+    # top-1000 vocab cut via orderBy().limit() — TakeOrderedAndProject
+    # (distributed per-partition heaps) instead of a partitionless
+    # row_number window that would sort the WHOLE vocabulary through one
+    # task; membership tagging needs no rank column at all
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "rn", F.row_number().over(W.orderBy(F.desc("n"), F.asc("tok")))
-        )
-        .filter(F.col("rn") <= 1000)
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(1000)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
     return (
@@ -1028,10 +1028,15 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("bm25")
     )
+    # top-10 via orderBy().limit() -> TakeOrderedAndProject (distributed
+    # per-partition heaps); the rank window then runs over the 10-row
+    # pool only — a partitionless window over ALL scored docs would
+    # funnel the corpus through one task (same pattern as sim_hybrid_rrf)
     wtop = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
-        scores.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= 10)
+        scores.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rn", F.row_number().over(wtop))
         .select("doc_id", "bm25", "rn")
     )
 
@@ -1093,12 +1098,19 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    ranked = freq.select(
-        "f",
-        F.row_number()
-        .over(W.orderBy(F.desc("f"), F.asc("t")))
-        .alias("rank"),
-    ).filter(F.col("rank") <= 50)
+    # top-50 via orderBy().limit() -> TakeOrderedAndProject; the rank
+    # window runs over the 50-row pool only (a partitionless window over
+    # the full vocabulary would sort it through one task)
+    ranked = (
+        freq.orderBy(F.desc("f"), F.asc("t"))
+        .limit(50)
+        .select(
+            "f",
+            F.row_number()
+            .over(W.orderBy(F.desc("f"), F.asc("t")))
+            .alias("rank"),
+        )
+    )
     pts = ranked.select(
         F.round(F.log("rank"), 9).alias("x"),
         F.round(F.log("f"), 9).alias("y"),

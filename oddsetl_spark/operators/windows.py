@@ -1629,10 +1629,14 @@ def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = paths.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+    # top-10 via orderBy().limit() -> TakeOrderedAndProject; the rank
+    # window then runs over the 10-row pool (a partitionless window over
+    # ALL distinct paths would funnel them through one task)
     wtop = W.orderBy(F.desc("n_sessions"), F.asc("path"))
     return (
-        counts.withColumn("rk", F.row_number().over(wtop))
-        .filter(F.col("rk") <= 10)
+        counts.orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+        .withColumn("rk", F.row_number().over(wtop))
         .select("path", "n_sessions", "rk")
     )
 
@@ -1690,11 +1694,14 @@ def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts before ends at the same instant (inclusive overlap), then
     stable keys, so the sweep is deterministic.
 
-    Scale shape: the sweep is 2 rows per session; at 100 TB it
-    partitions by time range with per-range boundary offsets (a
-    prefix-sum pass over range partials — the curate_pack_chunks
-    two-pass pattern), so no single-partition window is required at
-    scale; the fixture runs it directly."""
+    Scale shape (round 6, upgraded from disclosure to implementation):
+    the sweep's running sum is the two-pass prefix-sum — range-partition
+    the +-1 points by sweep order, cumsum WITHIN each range partition
+    (window partitioned by the range id), then add the broadcast
+    cumulative delta totals of all earlier ranges. The only window over
+    unbounded rows is partitioned; the offsets window runs over
+    num_partitions rows. Identical integers to the single-window form
+    (exact prefix sums), so the oracle is unchanged."""
     e = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(
@@ -1731,14 +1738,38 @@ def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_id",
         )
     )
-    wsweep = W.orderBy(
+    order_cols = [
         F.asc("at_ts"),
         F.desc("delta"),
         F.asc("user_id"),
         F.asc("session_id"),
-    ).rowsBetween(W.unboundedPreceding, W.currentRow)
-    running = sweep.select(
-        "at_ts", F.sum("delta").over(wsweep).alias("concurrent")
+    ]
+    ranged = sweep.repartitionByRange(8, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    local = ranged.select(
+        "at_ts",
+        "delta",
+        "user_id",
+        "session_id",
+        F.shiftright(F.monotonically_increasing_id(), 33)
+        .cast("int")
+        .alias("_pid"),
+    )
+    wlocal = (
+        W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    totals = local.groupBy("_pid").agg(F.sum("delta").alias("_pd"))
+    woff = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_pd").over(woff), F.lit(0)).alias("_off")
+    )
+    running = (
+        local.withColumn("_cum", F.sum("delta").over(wlocal))
+        .join(F.broadcast(offsets), "_pid")
+        .select("at_ts", (F.col("_cum") + F.col("_off")).alias("concurrent"))
     )
     n_sessions = sessions.count()
     peak = running.agg(F.max("concurrent").alias("mx"))

@@ -709,3 +709,30 @@ def test_ivf_scoring_join_broadcasts_candidates_into_scan(spark):
     assert final.count("row_number() windowspecdefinition") <= 2, final
     # the scaled-long sqdist keeps the distance agg out of decimal buffers
     assert "sum(FLOOR(" in plan, plan
+
+
+def test_global_topk_rankers_use_takeordered(spark):
+    """Round-6 de-windowing: every global top-k ranking must reach the
+    pool via TakeOrderedAndProject (distributed per-partition heaps) —
+    the rank window may only run over the <=k-row pool. A partitionless
+    row_number over the full frame funnels it through one task."""
+    for name in (
+        "sim_bm25_topk",
+        "text_oov_rate",
+        "text_zipf_fit",
+        "win_top_paths",
+        "etl_skew_report",
+        "agg_association_rules",
+    ):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+
+
+def test_rank_assignment_is_range_partitioned(spark):
+    """etl_surrogate_keys and win_max_concurrency must build their
+    global rank / prefix sum on the range-partition + broadcast-offsets
+    decomposition (rangepartitioning exchange present), not a
+    partitionless window over the data."""
+    for name in ("etl_surrogate_keys", "win_max_concurrency"):
+        plan = _plan(spark, name)
+        assert "rangepartitioning(" in plan, (name, plan)
