@@ -131,6 +131,12 @@ INVARIANCE_SET = [
     # per-row expressions)
     "sim_ann_ivf",
     "sim_lsh_approx",
+    # round 6 de-windowing: both build on range-partition + offset
+    # decompositions whose sampled range boundaries MOVE under layout
+    # changes — ranks and prefix sums must not (exact integer arithmetic
+    # over a total order)
+    "etl_surrogate_keys",
+    "win_max_concurrency",
 ]
 
 
