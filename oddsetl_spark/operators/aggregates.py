@@ -699,7 +699,8 @@ SELECT COALESCE(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE), DATE '1
          + GROUPING(date_trunc('day', CAST(ts AS TIMESTAMP))) * 2
          + GROUPING(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS gid,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         /1000000 AS sum_value
 FROM events
 GROUP BY ROLLUP (date_trunc('week', CAST(ts AS TIMESTAMP)),
                  date_trunc('day',  CAST(ts AS TIMESTAMP)),
@@ -713,7 +714,12 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expands the rollup map-side, so partial aggregation still applies —
     at 100 TB this replaces three separate scans with one. grouping_id
     labels the stratum; sentinel epoch values stand in for the NULLs of
-    super-aggregate rows (both engines agree on the coalesce)."""
+    super-aggregate rows (both engines agree on the coalesce). sum_value
+    uses the scaled-long grid (lsum): the earlier DECIMAL(30,12) sum's
+    grand-total row crossed 2^53 at the 10x (~sf1) probe, where the
+    decimal->double cast double-rounds differently across engines;
+    BIGINT->DOUBLE then /1e6 is the same two correctly-rounded ops on
+    both sides at any magnitude (long headroom to ~9e12 total value)."""
     e = table(spark, sf_dir, "events")
     week = F.date_trunc("week", "ts")
     day = F.date_trunc("day", "ts")
@@ -725,7 +731,7 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,12)")).cast("double").alias("sum_value"),
+            lsum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.coalesce(F.col("w").cast("date"), epoch_d).alias("week"),
@@ -781,8 +787,10 @@ def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="agg",
     oracle=f"""
 SELECT l_returnflag,
-       {sql_dsum('l_extendedprice * l_quantity')}
-         / {sql_dsum('l_quantity')} AS wavg_price,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * l_quantity)*1000000 + 0.5)
+                     AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(FLOOR(l_quantity*1000000 + 0.5) AS BIGINT))
+                AS DOUBLE) AS wavg_price,
        {sql_dsum('l_quantity')} AS total_weight,
        COUNT(*) AS n
 FROM lineitem
@@ -790,22 +798,28 @@ GROUP BY l_returnflag
 """,
 )
 def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted average (quantity-weighted price) from two exact decimal
-    sums — the mergeable-partials formulation: sum(w*x)/sum(w) composes
-    across partitions and batches (unlike a naive avg of per-row ratios),
-    which is what makes it incremental-maintenance-safe at 100 TB. The
-    per-row product multiplies in DOUBLE then casts to decimal once
-    (dsum discipline) — decimal*decimal typing differs between engines
-    (Spark reduces scale under precision pressure, DuckDB keeps s1+s2),
-    which cost a 1-ulp mismatch in the first cut. One shuffle, map-side
-    partials, final division in scalar double."""
+    """Weighted average (quantity-weighted price) from two exact sums —
+    the mergeable-partials formulation: sum(w*x)/sum(w) composes across
+    partitions and batches (unlike a naive avg of per-row ratios), which
+    is what makes it incremental-maintenance-safe at 100 TB.
+
+    The ratio divides the RAW scaled-long sums (the scales cancel):
+    BIGINT -> DOUBLE is one correctly-rounded cast that both engines
+    perform identically at ANY magnitude, whereas casting a DECIMAL sum
+    above 2^53 to double diverges by an ulp across engines (DuckDB's
+    int128 path double-rounds) — measured at the 10x (~sf1) probe on the
+    6e11-cent numerator. total_weight stays the decimal dsum (its
+    magnitude is < 2^53 through ~sf100). One shuffle, map-side partials,
+    final division in scalar double."""
     li = table(spark, sf_dir, "lineitem")
-    wsum = dsum(F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(
-        (dsum(F.col("l_extendedprice") * F.col("l_quantity")) / wsum).alias(
-            "wavg_price"
-        ),
-        wsum.alias("total_weight"),
+        (
+            F.sum(lng(F.col("l_extendedprice") * F.col("l_quantity"))).cast(
+                "double"
+            )
+            / F.sum(lng(F.col("l_quantity"))).cast("double")
+        ).alias("wavg_price"),
+        dsum(F.col("l_quantity")).alias("total_weight"),
         F.count(F.lit(1)).alias("n"),
     )
 
