@@ -164,15 +164,32 @@ def with_global_rank(
     num_partitions: int = 32,
     rank_alias: str = "_rank",
     total_alias: str = "_n",
+    pin: bool = True,
 ):
     """df -> (payload_cols..., rank_alias, total_alias) with the exact
     1-based global rank under ORDER BY order_cols (which must be a total
-    order — include a unique tiebreaker) and the total row count."""
+    order — include a unique tiebreaker) and the total row count.
+    `pin=False` skips the localCheckpoint (plan tests only — see the
+    consistency comment below; production callers must keep the pin)."""
     from pyspark.sql import Window as W
 
     ranged = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
         *order_cols
     )
+    # ONE materialized evaluation of the ranged layout: the counts branch
+    # and the rank join below would otherwise evaluate repartitionByRange
+    # INDEPENDENTLY, and its boundary sampling is not stable across
+    # evaluations (AQE can re-plan the upstream partitioning per run) —
+    # observed at the 10x (~sf1) probe as ranks exceeding n (a transient
+    # 11th NTILE bucket: offsets from one layout, local ranks from
+    # another). Catalyst reuses the exchange for SOME callers (identical
+    # subtrees -> ReusedExchange, e.g. agg_histogram_equidepth) but not
+    # others (curate_quality_ntile, etl_surrogate_keys evaluated it
+    # twice); the pin makes single-evaluation a guarantee instead of an
+    # optimizer accident. Plan tests assert the decomposition on the
+    # pre-pin plan via pin=False.
+    if pin:
+        ranged = ranged.localCheckpoint()
     mid = F.monotonically_increasing_id()
     local = ranged.select(
         *payload_cols,

@@ -1744,9 +1744,13 @@ def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.asc("user_id"),
         F.asc("session_id"),
     ]
+    # pinned: the totals branch and the cumsum join must see ONE
+    # materialized range layout — repartitionByRange boundary sampling is
+    # not stable across independent evaluations (see
+    # _helpers.with_global_rank's consistency note)
     ranged = sweep.repartitionByRange(8, *order_cols).sortWithinPartitions(
         *order_cols
-    )
+    ).localCheckpoint()
     local = ranged.select(
         "at_ts",
         "delta",

@@ -476,7 +476,24 @@ def test_exact_ntile_rank_has_no_global_data_window(spark):
             s = line.strip()
             if s.startswith("+- Window") or s.startswith("Window ["):
                 assert "_pn#" in s, (name, s)
-        assert "rangepartitioning" in plan, (name, "missing range exchange")
+    # the range-exchange decomposition itself is asserted on the pre-pin
+    # plan (with_global_rank localCheckpoints the ranged layout, so the
+    # executed query plans above start at an ExistingRDD scan)
+    from pyspark.sql import functions as F
+
+    from oddsetl_spark.io import table
+    from oddsetl_spark.operators._helpers import with_global_rank
+    from oddsetl_spark.plans.report import executed_plan
+
+    lazy = with_global_rank(
+        table(spark, SF_DIR, "orders").select("o_orderkey"),
+        order_cols=[F.asc("o_orderkey")],
+        payload_cols=["o_orderkey"],
+        num_partitions=8,
+        pin=False,
+    )
+    helper_plan = executed_plan(lazy)
+    assert "rangepartitioning" in helper_plan, helper_plan
 
 
 def test_fuzzy_join_is_equi_block_join_not_nested_loop(spark):
@@ -629,9 +646,20 @@ def test_tpch_q21_aggregates_not_self_joins(spark):
 def test_skyline_running_max_is_range_partitioned(spark):
     """agg_skyline_pareto: the running max must ride a RangePartitioning
     exchange (the sort_total_order_range decomposition), never a global
-    Window over the full point set; frontier joins broadcast."""
-    plan = _plan(spark, "agg_skyline_pareto")
-    assert "rangepartitioning" in plan.lower(), plan
+    Window over the full point set; frontier joins broadcast. The range
+    exchange must additionally be evaluated exactly ONCE (second consumer
+    a ReusedExchange): two independent evaluations can sample DIFFERENT
+    range boundaries, desynchronizing the offsets from the local maxima
+    — skyline is unpinned (no localCheckpoint), so exchange reuse is the
+    consistency guarantee and must be locked here."""
+    plan = _plan(spark, "agg_skyline_pareto").split("== Initial Plan ==")[0]
+    real = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange rangepartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real) == 1, plan
+    assert "ReusedExchange" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
 
 
@@ -729,10 +757,32 @@ def test_global_topk_rankers_use_takeordered(spark):
 
 
 def test_rank_assignment_is_range_partitioned(spark):
-    """etl_surrogate_keys and win_max_concurrency must build their
-    global rank / prefix sum on the range-partition + broadcast-offsets
-    decomposition (rangepartitioning exchange present), not a
-    partitionless window over the data."""
+    """etl_surrogate_keys and win_max_concurrency build their global
+    rank / prefix sum on the range-partition + broadcast-offsets
+    decomposition, with the ranged layout PINNED (localCheckpoint) so
+    offsets and local positions come from one evaluation — the executed
+    plans therefore start at an ExistingRDD scan, and what must hold is
+    that every remaining partitionless Window runs over the bounded
+    per-partition offsets/totals rows, never over data columns. (The
+    range exchange itself is asserted on with_global_rank's pre-pin plan
+    in test_exact_ntile_rank_has_no_global_data_window.)"""
+    bounded_marks = ("_pid#", "_pn#", "_pd#", "pid#")
     for name in ("etl_surrogate_keys", "win_max_concurrency"):
         plan = _plan(spark, name)
-        assert "rangepartitioning(" in plan, (name, plan)
+        assert "ExistingRDD" in plan, (name, plan)
+        for line in plan.splitlines():
+            s = line.strip()
+            if s.startswith("+- Window") or s.startswith("Window ["):
+                # partition spec present -> fine; else must be an
+                # offsets/totals window over per-partition rows
+                depth = 0
+                groups = 0
+                for ch in s.split("Window ", 1)[1]:
+                    if ch == "[":
+                        if depth == 0:
+                            groups += 1
+                        depth += 1
+                    elif ch == "]":
+                        depth -= 1
+                if groups < 3:
+                    assert any(m in s for m in bounded_marks), (name, s)
