@@ -552,39 +552,23 @@ def curate_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    from .llm_dedup import (
-        _CC_ROUNDS,
-        _JACCARD_TAU,
-        _corpus,
-        _jaccard_pairs,
-        _propagate_min_labels,
-    )
+    from .llm_dedup import _corpus, doc_components
 
-    ph = (
-        _jaccard_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= _JACCARD_TAU)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
-    edges = (
-        ph.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(ph.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .coalesce(8)
-        .localCheckpoint()
-    )
-    labels0 = edges.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    labels = _propagate_min_labels(edges, labels0, _CC_ROUNDS)
+    # contracted component machinery (exact-dup contraction before the
+    # shingle self-join — without it the pair-finding is quadratic in
+    # duplicate-group size; shared with dedup_components). Identical-text
+    # docs share length(text), so the keep-best choice is unaffected by
+    # where in a group the quality is read.
+    comp = doc_components(spark, sf_dir).withColumnRenamed("doc_id", "c_doc")
     docs = _corpus(spark, sf_dir).select(
         "doc_id", F.length("text").alias("quality")
     )
     labeled = (
-        docs.join(F.broadcast(labels), docs.doc_id == labels.node, "left")
+        docs.join(comp, docs.doc_id == comp.c_doc, "left")
         .select(
             "doc_id",
             "quality",
-            F.coalesce(F.col("lbl"), F.col("doc_id")).alias("component"),
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
         )
     )
     best = F.max("quality").over(W.partitionBy("component"))
@@ -1521,41 +1505,21 @@ def curate_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     already running."""
     from pyspark.sql import functions as _F
 
-    from .llm_dedup import (
-        _CC_ROUNDS,
-        _JACCARD_TAU,
-        _corpus,
-        _jaccard_pairs,
-        _propagate_min_labels,
-    )
+    from .llm_dedup import _corpus, doc_components
 
-    edges_half = (
-        _jaccard_pairs(spark, sf_dir)
-        .filter(_F.col("jaccard") >= _JACCARD_TAU)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
-    edges = (
-        edges_half.select(_F.col("doc_a").alias("a"), _F.col("doc_b").alias("b"))
-        .unionByName(
-            edges_half.select(_F.col("doc_b").alias("a"), _F.col("doc_a").alias("b"))
-        )
-        .coalesce(8)
-        .localCheckpoint()
-    )
-    labels = edges.select(_F.col("a").alias("node")).distinct().select(
-        "node", _F.col("node").alias("lbl")
-    )
-    labels = _propagate_min_labels(edges, labels, _CC_ROUNDS)
+    # contracted component machinery (shared with dedup_components —
+    # exact-dup contraction keeps the pair-finding linear in DISTINCT
+    # texts instead of quadratic in duplicate-group size)
+    comp = doc_components(spark, sf_dir).withColumnRenamed("doc_id", "c_doc")
     docs = _corpus(spark, sf_dir).select("doc_id")
-    lbl = _F.coalesce(_F.col("lbl"), _F.col("doc_id"))
+    lbl = _F.coalesce(_F.col("component"), _F.col("doc_id"))
     bucket = (
         _F.conv(_F.substring(_F.md5(lbl.cast("string")), 1, 15), 16, 10)
         .cast("long")
         % 10
     )
     return (
-        docs.join(labels, docs.doc_id == labels.node, "left")
+        docs.join(comp, docs.doc_id == comp.c_doc, "left")
         .select(
             "doc_id",
             lbl.alias("cluster_label"),

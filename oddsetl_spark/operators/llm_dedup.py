@@ -557,7 +557,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     list, via iterative min-label propagation (converges in <= diameter
     rounds). Each round: join labels across edges, take min,
     localCheckpoint to cut lineage. Oracle: full-graph min-label rounds
-    in DuckDB.
+    in DuckDB. The contracted machinery lives in doc_components (shared
+    with curate_dedup_keep_best / curate_leakage_safe_split)."""
+    expanded = doc_components(spark, sf_dir)
+    return expanded.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"), F.min("doc_id").alias("rep")
+    )
+
+
+def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) over the near-dup pair graph for every doc in
+    a cluster of size >= 2 (singletons are absent — callers left-join
+    and coalesce component to doc_id). Results are IDENTICAL to
+    full-graph min-label propagation (the oracles replay the full graph
+    and hash-match).
 
     EXACT-DUP CONTRACTION FIRST (round-4 scale fix, probe-measured):
     jaccard is a function of the TEXT alone, so identical-text docs have
@@ -618,9 +631,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node").isNotNull() | (F.col("grp_n") >= 2))
         .select("rep_id", F.coalesce("lbl", F.col("rep_id")).alias("lbl"))
     )
-    expanded = membership.join(rep_lbl, "rep_id")
-    return expanded.groupBy(F.col("lbl").alias("component")).agg(
-        F.count(F.lit(1)).alias("n_members"), F.min("doc_id").alias("rep")
+    return membership.join(rep_lbl, "rep_id").select(
+        "doc_id", F.col("lbl").alias("component")
     )
 
 

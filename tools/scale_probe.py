@@ -111,6 +111,10 @@ QUERIES = [
     # headliner (scaled-long distances, broadcast-candidate rerank)
     "sim_lsh_approx",
     "sim_ann_ivf",
+    # round 6: keep-best now rides the contracted component machinery —
+    # its pair-finding must stay linear in DISTINCT texts under
+    # duplicate-heavy replication (was >120 s at K=10 uncontracted)
+    "curate_dedup_keep_best",
 ]
 
 
