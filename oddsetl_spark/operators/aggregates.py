@@ -203,18 +203,21 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,
-       {sql_dsum('o_totalprice')} AS total_price,
+       {sql_lsum('o_totalprice')} AS total_price,
        GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP with grouping_id (Spark's bit order matches GROUPING(a)*2+GROUPING(b))."""
+    """ROLLUP with grouping_id (Spark's bit order matches
+    GROUPING(a)*2+GROUPING(b)). Totals ride the scaled-long grid: the
+    grand-total decimal sum crossed 2^53 at the ~sf3 probe, where the
+    decimal->double cast double-rounds differently across engines."""
     o = table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum(F.col("o_totalprice")).alias("total_price"),
+        lsum(F.col("o_totalprice")).alias("total_price"),
         F.grouping_id().alias("gid"),
     )
 
@@ -225,16 +228,17 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_lines,
-       {sql_dsum('l_quantity')} AS sum_qty
+       {sql_lsum('l_quantity')} AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "lineitem")
+    # scaled-long totals: the cube's grand row crosses 2^53 by ~sf6
     return o.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        dsum(F.col("l_quantity")).alias("sum_qty"),
+        lsum(F.col("l_quantity")).alias("sum_qty"),
     )
 
 
@@ -244,7 +248,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,
-       {sql_dsum('o_totalprice')} AS total_price
+       {sql_lsum('o_totalprice')} AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
@@ -257,7 +261,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+               CAST(SUM(CAST(FLOOR(o_totalprice*1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE)/1000000 AS total_price
         FROM gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -473,9 +478,9 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="agg",
     oracle=f"""
 SELECT n.n_name,
-       {sql_dsum("CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice ELSE 0 END")} AS F,
-       {sql_dsum("CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice ELSE 0 END")} AS O,
-       {sql_dsum("CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice ELSE 0 END")} AS P
+       {sql_lsum("CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice ELSE 0 END")} AS F,
+       {sql_lsum("CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice ELSE 0 END")} AS O,
+       {sql_lsum("CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice ELSE 0 END")} AS P
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -494,7 +499,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("n_name")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(dsum(F.col("o_totalprice")))
+        .agg(lsum(F.col("o_totalprice")))  # scaled-long: 2^53-safe totals
         .na.fill(0.0)
     )
 
