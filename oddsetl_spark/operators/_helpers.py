@@ -138,7 +138,15 @@ def lsum(col: Column) -> Column:
     """Single-phase scaled-long exact sum -> double. Overflow bound: the
     PER-GROUP scaled sum must fit a long (~9.2e12 money units) — right for
     high-cardinality keys with small groups (e.g. per-order revenue);
-    low-cardinality/global sums at scale belong in scaled_group_sums."""
+    low-cardinality/global sums at scale belong in scaled_group_sums.
+
+    Overflow is FAIL-LOUD, not silent: pin_session pins
+    spark.sql.ansi.enabled=true (the Spark 4 default), under which a long
+    SUM that crosses 2^63 raises ARITHMETIC_OVERFLOW (MathUtils.addExact
+    in the codegen'd agg) instead of wrapping. So rollup/cube/pivot grand
+    totals that ride lsum cannot go silently wrong at large scale factors
+    — they abort with a clear error telling the caller to move that query
+    to scaled_group_sums. Locked by test_lsum_overflow_raises."""
     return F.sum(lng(col)).cast("double") / F.lit(_SCALE_POW)
 
 
@@ -170,7 +178,22 @@ def with_global_rank(
     1-based global rank under ORDER BY order_cols (which must be a total
     order — include a unique tiebreaker) and the total row count.
     `pin=False` skips the localCheckpoint (plan tests only — see the
-    consistency comment below; production callers must keep the pin)."""
+    consistency comment below; production callers must keep the pin).
+
+    Fault-tolerance trade of the pin: localCheckpoint blocks are
+    NON-REPLICATED executor-local storage, so losing an executor after
+    the checkpoint makes downstream stages unrecomputable and FAILS the
+    job (a clean retry, never wrong ranks). On a long-lived production
+    cluster where executor churn is routine, swap the pin for
+    df.checkpoint(eager=True) against a replicated checkpoint dir, or
+    persist(StorageLevel.MEMORY_AND_DISK_2) — same single-evaluation
+    guarantee, survivable lineage. We keep localCheckpoint here because
+    the bench/test environment is single-JVM (no executor loss exists)
+    and the eager pin costs ~2.6 s/call less than a replicated
+    checkpoint. Callers whose plans provably get ReusedExchange could
+    run pin=False, but the reuse is an optimizer accident that AQE can
+    undo per-run — only safe under a plan assertion like
+    tests/test_plans.py's single-range-exchange locks."""
     from pyspark.sql import Window as W
 
     ranged = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(

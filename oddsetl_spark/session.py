@@ -26,6 +26,14 @@ from pyspark.sql import SparkSession
 # Runtime-settable confs applied to ANY session before a query runs.
 _RUNTIME_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # ANSI mode is the OVERFLOW SAFETY NET for the scaled-long exact-sum
+    # grid (_helpers.lsum/lng): a long SUM that exceeds 2^63 raises
+    # ARITHMETIC_OVERFLOW instead of wrapping, so a grand-total that
+    # outgrows the single-phase grid fails LOUDLY at any scale factor
+    # (test_lsum_overflow_raises locks this). Spark 4 defaults ANSI on;
+    # pinning it here keeps the guarantee when a caller hands us a
+    # session built with ANSI off.
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

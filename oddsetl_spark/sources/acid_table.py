@@ -90,6 +90,13 @@ def parse_hive_dir_value(raw: str, dt, part_col: str):
     if isinstance(dt, T.DateType):
         return datetime.date.fromisoformat(v).isoformat()
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # Spark trims trailing fractional zeros in dir names ('...00.1');
+        # fromisoformat only accepts arbitrary-length fractions on
+        # Python >= 3.11 — pad to exactly 6 digits so the parse (and the
+        # overwrite membership compare downstream) is version-independent.
+        if "." in v:
+            head, frac = v.rsplit(".", 1)
+            v = f"{head}.{frac[:6].ljust(6, '0')}"
         return datetime.datetime.fromisoformat(v).isoformat(sep=" ")
     return v  # string: compares as-is
 
@@ -1635,10 +1642,22 @@ def overwrite_partitions(
             next_v, "dynamic_overwrite", add=sorted(add), remove=remove,
             stats=stats,
         )
-    except BaseException:
-        # never committed -> invisible to readers; remove so a retry of
-        # the same version can re-write the same tag
-        shutil.rmtree(out, ignore_errors=True)
+    except BaseException as exc:
+        # Clean up ONLY when our version was never published. commit()
+        # can raise AFTER the manifest hard-link succeeded (_fsync_dir or
+        # the tmp unlink failing, or a KeyboardInterrupt landing between
+        # link and return) — at that point readers already trust the
+        # manifest, and deleting `out` would leave a committed version
+        # referencing missing parquet (the exact torn state the manifest
+        # log exists to prevent). A published manifest that is NOT ours
+        # (CommitConflictError: a racing writer claimed next_v) means our
+        # directory is an invisible orphan — safe and necessary to remove
+        # so a rebase retry can re-write the same tag.
+        published = os.path.exists(
+            t._manifest_path(next_v)
+        ) and not isinstance(exc, CommitConflictError)
+        if not published:
+            shutil.rmtree(out, ignore_errors=True)
         raise
     return next_v
 

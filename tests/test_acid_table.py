@@ -967,3 +967,95 @@ def test_dynamic_overwrite_refusal_allows_same_version_retry(spark):
     v = overwrite_partitions(t, spark, good, "bucket")  # must not raise
     assert v == 1
     assert t.read(spark).count() == good.count()
+
+
+def test_overwrite_failure_after_publish_keeps_data(spark, monkeypatch):
+    """If the manifest hard-link has already PUBLISHED the version when a
+    later step raises (fsync, tmp unlink, interrupt), the cleanup handler
+    must NOT delete the batch directory — readers already trust the
+    manifest, and rmtree would leave a committed version referencing
+    missing parquet. Conversely a CommitConflictError (manifest exists
+    but belongs to a racing writer) must still clean up the orphan."""
+    from oddsetl_spark.sources import acid_table as mod
+    from oddsetl_spark.sources.acid_table import overwrite_partitions
+
+    base = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            (F.pmod(F.col("event_id"), F.lit(3))).alias("bucket"),
+            "value",
+        )
+    )
+    t = AcidTable.create(
+        spark,
+        base.filter(F.col("bucket") == 0).coalesce(1),
+        scratch_dir("acid_pubfail"),
+        stats_cols=["bucket"],
+    )
+    batch = base.filter(F.col("bucket") == 0).withColumn(
+        "value", F.col("value") * 3
+    )
+
+    # Fail _fsync_dir exactly once, AFTER os.link publishes the manifest.
+    real_fsync = mod._fsync_dir
+    state = {"arm": True}
+
+    def flaky_fsync(path):
+        if state["arm"]:
+            state["arm"] = False
+            raise OSError("simulated fsync failure after publish")
+        real_fsync(path)
+
+    monkeypatch.setattr(mod, "_fsync_dir", flaky_fsync)
+    with pytest.raises(OSError, match="simulated fsync"):
+        overwrite_partitions(t, spark, batch, "bucket")
+    monkeypatch.setattr(mod, "_fsync_dir", real_fsync)
+
+    # v1 is committed (the link happened) — its data files must survive
+    # and the snapshot must read completely.
+    assert t.latest_version() == 1
+    for f in t.active_files(1):
+        assert os.path.exists(f), f"committed file deleted: {f}"
+    got = t.read(spark)
+    assert got.count() == batch.count()
+    tripled = got.agg(F.sum("value").alias("s")).collect()[0]["s"]
+    want = batch.agg(F.sum("value").alias("s")).collect()[0]["s"]
+    assert abs(tripled - want) < 1e-6
+
+    # Conflict path still cleans up: pre-claim v2 and pin the overwrite's
+    # snapshot read to v1 (simulating a racing writer landing between the
+    # read and the commit); the loser's orphaned batch dir must be
+    # removed so a rebase retry can re-write the same tag.
+    t.commit(2, "noop", add=[], remove=[])
+    batch2 = base.filter(F.col("bucket") == 2)
+    monkeypatch.setattr(t, "latest_version", lambda: 1)
+    with pytest.raises(CommitConflictError):
+        overwrite_partitions(t, spark, batch2, "bucket")
+    orphan = os.path.join(t.data_dir, "commit-00002-dynover")
+    assert not os.path.exists(orphan), "conflict loser must clean its dir"
+
+
+def test_hive_dir_timestamp_fraction_padding():
+    """Spark trims trailing fractional zeros in hive dir names; the parse
+    must pad to 6 digits so it round-trips identically to the stats'
+    isoformat rendering on every Python version (fromisoformat only
+    accepts short fractions on >= 3.11)."""
+    from pyspark.sql import types as T
+
+    from oddsetl_spark.sources.acid_table import parse_hive_dir_value
+
+    ts = T.TimestampType()
+    assert (
+        parse_hive_dir_value("2024-01-01 00%3A00%3A00.1", ts, "ts")
+        == "2024-01-01 00:00:00.100000"
+    )
+    assert (
+        parse_hive_dir_value("2024-01-01 00%3A00%3A00.123456", ts, "ts")
+        == "2024-01-01 00:00:00.123456"
+    )
+    assert (
+        parse_hive_dir_value("2024-01-01 00%3A00%3A00", ts, "ts")
+        == "2024-01-01 00:00:00"
+    )

@@ -1163,3 +1163,22 @@ RETURN SELECT o_orderkey, o_totalprice FROM tf_orders WHERE o_totalprice > thr""
     )
     assert via_fn["n"] == inline["n"] > 0
     assert via_fn["mn"] == inline["mn"]
+
+
+def test_lsum_overflow_raises(spark):
+    """The scaled-long exact-sum grid must fail LOUDLY when a group's sum
+    crosses 2^63: pin_session pins spark.sql.ansi.enabled=true, under
+    which Spark's long SUM raises ARITHMETIC_OVERFLOW instead of
+    wrapping. This is the safety net for every lsum-riding grand total
+    (rollup/cube/pivot) at large scale factors — silent wraparound would
+    be undetectable by a differential run that never reaches that SF."""
+    from oddsetl_spark.operators._helpers import lsum
+    from oddsetl_spark.session import pin_session
+
+    pin_session(spark)
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    # two rows of 4.7e12 money units -> scaled longs of 4.7e18 each;
+    # their sum (9.4e18) exceeds Long.MAX (~9.22e18)
+    df = spark.range(2).select(F.lit(4.7e12).alias("v"))
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.agg(lsum(F.col("v")).alias("s")).collect()
