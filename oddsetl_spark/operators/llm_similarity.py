@@ -27,17 +27,19 @@ from ..registry import register
 
 # DuckDB twin of the fold-based dot product (bit-identical to Spark's
 # aggregate over zip_with).
-# KNOWN LATENT RISK (documented, not yet fired at any fixture/scale): the
-# centroid/IVF/kmeans paths make double aggregation order-insensitive by
-# casting to DECIMAL(30,12/18) before summing. The cast itself ROUNDS, and
-# at a genuine decimal tie Spark rounds HALF_UP while DuckDB rounds
-# half-even (the _helpers.py caveat) — a vector whose two nearest-centroid
-# distances straddle such a tie could be assigned differently by the two
-# engines, flipping discrete argmin outputs. The house fix is the
-# FLOOR(x*grid + 0.5) scaled-long idiom (floor of identical doubles is
-# bit-identical on both engines, no rounding-mode dependence); migrating
-# the 8 centroid-distance sites and their oracle twins to that grid is the
-# standing cleanup if a fixture ever hits a tie.
+# Exactness: every aggregation over raw embedding floats (centroid means,
+# centroid distances) rides the FLOOR(x*1e12 + 0.5) scaled-long grid —
+# floor of identical IEEE doubles is bit-identical on both engines, so no
+# rounding-mode dependence exists anywhere in this module (a decimal CAST
+# would round HALF_UP on Spark vs half-even on DuckDB at exact dyadic
+# ties; embeddings, unlike the fixture's 2-decimal money columns, have
+# 17-digit dyadic expansions where such ties are reachable). Helpers
+# _lmean/_SQL_LMEAN below; distances inline the same grid.
+# Overflow bound: |val| < 1 for the fixture embeddings, so a grid-scaled
+# per-group sum caps at ~group_size * 1e12 — fine to ~10^6-row groups;
+# ANSI mode (pinned in session.py) makes any larger group fail loud with
+# ARITHMETIC_OVERFLOW, and the swap at that scale is the two-phase
+# scaled_group_sums shape from _helpers.py.
 
 _SQL_DOT = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
@@ -64,6 +66,31 @@ def _sqdist(a, b):
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _l12(col):
+    """Per-row exact 1e12-grid value as LONG — FLOOR(x*1e12 + 0.5) is
+    bit-identical across engines on identical doubles (no decimal
+    rounding-mode dependence), and long sums run in whole-stage codegen
+    (decimal agg buffers don't — the r6 sim_ann_ivf lesson)."""
+    return F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("long")
+
+
+def _lmean(col, n=None):
+    """Order-insensitive exact mean of a raw-float column on the 1e12
+    grid, as double: long sum -> double, /1e12, /count — the same
+    expression shape as the _SQL_LMEAN twin, so the result is
+    bit-identical on both engines."""
+    n = F.count(F.lit(1)) if n is None else F.lit(float(n))
+    return F.sum(_l12(col)).cast("double") / F.lit(1e12) / n
+
+
+def _sql_lmean(expr: str, n: str = "COUNT(*)") -> str:
+    """DuckDB twin of _lmean."""
+    return (
+        f"CAST(SUM(CAST(FLOOR({expr} * 1000000000000 + 0.5) AS BIGINT)) "
+        f"AS DOUBLE) / 1000000000000 / {n}"
     )
 
 
@@ -320,25 +347,23 @@ def sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_assign_probes(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shared IVF coarse-quantizer build: per-label centroids (exact
-    decimal sums), centroid-distance table, nearest-list assignment and
-    nprobe=2 query probes.
+    1e12-grid means), centroid-distance table, nearest-list assignment
+    and nprobe=2 query probes.
 
-    The exactness discipline: centroid values are exact decimal means
-    (tiny: nlist*64 rows), and the vector-to-centroid sqdist is the
-    1e12 SCALED-LONG grid this repo's PQ operators established
-    (sim_ann_pq ADC pattern): per-term double math, FLOOR(x*1e12+0.5)
-    to a BIGINT, exact integer sum — terms are <= 4e12 and 64 of them
-    sum well under 2^63. Long sums run in whole-stage codegen; the
-    earlier DECIMAL(30,18) per-term sum over the same n*64*nlist
-    joined rows was the pipeline's hot spot (~2 s of the 2.7 s at
-    sf0.1 — decimal agg updates don't codegen), and a zip_with decimal
-    fold was slower still (interpreted BigDecimal per element)."""
+    The exactness discipline: BOTH the centroid means and the
+    vector-to-centroid sqdist ride the 1e12 SCALED-LONG grid this
+    repo's PQ operators established (sim_ann_pq ADC pattern): per-term
+    double math, FLOOR(x*1e12+0.5) to a BIGINT, exact integer sum —
+    sqdist terms are <= 4e12 and 64 of them sum well under 2^63. Long
+    sums run in whole-stage codegen; the earlier DECIMAL(30,18)
+    per-term sum over the same n*64*nlist joined rows was the
+    pipeline's hot spot (~2 s of the 2.7 s at sf0.1 — decimal agg
+    updates don't codegen), a zip_with decimal fold was slower still
+    (interpreted BigDecimal per element), and the decimal CAST's
+    HALF_UP-vs-half-even tie divergence is gone by construction."""
     ex = e.select("label", F.posexplode("emb").alias("pos", "val"))
     cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cval")
+        _lmean(F.col("val")).alias("cval")
     )
     vex = e.select("vec_id", F.posexplode("emb").alias("pos", "val"))
     vdists = (
@@ -385,7 +410,7 @@ ex AS (
 ),
 cent AS (
   SELECT label AS c_label, pos,
-         CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+         CAST(SUM(CAST(FLOOR(val * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 / COUNT(*) AS cval
   FROM ex GROUP BY label, pos
 ),
 vex AS (
@@ -434,7 +459,7 @@ WHERE rn <= 10
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbor, top-10 per query.
 
-    Build: coarse quantizer = per-label centroids (exact decimal sums =>
+    Build: coarse quantizer = per-label centroids (exact 1e12-grid sums =>
     deterministic, engine-identical — in production this is k-means, which
     would make the op rows-only-checkable; label centroids keep a full SQL
     oracle). Every vector is assigned to its nearest centroid's inverted
@@ -490,26 +515,23 @@ ex AS (
   SELECT label, unnest(emb) AS val, unnest(range(len(emb))) AS pos FROM e
 )
 SELECT label, pos,
-       round(CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+       round(CAST(SUM(CAST(FLOOR(val * 1000000000000 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000000000 / COUNT(*), 6)
          AS centroid_val
 FROM ex GROUP BY label, pos
 """,
 )
 def mm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroids of the embedding column as (label, pos, value)
-    rows — posexplode -> keyed avg (decimal sums, final round to 6: float
-    inputs are dyadic so a raw decimal cast can hit exact rounding ties
-    where the engines' tie rules differ). The canonical
+    rows — posexplode -> keyed avg (exact 1e12-grid long sums — float
+    inputs are dyadic, so a raw decimal cast could hit exact rounding
+    ties where the engines' tie rules differ; the grid cannot). The canonical
     'aggregate a vector column' shape: partial sums merge associatively,
     so 1000 executors each reduce their shard before one 640-row shuffle."""
     e = _emb(spark, sf_dir)
     ex = e.select("label", F.posexplode("emb").alias("pos", "val"))
     return ex.groupBy("label", "pos").agg(
-        F.round(
-            F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("centroid_val")
+        F.round(_lmean(F.col("val")), 6).alias("centroid_val")
     )
 
 
@@ -523,7 +545,7 @@ ex AS (
 ),
 cent AS (
   SELECT label AS c_label, pos,
-         CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+         CAST(SUM(CAST(FLOOR(val * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 / COUNT(*) AS cval
   FROM ex GROUP BY label, pos
 ),
 vex AS (
@@ -531,8 +553,8 @@ vex AS (
 ),
 dists AS (
   SELECT v.vec_id, v.label AS true_label, c.c_label,
-         CAST(SUM(CAST((v.val - c.cval) * (v.val - c.cval)
-                       AS DECIMAL(30,18))) AS DOUBLE) AS sqdist
+         SUM(CAST(FLOOR((v.val - c.cval) * (v.val - c.cval)
+                        * 1000000000000 + 0.5) AS BIGINT)) AS sqdist
   FROM vex v JOIN cent c ON v.pos = c.pos
   GROUP BY v.vec_id, v.label, c.c_label
 ),
@@ -551,15 +573,12 @@ FROM assigned GROUP BY true_label, assigned_label
 def mm_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign each vector to its nearest label centroid; output the
     confusion matrix vs true labels. Distances accumulate through exact
-    decimal sums keyed on dimension position, so assignment is
+    1e12-grid long sums keyed on dimension position, so assignment is
     deterministic and engine-identical."""
     e = _emb(spark, sf_dir)
     ex = e.select("label", F.posexplode("emb").alias("pos", "val"))
     cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cval")
+        _lmean(F.col("val")).alias("cval")
     )
     vex = e.select("vec_id", "label", F.posexplode("emb").alias("pos", "val"))
     dists = (
@@ -567,12 +586,8 @@ def mm_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
         .agg(
             F.sum(
-                ((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).cast(
-                    "decimal(30,18)"
-                )
-            )
-            .cast("double")
-            .alias("sqdist")
+                _l12((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+            ).alias("sqdist")
         )
     )
     w = W.partitionBy("vec_id").orderBy(F.asc("sqdist"), F.asc("c_label"))
@@ -821,8 +836,8 @@ cent0 AS (
         sql += f""",
 dists{t} AS (
   SELECT v.vec_id, v.label, c.c_id,
-         CAST(SUM(CAST((v.val - c.cval) * (v.val - c.cval)
-                       AS DECIMAL(30,18))) AS DOUBLE) AS sqdist
+         SUM(CAST(FLOOR((v.val - c.cval) * (v.val - c.cval)
+                        * 1000000000000 + 0.5) AS BIGINT)) AS sqdist
   FROM vex v JOIN cent{t - 1} c ON v.pos = c.pos
   GROUP BY v.vec_id, v.label, c.c_id
 ),
@@ -839,7 +854,8 @@ asg{t} AS (
             sql += f""",
 cent{t} AS (
   SELECT a.c_id, v.pos,
-         CAST(SUM(CAST(v.val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+         CAST(SUM(CAST(FLOOR(v.val * 1000000000000 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000000000 / COUNT(*) AS cval
   FROM vex v JOIN asg{t} a ON v.vec_id = a.vec_id
   GROUP BY a.c_id, v.pos
 )"""
@@ -864,7 +880,7 @@ def mm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-means (Lloyd) on the embedding table: k=4, seeded from
     vec_id < 4, a fixed 3 iterations — the canonical DataFrame iterative
     algorithm. Each iteration: broadcast the k x d centroid table, assign
-    via decimal-exact argmin, recompute centroids as decimal-exact means.
+    via grid-exact argmin, recompute centroids as grid-exact means.
 
     Scale shape per iteration: the corpus-side work is ONE map-side
     broadcast join + two keyed shuffles (vec_id rollup for distances,
@@ -890,11 +906,11 @@ def mm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "label", "c_id")
             .agg(
                 F.sum(
-                    ((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
-                    .cast("decimal(30,18)")
-                )
-                .cast("double")
-                .alias("sqdist")
+                    _l12(
+                        (F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval"))
+                    )
+                ).alias("sqdist")
             )
         )
         w = W.partitionBy("vec_id").orderBy(F.asc("sqdist"), F.asc("c_id"))
@@ -907,12 +923,7 @@ def mm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
             cent = (
                 vex.join(asg.select("vec_id", "c_id"), "vec_id")
                 .groupBy("c_id", "pos")
-                .agg(
-                    (
-                        F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias("cval")
-                )
+                .agg(_lmean(F.col("val")).alias("cval"))
                 .localCheckpoint()
             )
     return asg.groupBy(F.col("c_id").alias("cluster"), "label").agg(
@@ -1172,7 +1183,7 @@ ex AS (
 ),
 cent AS (
   SELECT label AS c_label, pos,
-         CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+         CAST(SUM(CAST(FLOOR(val * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 / COUNT(*) AS cval
   FROM ex GROUP BY label, pos
 ),
 vex AS (
@@ -1266,7 +1277,7 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition work is integer table adds + a partial top-k — the
     two pruning levers (which partitions, how many bytes per row)
     compose multiplicatively. Both sub-builds reuse the exactness
-    discipline their standalone operators established (decimal centroid
+    discipline their standalone operators established (grid-exact centroid
     sums, 1e12 scaled-long ADC grid), so the composite still
     hash-matches its full SQL oracle."""
     e = _emb(spark, sf_dir)
@@ -1661,7 +1672,8 @@ fbx AS (
 ),
 cent AS (
   SELECT q_id, pos,
-         CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / 10 AS cval
+         CAST(SUM(CAST(FLOOR(val * 1000000000000 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000000000 / 10 AS cval
   FROM fbx GROUP BY q_id, pos
 ),
 qx AS (
@@ -1691,7 +1703,7 @@ WHERE rn <= 10
 def sim_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance feedback (Rocchio): the first-pass exact top-10
     acts as the assumed-relevant set, the query moves halfway toward
-    its centroid (q' = 0.5 q + 0.5 centroid — exact decimal per-dim
+    its centroid (q' = 0.5 q + 0.5 centroid — exact 1e12-grid per-dim
     means), and the corpus is re-ranked against the expanded query —
     the classic recall-boosting second pass of retrieval stacks. The
     expanded query is rebuilt as an ORDERED array (sort_array over
@@ -1721,7 +1733,7 @@ def sim_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = fbx.groupBy("q_id", "pos").agg(
         (
-            F.sum(F.col("val").cast("decimal(30,12)")).cast("double") / 10
+            F.sum(_l12(F.col("val"))).cast("double") / F.lit(1e12) / 10
         ).alias("cval")
     )
     qx = q.select("q_id", F.posexplode("q_emb").alias("pos", "qval"))

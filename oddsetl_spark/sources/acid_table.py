@@ -96,7 +96,17 @@ def parse_hive_dir_value(raw: str, dt, part_col: str):
         # overwrite membership compare downstream) is version-independent.
         if "." in v:
             head, frac = v.rsplit(".", 1)
-            v = f"{head}.{frac[:6].ljust(6, '0')}"
+            if len(frac) > 6:
+                # Spark renders partition timestamps at microsecond
+                # precision today; a 7+-digit fraction means a future
+                # source wrote nanosecond dir names — truncating would
+                # silently alias distinct partitions, so refuse.
+                raise ValueError(
+                    f"sub-microsecond timestamp partition value {v!r} "
+                    "(> 6 fractional digits) — overwrite membership "
+                    "compare would lose precision"
+                )
+            v = f"{head}.{frac.ljust(6, '0')}"
         return datetime.datetime.fromisoformat(v).isoformat(sep=" ")
     return v  # string: compares as-is
 
@@ -118,6 +128,13 @@ class AcidTable:
         self.root = root
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "data")
+        # Highest version THIS instance's commit() actually published
+        # (os.link succeeded). Lets error-path cleanup decide "is the
+        # manifest at v mine?" from direct evidence instead of inferring
+        # ownership from manifest-exists + exception type — the
+        # inference misattributes one race (racer publishes v, then WE
+        # fail with a non-conflict error before linking).
+        self.last_published_version: int | None = None
 
     def _ref(self, abspath: str) -> str:
         """Canonical manifest reference for a resolved path: root-relative
@@ -290,6 +307,10 @@ class AcidTable:
                 raise CommitConflictError(
                     f"version {version} already committed"
                 ) from exc
+            # Published the instant the link lands — even if _fsync_dir
+            # or the tmp unlink below raises, readers already trust the
+            # manifest, so callers' cleanup must treat it as ours.
+            self.last_published_version = version
             _fsync_dir(self.log_dir)
         finally:
             os.unlink(tmp)
@@ -1557,6 +1578,11 @@ def overwrite_partitions(
     # just-written uncommitted directory up on ANY failure, else a retry
     # of the SAME version recomputes the same tag and df.write
     # .mode("error") dies on path-already-exists instead of succeeding.
+    # Snapshot the publish marker so the error path can tell "THIS
+    # attempt's commit linked the manifest" apart from "this instance
+    # published next_v earlier / someone else did" — attempt-scoped
+    # ownership, no inference from exception types.
+    marker_before = t.last_published_version
     try:
         add, stats = [], {}
         batch_parts = set()
@@ -1643,19 +1669,23 @@ def overwrite_partitions(
             stats=stats,
         )
     except BaseException as exc:
-        # Clean up ONLY when our version was never published. commit()
+        # Clean up ONLY when OUR version was never published. commit()
         # can raise AFTER the manifest hard-link succeeded (_fsync_dir or
         # the tmp unlink failing, or a KeyboardInterrupt landing between
         # link and return) — at that point readers already trust the
         # manifest, and deleting `out` would leave a committed version
         # referencing missing parquet (the exact torn state the manifest
-        # log exists to prevent). A published manifest that is NOT ours
-        # (CommitConflictError: a racing writer claimed next_v) means our
-        # directory is an invisible orphan — safe and necessary to remove
-        # so a rebase retry can re-write the same tag.
-        published = os.path.exists(
-            t._manifest_path(next_v)
-        ) and not isinstance(exc, CommitConflictError)
+        # log exists to prevent). Ownership comes from direct evidence —
+        # commit() records last_published_version the instant its
+        # os.link lands — not from manifest-exists + exception-type
+        # inference, which misattributed one race: a racer publishes
+        # next_v, then WE fail with a non-conflict error (validation
+        # ValueError, pre-link OSError) — the manifest exists but is the
+        # racer's, and our never-committed directory must be removed.
+        published = (
+            t.last_published_version == next_v
+            and t.last_published_version != marker_before
+        )
         if not published:
             shutil.rmtree(out, ignore_errors=True)
         raise

@@ -1059,3 +1059,68 @@ def test_hive_dir_timestamp_fraction_padding():
         parse_hive_dir_value("2024-01-01 00%3A00%3A00", ts, "ts")
         == "2024-01-01 00:00:00"
     )
+
+
+def test_hive_dir_timestamp_nanosecond_fraction_refused():
+    """A 7+-digit (sub-microsecond) fraction in a hive dir name must fail
+    loudly — truncating to 6 digits would silently alias distinct
+    partitions if a future source writes nanosecond-precision names."""
+    from pyspark.sql import types as T
+
+    from oddsetl_spark.sources.acid_table import parse_hive_dir_value
+
+    with pytest.raises(ValueError, match="fractional"):
+        parse_hive_dir_value(
+            "2024-01-01 00%3A00%3A00.1234567", T.TimestampType(), "ts"
+        )
+
+
+def test_overwrite_racer_publish_then_own_validation_failure_cleans_up(
+    spark, monkeypatch
+):
+    """Ownership of a published manifest must come from THIS attempt's
+    commit having linked it, not from manifest-exists + exception-type
+    inference. The race the inference got wrong: a racing writer commits
+    next_v, then OUR attempt fails with a non-conflict error (here a
+    validation ValueError raised before commit) — the manifest exists
+    but is the racer's, so our never-committed batch directory is an
+    orphan and must be removed, not leaked."""
+    from oddsetl_spark.sources.acid_table import overwrite_partitions
+
+    base = (
+        table(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+            "value",
+        )
+        .filter(F.col("event_id") < 500)
+    )
+    # ONE file straddling many event_day values -> the overwrite's typed
+    # straddle check refuses with ValueError (after the batch write,
+    # before commit).
+    t = AcidTable.create(
+        spark, base.coalesce(1), scratch_dir("acid_racepub"),
+        stats_cols=["event_day"],
+    )
+    v0 = t.latest_version()
+    # Racer: a SEPARATE instance (different process in real life)
+    # publishes next_v while we're between snapshot-read and commit.
+    racer = AcidTable(t.root)
+    racer.commit(v0 + 1, "noop", add=[], remove=[])
+    monkeypatch.setattr(t, "latest_version", lambda: v0)
+
+    day0 = base.agg(F.min("event_day")).collect()[0][0]
+    batch = base.filter(F.col("event_day") == day0).withColumn(
+        "value", F.col("value") * 2
+    )
+    with pytest.raises(ValueError, match="spans|stats"):
+        overwrite_partitions(t, spark, batch, "event_day")
+
+    orphan = os.path.join(t.data_dir, f"commit-{v0 + 1:05d}-dynover")
+    assert not os.path.exists(orphan), (
+        "validation-failure orphan leaked because the racer's manifest "
+        "was misattributed as ours"
+    )
+    # And the racer's manifest is untouched.
+    assert os.path.exists(t._manifest_path(v0 + 1))
