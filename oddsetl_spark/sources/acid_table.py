@@ -256,12 +256,38 @@ class AcidTable:
             raise
         return version
 
+    def _horizon_path(self) -> str:
+        # leading "_" keeps it out of versions()' manifest listing
+        return os.path.join(self.log_dir, "_vacuum_horizon.json")
+
+    def vacuum_horizon(self) -> int | None:
+        """Oldest version whose snapshot is still guaranteed physically
+        complete (None if never vacuumed). Persisted by vacuum() so
+        readers in OTHER processes refuse pre-horizon time travel too."""
+        try:
+            return json.load(open(self._horizon_path()))["horizon"]
+        except FileNotFoundError:
+            return None
+
+    def _check_horizon(self, version: int) -> None:
+        h = self.vacuum_horizon()
+        if h is not None and version < h:
+            raise ValueError(
+                f"time travel to v{version} predates the vacuum horizon "
+                f"v{h}: files unreferenced at/after the horizon were "
+                "physically deleted, so the snapshot cannot be "
+                "guaranteed complete — refusing rather than returning "
+                "partial data"
+            )
+
     def active_files(self, version: int | None = None) -> list[str]:
         """Replay the log up to `version` (latest if None): the snapshot's
         file set is adds minus later removes, in commit order — seeded
-        from the newest checkpoint at or before `version`."""
+        from the newest checkpoint at or before `version`. Raises if
+        `version` predates the vacuum horizon (see _check_horizon)."""
         if version is None:
             version = self.latest_version()
+        self._check_horizon(version)
         active, _stats, _dvs = self._fold_state(version)
         return [os.path.join(self.root, f) for f in active]
 
@@ -423,6 +449,7 @@ class AcidTable:
         folded from the manifests that added them."""
         if version is None:
             version = self.latest_version()
+        self._check_horizon(version)
         active, stats, _dvs = self._fold_state(version)
         return {f: stats.get(f, {}) for f in active}
 
@@ -523,8 +550,12 @@ class AcidTable:
         """Physically delete data files not referenced by ANY snapshot at
         or after `retain_from_version` (the retention policy Delta's
         VACUUM applies by age — by version here for determinism). Time
-        travel earlier than the horizon stops working, by design; the
-        commit log itself is never rewritten.
+        travel earlier than the horizon stops working, by design — and
+        FAILS LOUD: the horizon is persisted to the log dir before any
+        delete, and active_files/file_stats (every read path) raise
+        ValueError on a pre-horizon version instead of assembling a
+        snapshot that may reference deleted parquet. The commit log
+        itself is never rewritten.
 
         The referenced set is ONE fold at the horizon plus the adds of
         every later manifest — a file added after the horizon was
@@ -542,6 +573,20 @@ class AcidTable:
 
         latest = self.latest_version()
         horizon = min(retain_from_version, latest)
+        # Persist the horizon BEFORE any unlink (atomic tmp+rename, never
+        # lowered): if the delete pass crashes midway, readers in every
+        # process already refuse pre-horizon time travel instead of
+        # assembling a partially-deleted snapshot. The safe failure mode
+        # of the early write is over-refusal, never partial data.
+        prev = self.vacuum_horizon()
+        if prev is None or horizon > prev:
+            fd, tmp = tempfile.mkstemp(prefix="_tmp_horizon_", dir=self.log_dir)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"horizon": horizon}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._horizon_path())
+            _fsync_dir(self.log_dir)
         active, _stats, dvs = self._fold_state(horizon)
         referenced: set[str] = set(active) | set(dvs)
         for v in self.versions():

@@ -1124,3 +1124,37 @@ def test_overwrite_racer_publish_then_own_validation_failure_cleans_up(
     )
     # And the racer's manifest is untouched.
     assert os.path.exists(t._manifest_path(v0 + 1))
+
+
+def test_vacuum_horizon_blocks_pre_horizon_time_travel(spark):
+    """VACUUM x time travel interplay: an as-of read OLDER than the
+    vacuum retention horizon must raise a clear error (from any process
+    — the horizon is persisted next to the log), never assemble a
+    snapshot that may reference physically deleted parquet. Reads at or
+    after the horizon keep working, and a later vacuum with a lower
+    retain must not lower the recorded horizon."""
+    t, _ = _mk(spark, "acid_horizon", n_parts=8)
+    t.delete_where(spark, F.col("o_orderkey") % 2 == 0)
+    v = t.compact(spark)
+    assert t.vacuum_horizon() is None
+    deleted = t.vacuum(retain_from_version=v)
+    assert deleted, "compaction must have stranded old files"
+    assert t.vacuum_horizon() == v
+
+    # pre-horizon: clear refusal, same instance and a FRESH instance
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        t.read(spark, 0)
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        t.file_stats(0)
+    fresh = AcidTable(t.root)
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        fresh.read(spark, v - 1)
+
+    # at/after horizon: fully readable
+    assert t.read(spark, v).count() == t.read(spark).count()
+
+    # horizon is monotonic: a lower retain later must not lower it
+    t.vacuum(retain_from_version=0)
+    assert t.vacuum_horizon() == v
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        t.read(spark, 0)
