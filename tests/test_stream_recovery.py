@@ -268,3 +268,81 @@ def test_cep_alerts_invariant_under_microbatch_split(spark):
     assert multi == expect, (
         f"multi-batch CEP diverged: {len(multi)} vs {len(expect)} users"
     )
+
+
+def test_restart_across_processes_exactly_once(spark):
+    """Kill/resume across TWO driver processes: phase 1 (fresh process,
+    own JVM) commits batches to the ACID table and crashes AFTER the
+    table commit of batch 1 but BEFORE Spark records it in the
+    checkpoint commit log — the exact at-least-once window foreachBatch
+    exposes. Phase 2 (another fresh process) resumes against the same
+    checkpoint: Spark re-delivers batch 1 under the same id, the
+    op=="batch-N" txn marker must no-op it, and the rest drains. Final
+    table state must be exactly-once: one manifest per batch, event set
+    identical to the staged input."""
+    import os
+    import subprocess
+    import sys
+
+    from oddsetl_spark.io import table
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.sources.acid_table import AcidTable
+    from .harness import SF_DIRS
+
+    sf_dir = SF_DIRS[os.environ.get("ODDSETL_TEST_SF", "0.001")]
+    src = table(spark, sf_dir, "events")
+    staged = scratch_dir("xproc_in")
+    for i in range(4):
+        src.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staged, f"part-{i:04d}"))
+    root = scratch_dir("xproc_tbl")
+    t = AcidTable.create(spark, src.limit(0).coalesce(1), root)
+    ckpt = scratch_dir("xproc_ckpt")
+
+    worker = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "stream_restart_worker.py",
+    )
+
+    # phase 1: crash injected after the table commit of batch 1
+    r1 = subprocess.run(
+        [sys.executable, worker, "1", staged, root, ckpt, "1"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r1.returncode == 17, (
+        f"phase 1 must die on the injected crash: rc={r1.returncode}\n"
+        f"{r1.stderr[-2000:]}"
+    )
+    ops_after_crash = [m["op"] for m in t.history()]
+    assert "batch-1" in ops_after_crash, (
+        f"crashed batch's commit must already be in the log: {ops_after_crash}"
+    )
+
+    # phase 2: fresh process resumes the same checkpoint and drains
+    r2 = subprocess.run(
+        [sys.executable, worker, "2", staged, root, ckpt],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r2.returncode == 0, f"phase 2 failed: {r2.stderr[-2000:]}"
+
+    # exactly-once: create + one commit per batch, nothing duplicated
+    ops = [m["op"] for m in t.history()]
+    assert sorted(o for o in ops if o.startswith("batch-")) == [
+        "batch-0",
+        "batch-1",
+        "batch-2",
+        "batch-3",
+    ], f"re-delivered batch must be deduped by its txn marker: {ops}"
+    assert len(t.versions()) == 5
+
+    got = t.read(spark)
+    assert got.count() == src.count(), "events lost or duplicated"
+    g = got.agg(F.sum("event_id")).collect()[0][0]
+    w = src.agg(F.sum("event_id")).collect()[0][0]
+    assert g == w, "event id sum diverges after kill/resume"

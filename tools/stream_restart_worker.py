@@ -1,0 +1,83 @@
+"""Cross-process streaming restart worker (driven by
+tests/test_stream_recovery.py::test_restart_across_processes_exactly_once).
+
+Each invocation is a FRESH driver process (own JVM, own SparkSession)
+running the stream_acid_sink micro-batch shape against a shared staged
+input, ACID table root, and checkpoint dir:
+
+  phase 1: consume with maxFilesPerTrigger=1; the foreachBatch sink
+    COMMITS the batch to the manifest log, then raises an injected crash
+    for batch `crash_after` — the commit landed but Spark never recorded
+    the batch in the checkpoint commit log, which is exactly the
+    at-least-once window foreachBatch exposes. Exits 17 on the injected
+    crash (anything else is a real failure).
+  phase 2: resume against the SAME checkpoint in a new process; Spark
+    re-delivers the crashed batch under the same batch id, the
+    op=="batch-N" txn marker must no-op it, and the remaining batches
+    drain (availableNow). Exits 0.
+
+The parent test asserts exactly-once table state across the kill/resume:
+one manifest per batch, no event duplicated or lost.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> None:
+    phase, staged, root, ckpt = sys.argv[1:5]
+    crash_after = int(sys.argv[5]) if len(sys.argv) > 5 else -1
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    from oddsetl_spark.session import get_spark, pin_session
+    from oddsetl_spark.sources.acid_table import AcidTable
+
+    spark = get_spark("restart-worker")
+    pin_session(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    schema = spark.read.parquet(os.path.join(staged, "part-0000")).schema
+
+    def sink(batch_df, batch_id):
+        tb = AcidTable(root)
+        marker = f"batch-{batch_id}"
+        if any(m["op"] == marker for m in tb.history()):
+            return  # re-delivered batch: already committed exactly once
+        version = tb.latest_version() + 1
+        add = tb._write_files(batch_df, f"commit-{version:05d}-{marker}")
+        tb.commit(version, marker, add=add, remove=[])
+        if phase == "1" and batch_id == crash_after:
+            raise RuntimeError(
+                "injected crash: table commit landed, checkpoint offset "
+                "not yet recorded"
+            )
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(staged, "part-*"))
+    )
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        code = 0
+    except Exception as exc:  # StreamingQueryException wraps the sink error
+        code = 17 if "injected crash" in str(exc) else 1
+        if code == 1:
+            print(f"worker failure: {exc}", file=sys.stderr)
+    spark.stop()
+    sys.exit(code)
+
+
+if __name__ == "__main__":
+    main()
