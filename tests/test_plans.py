@@ -786,3 +786,20 @@ def test_rank_assignment_is_range_partitioned(spark):
                         depth -= 1
                 if groups < 3:
                     assert any(m in s for m in bounded_marks), (name, s)
+
+
+def test_skew_salted_join_replicates_dim_across_all_salts(spark):
+    """The salted join's dim side must be replicated across ALL 16 salt
+    values (a partial explode would silently DROP fact rows whose salt
+    has no dim twin), and the join keys must carry the salt so the hot
+    key spreads over 16 tasks. Measured effect: tools/skew_probe.py
+    (50M rows, one key = 20%): naive 7.1 s / salted 4.2 s / AQE-split
+    3.7 s — salting is the manual fallback when AQE's byte thresholds
+    don't fire."""
+    plan = _plan(spark, "join_skew_salted")
+    full_salt_list = "explode([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15])"
+    assert full_salt_list in plan, plan
+    # both sides join on (custkey, salt) — the salt reaches the join keys
+    assert "salt" in plan.split("HashJoin")[1].split("]")[0] or (
+        "salt" in plan.split("SortMergeJoin")[1].split("]")[0]
+    ), plan
