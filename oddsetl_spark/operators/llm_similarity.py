@@ -345,6 +345,248 @@ def sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_whitened_tables(e: DataFrame):
+    """Data-dependent LSH rotation: ZCA-whiten the fixed sin-draw planes
+    and QR-orthonormalize them WITHIN each table.
+
+    Why: the r6 density probe traced sim_lsh_approx's residual
+    super-linear candidate growth (59x over 10x data; SCALING.md round-6
+    section) to bucket concentration ~4-18x above uniform. Measured root
+    cause (r8): the sin-draw planes are nearly COLLINEAR within a table
+    (|cos| up to 0.96 between planes), so nominal-p buckets carry far
+    fewer effective bits; whitening alone barely helps (3.88x -> 3.86x
+    concentration at sf0.1). Whitening + per-table QR orthonormalization
+    makes the bits independent AND variance-equalized: measured bucket
+    concentration is EXACTLY 1.00x uniform at K=1/4/10/20 copies
+    (candidates/n 250 -> 250 -> 312 -> 625, the residual growth being
+    purely the p<=8 ladder clamp, vs 970 -> 11,400 for the fixed draw).
+
+    Mechanics: the corpus mean/covariance come from the same tree-merged
+    exact Gramian partials as emb_pca_project (one Arrow pass + one
+    sqrt(P)-key merge — no corpus shuffle, driver payload O(sqrt(P)*d^2));
+    W = V diag(1/sqrt(max(eig, 1e-12))) V' (symmetric ZCA, so
+    sign(h . W(x-mean)) = sign((W h) . x - (W h) . mean) and the data
+    never needs transforming); per table, Q = qr((P W)') with a
+    deterministic sign convention. Buckets hash sign(emb . q_j > mean . q_j)
+    — still pure JVM literal-array folds, zero Python in the bucket path.
+
+    The rotation is data-dependent, so the fixed-draw full-SQL-oracle
+    replay of sim_lsh_approx is not available — sim_lsh_whitened
+    verifies a CONTRACT (exact truth columns + bound flags, the
+    emb_pca_project posture) and pytest pins near-dup recall.
+
+    Returns (n, p, mean ndarray, W ndarray, tables) where tables[t] is a
+    list of (weights list[d], threshold float) per plane."""
+    import numpy as np
+
+    parts = gram_merged_partials(e).collect()
+    n = sum(r["n"] for r in parts)
+    if not parts or n == 0:
+        raise ValueError(
+            "lsh_whitened: embeddings input is empty — a covariance "
+            "whitening needs at least one vector"
+        )
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in sorted(parts, key=lambda r: r["pid"]):
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, V = np.linalg.eigh(cov)
+    W = V @ np.diag(1.0 / np.sqrt(np.maximum(evals, 1e-12))) @ V.T
+    p = _lsh_planes_for(n)
+    tables = []
+    for t in range(_LSH_TABLES):
+        P = np.stack([_lsh_plane(t, j) for j in range(p)])
+        Q, _ = np.linalg.qr((P @ W).T)  # d x p, orthonormal columns
+        planes = []
+        for j in range(p):
+            q = Q[:, j]
+            nz = q[np.abs(q) > 1e-12]
+            if len(nz) and nz[0] < 0:  # deterministic sign (LAPACK-free)
+                q = -q
+            planes.append((q.tolist(), float(mean @ q)))
+        tables.append(planes)
+    return n, p, mean, W, tables
+
+
+def _lsh_bucket_structs(tables):
+    """Per-table bucket expressions from (weights, threshold) planes."""
+    structs = []
+    for t, planes in enumerate(tables):
+        bucket = F.lit(0)
+        for j, (w, th) in enumerate(planes):
+            arr = F.array(*[F.lit(float(x)) for x in w])
+            bucket = bucket + F.when(
+                _dot(F.col("emb"), arr) > F.lit(th), F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        structs.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return structs
+
+
+def sim_lsh_whitened_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production shape of the whitened-rotation LSH similarity join:
+    same candidate-join + exact-cosine refine as sim_lsh_approx, with
+    the balanced data-dependent planes of _lsh_whitened_tables. Pytest
+    pins its recall in the near-dup band; the registered contract twin
+    is sim_lsh_whitened."""
+    e = _emb(spark, sf_dir)
+    _n, _p, _mean, _W, tables = _lsh_whitened_tables(e)
+    b = e.select(
+        "vec_id", "emb", F.explode(F.array(*_lsh_bucket_structs(tables))).alias("tb")
+    ).select("vec_id", "tb.table_id", "tb.bucket")
+    x = b.alias("x")
+    y = b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.table_id") == F.col("y.table_id"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
+        .distinct()
+        .join(e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb")), "a_id")
+        .join(e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb")), "b_id")
+        .select("a_id", "b_id", _dot(F.col("a_emb"), F.col("b_emb")).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+@register(
+    "sim_lsh_whitened",
+    category="llm_sim",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+a AS (SELECT vec_id AS a_id, emb AS a_emb FROM e WHERE vec_id < 500)
+SELECT (SELECT COUNT(*) FROM e) AS n_vecs,
+       (SELECT COUNT(*) FROM a JOIN e b ON b.vec_id > a.a_id
+         WHERE {_SQL_DOT.format(a='a.a_emb', b='b.emb')} >= 0.3)
+         AS n_true_pairs,
+       TRUE AS recall_floor_ok,
+       TRUE AS bucket_balance_ok
+""",
+    heavy=True,
+)
+def sim_lsh_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract twin of sim_lsh_whitened_raw (the data-dependent rotation
+    makes a full SQL replay impossible — emb_pca_project posture):
+
+    - n_vecs, n_true_pairs: exact, hash-matched against DuckDB (truth =
+      pairs with a-side vec_id < 500 and exact cosine >= 0.3 — the
+      sampled a-side keeps the exact twin O(500 * n), not O(n^2), at any
+      scale factor).
+    - recall_floor_ok: candidate recall over the truth sample >= 0.5 x
+      the independent-table SimHash expectation
+      mean(1 - (1 - s^p)^L) with s = 1 - theta_whitened/pi per truth
+      pair — a THEORY-ANCHORED floor that self-adapts to the density
+      ladder's p at any corpus size (measured ratio 0.67 at sf0.01,
+      0.79 at sf0.1; the 0.5 factor absorbs table non-independence).
+    - bucket_balance_ok: pre-refine candidate volume (sum over buckets
+      of C(occ, 2) — the exact bucket-join work) <= 2 x the
+      perfectly-uniform expectation L * n^2 / 2^(p+1). Measured 1.00x
+      at K=1/4/10/20 (the fixed draw runs 3.9-18x, quadratic past the
+      clamp — SCALING.md round-8 section).
+    """
+    import numpy as np
+
+    e = _emb(spark, sf_dir).localCheckpoint()  # one layout for all branches
+    n, p, mean, W, tables = _lsh_whitened_tables(e)
+
+    # pre-refine bucket-join volume (no join materialized)
+    occ = (
+        e.select(F.explode(F.array(*_lsh_bucket_structs(tables))).alias("tb"))
+        .groupBy("tb.table_id", "tb.bucket")
+        .count()
+    )
+    pre_cand = int(
+        occ.agg(
+            F.sum((F.col("count") * (F.col("count") - 1) / 2).cast("long")).alias("c")
+        ).collect()[0]["c"]
+        or 0
+    )
+    uniform = _LSH_TABLES * n * n / float(1 << (p + 1))
+
+    # candidates restricted to the truth sample's a-side, refined exact
+    b = e.select(
+        "vec_id", F.explode(F.array(*_lsh_bucket_structs(tables))).alias("tb")
+    ).select("vec_id", "tb.table_id", "tb.bucket")
+    x = b.filter(F.col("vec_id") < 500).alias("x")
+    y = b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.table_id") == F.col("y.table_id"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
+        .distinct()
+        .join(e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb")), "a_id")
+        .join(e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb")), "b_id")
+        .filter(_dot(F.col("a_emb"), F.col("b_emb")) >= 0.3)
+    )
+    n_cand_true = cand.count()
+
+    # truth sample + per-pair whitened-angle collision expectation.
+    # Whitened coords via one Arrow pass (W is a 64x64 closure literal);
+    # the per-pair theory probability is then pure JVM math.
+    Wb, mb = W, mean
+
+    def to_xw(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            XW = (X - mb) @ Wb
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "xw": list(map(list, XW))}
+            )
+
+    xw = e.select("vec_id", "emb").mapInPandas(to_xw, "vec_id long, xw array<double>")
+    a = e.filter(F.col("vec_id") < 500).select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb")
+    )
+    pairs = (
+        e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
+        .join(F.broadcast(a), F.col("b_id") > F.col("a_id"))
+        .filter(_dot(F.col("a_emb"), F.col("b_emb")) >= 0.3)
+        .select("a_id", "b_id")
+    )
+    px = (
+        pairs.join(xw.select(F.col("vec_id").alias("a_id"), F.col("xw").alias("xa")), "a_id")
+        .join(xw.select(F.col("vec_id").alias("b_id"), F.col("xw").alias("xb")), "b_id")
+    )
+    sim = 1 - F.acos(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(-1.0),
+                _dot(F.col("xa"), F.col("xb"))
+                / F.sqrt(_dot(F.col("xa"), F.col("xa")))
+                / F.sqrt(_dot(F.col("xb"), F.col("xb"))),
+            ),
+        )
+    ) / F.lit(float(np.pi))
+    prob = 1 - F.pow(1 - F.pow(sim, F.lit(p)), F.lit(_LSH_TABLES))
+    row = px.agg(
+        F.count(F.lit(1)).alias("n_true"), F.avg(prob).alias("expected_recall")
+    ).collect()[0]
+    n_true, expected = int(row["n_true"]), float(row["expected_recall"] or 0.0)
+
+    recall_ok = n_true > 0 and (n_cand_true / n_true) >= 0.5 * expected
+    balance_ok = pre_cand <= 2.0 * uniform
+    return e.sparkSession.createDataFrame(
+        [(n, n_true, bool(recall_ok), bool(balance_ok))],
+        "n_vecs long, n_true_pairs long, recall_floor_ok boolean, "
+        "bucket_balance_ok boolean",
+    )
+
+
 def _ivf_assign_probes(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shared IVF coarse-quantizer build: per-label centroids (exact
     1e12-grid means), centroid-distance table, nearest-list assignment

@@ -137,6 +137,11 @@ INVARIANCE_SET = [
     # over a total order)
     "etl_surrogate_keys",
     "win_max_concurrency",
+    # round 8: the whitened-rotation LSH derives its planes from the
+    # tree-merged Gramian fold (float accumulation order moves with the
+    # layout) — the contract output (exact counts + bound flags with
+    # wide margins) must stay invariant under re-partitioning
+    "sim_lsh_whitened",
 ]
 
 

@@ -1182,3 +1182,75 @@ def test_lsum_overflow_raises(spark):
     df = spark.range(2).select(F.lit(4.7e12).alias("v"))
     with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
         df.agg(lsum(F.col("v")).alias("s")).collect()
+
+
+def test_lsh_whitened_near_dup_recall_floor(spark):
+    """Candidate recall floor for the whitened-rotation LSH in its DESIGN
+    band (near-dup, cosine >= 0.85): stage deterministic perturbed twins
+    of the corpus (no RNG — sin-offset per dim), run the whitened bucket
+    pipeline, and require >= 90% of twin pairs to collide in some table.
+    Theory: at twin cosine ~0.99 the collision probability
+    1-(1-s^p)^8 is ~1 even at the p=8 clamp; 0.9 leaves margin for the
+    whitening transform's angle warp (bounded by the covariance
+    condition number, ~1.9 on the fixture)."""
+    from oddsetl_spark.operators.llm_similarity import (
+        _dot,
+        _lsh_bucket_structs,
+        _lsh_whitened_tables,
+        _emb,
+    )
+
+    e = _emb(spark, SF_DIR).select("vec_id", "emb")
+    n0 = e.count()
+    # deterministic near-dup twin: emb_d + 0.02*sin(13*vec_id + d)
+    twin = e.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("emb"),
+            lambda v, i: v
+            + 0.02 * F.sin(13.0 * F.col("vec_id").cast("double") + i.cast("double")),
+        ).alias("emb"),
+    )
+    both = e.unionByName(twin).localCheckpoint()
+
+    # self-check the staging: twins really are in the near-dup band
+    tw = (
+        e.join(
+            twin.select(
+                (F.col("vec_id") - F.lit(1_000_000)).alias("vec_id"),
+                F.col("emb").alias("t_emb"),
+            ),
+            "vec_id",
+        )
+        .select(
+            (
+                _dot(F.col("emb"), F.col("t_emb"))
+                / F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                / F.sqrt(_dot(F.col("t_emb"), F.col("t_emb")))
+            ).alias("c")
+        )
+        .agg(F.min("c").alias("mn"), F.avg("c").alias("av"))
+        .collect()[0]
+    )
+    assert tw["mn"] >= 0.85, f"staged twins not near-dups: min cosine {tw['mn']}"
+
+    _n, _p, _mean, _W, tables = _lsh_whitened_tables(both)
+    b = both.select(
+        "vec_id", F.explode(F.array(*_lsh_bucket_structs(tables))).alias("tb")
+    ).select("vec_id", "tb.table_id", "tb.bucket")
+    # a twin pair collides iff original and twin share (table, bucket)
+    orig = b.filter(F.col("vec_id") < 1_000_000)
+    twb = b.filter(F.col("vec_id") >= 1_000_000).select(
+        (F.col("vec_id") - F.lit(1_000_000)).alias("vec_id"),
+        "table_id",
+        F.col("bucket").alias("t_bucket"),
+    )
+    n_hit = (
+        orig.join(twb, ["vec_id", "table_id"])
+        .filter(F.col("bucket") == F.col("t_bucket"))
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    recall = n_hit / n0
+    assert recall >= 0.9, f"near-dup candidate recall {recall:.3f} < 0.9"

@@ -82,6 +82,26 @@ def candidate_count(e, planes_per_table) -> int:
     return int(row["pairs"])
 
 
+def whitened_candidate_count(e) -> int:
+    """Same bucket-join volume under the r8 whitened + per-table
+    QR-orthonormalized planes (sim_lsh_whitened)."""
+    from oddsetl_spark.operators.llm_similarity import (
+        _lsh_bucket_structs,
+        _lsh_whitened_tables,
+    )
+
+    _n, _p, _m, _W, tables = _lsh_whitened_tables(e)
+    occ = (
+        e.select(F.explode(F.array(*_lsh_bucket_structs(tables))).alias("tb"))
+        .groupBy("tb.table_id", "tb.bucket")
+        .count()
+    )
+    row = occ.agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs")
+    ).collect()[0]
+    return int(row["pairs"])
+
+
 def _rotate(col, i: int, d: int = 64):
     """Rotate an array<double> by i positions — distinct vectors with the
     same norm and coordinate distribution as the originals."""
@@ -143,7 +163,8 @@ def main() -> None:
     for mode in ("duplicate", "rotated"):
         print(f"\n-- {mode} copies --")
         print(f"{'K':>3} {'n':>7} {'p':>2}  {'cand_adaptive':>14} "
-              f"{'cand_fixed3':>12}  {'adapt/n':>8} {'fixed/n':>8}  sec")
+              f"{'cand_whitened':>13} {'cand_fixed3':>12}  "
+              f"{'adapt/n':>8} {'whit/n':>7} {'fixed/n':>8}  sec")
         for k in ks:
             e = base
             for i in range(1, k):
@@ -156,10 +177,12 @@ def main() -> None:
             p = _lsh_planes_for(n)
             t0 = time.time()
             ca = candidate_count(e, p)
+            cw = whitened_candidate_count(e)
             cf = candidate_count(e, 3)
             print(
-                f"{k:>3} {n:>7} {p:>2}  {ca:>14,} {cf:>12,}  "
-                f"{ca / n:>8.1f} {cf / n:>8.1f}  {time.time() - t0:.1f}"
+                f"{k:>3} {n:>7} {p:>2}  {ca:>14,} {cw:>13,} {cf:>12,}  "
+                f"{ca / n:>8.1f} {cw / n:>7.1f} {cf / n:>8.1f}  "
+                f"{time.time() - t0:.1f}"
             )
 
 
