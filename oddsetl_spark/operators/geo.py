@@ -723,26 +723,47 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     "geo_spatiotemporal_join",
     category="geo",
     oracle=f"""
-WITH hz AS (
+WITH hz0 AS (
   SELECT event_id AS hz_id, ts AS hz_ts,
          {_SQL_LAT.format(k='event_id')} AS hz_lat,
          {_SQL_LON.format(k='event_id')} AS hz_lon
   FROM events WHERE event_type = 'error'
 ),
-im AS (
+im0 AS (
   SELECT event_id AS im_id, ts AS im_ts,
          {_SQL_LAT.format(k='event_id')} AS im_lat,
          {_SQL_LON.format(k='event_id')} AS im_lon
   FROM events WHERE event_type = 'purchase'
+),
+-- Same lossless equi-join blocking as the Spark plan (cell ring x time
+-- buckets): the naive inequality join (lat/lon BETWEEN + abs time) made
+-- DuckDB's IEJoin materialize every within-lat-band pair — quadratic at
+-- ~sf1 (>900 s); each true pair matches EXACTLY ONE exploded variant
+-- (the cell/bucket deltas are determined by the pair), so no dedup step
+-- is needed and the result set is identical.
+hz AS (
+  SELECT hz_id, hz_ts, hz_lat, hz_lon,
+         CAST(floor(hz_lat) AS BIGINT) + dl.dlat AS cell_lat,
+         CAST(floor(hz_lon) AS BIGINT) + dn.dlon AS cell_lon,
+         epoch_us(hz_ts) // 21600000000 + dt.dt AS tbucket
+  FROM hz0,
+       (SELECT unnest([-1, 0, 1]) AS dlat) dl,
+       (SELECT unnest([-2, -1, 0, 1, 2]) AS dlon) dn,
+       (SELECT unnest([-1, 0, 1]) AS dt) dt
+),
+im AS (
+  SELECT im_id, im_ts, im_lat, im_lon,
+         CAST(floor(im_lat) AS BIGINT) AS cell_lat,
+         CAST(floor(im_lon) AS BIGINT) AS cell_lon,
+         epoch_us(im_ts) // 21600000000 AS tbucket
+  FROM im0
 )
 SELECT hz_id, im_id,
        {_SQL_HAVERSINE.format(lat1='hz_lat', lon1='hz_lon', lat2='im_lat', lon2='im_lon')} AS dist_km,
        (epoch_us(im_ts) - epoch_us(hz_ts)) / 1000000 AS dt_s
-FROM hz JOIN im
-  ON floor(im_lat) BETWEEN floor(hz_lat) - 1 AND floor(hz_lat) + 1
- AND floor(im_lon) BETWEEN floor(hz_lon) - 2 AND floor(hz_lon) + 2
- AND abs(epoch_us(im_ts) - epoch_us(hz_ts)) <= 21600000000
-WHERE {_SQL_HAVERSINE.format(lat1='hz_lat', lon1='hz_lon', lat2='im_lat', lon2='im_lon')} <= 100.0
+FROM hz JOIN im USING (cell_lat, cell_lon, tbucket)
+WHERE abs(epoch_us(im_ts) - epoch_us(hz_ts)) <= 21600000000
+  AND {_SQL_HAVERSINE.format(lat1='hz_lat', lon1='hz_lon', lat2='im_lat', lon2='im_lon')} <= 100.0
 """,
 )
 def geo_spatiotemporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
