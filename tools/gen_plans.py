@@ -51,9 +51,14 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             "emb_pca_project",
             # round 6: the reworked IVF headliner and the density-adaptive
             # hyperplane LSH
-            "sim_ann_ivf", "sim_lsh_approx"]
+            "sim_ann_ivf", "sim_lsh_approx",
+            # round 8: the whitened-orthonormal rotation contract query
+            "sim_lsh_whitened"]
 
 NOTES = {
+    "sim_lsh_whitened": "data-dependent planes from the tree-merged "
+        "Gramian fold (no corpus shuffle); bucket exprs are JVM literal "
+        "folds; contract columns computed on a 500-vector a-side sample.",
     "sim_ann_ivf": "scaled-long sqdist feeds min-struct assignment (hash "
         "aggs, no window sort); candidates broadcast INTO the corpus-side "
         "rerank join — the scan never shuffles.",

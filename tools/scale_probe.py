@@ -115,6 +115,9 @@ QUERIES = [
     # its pair-finding must stay linear in DISTINCT texts under
     # duplicate-heavy replication (was >120 s at K=10 uncontracted)
     "curate_dedup_keep_best",
+    # round 8: the whitened-orthonormal LSH — bucket volume must stay
+    # ~uniform-linear in K (see tools/lsh_density_probe.py companion)
+    "sim_lsh_whitened",
 ]
 
 
