@@ -346,3 +346,62 @@ def test_restart_across_processes_exactly_once(spark):
     g = got.agg(F.sum("event_id")).collect()[0][0]
     w = src.agg(F.sum("event_id")).collect()[0][0]
     assert g == w, "event id sum diverges after kill/resume"
+
+
+def test_stateful_restart_across_processes_recovers_state(spark):
+    """STATE-STORE recovery across two driver processes: phase 1 runs a
+    complete-mode keyed aggregation (count + id-sum per event_type) with
+    maxFilesPerTrigger=1 and crashes after batch 1's snapshot write;
+    phase 2 resumes the same checkpoint in a fresh process and drains.
+    The final snapshot must equal the batch aggregate of ALL staged
+    input — a lost state store would count only post-restart files."""
+    import os
+    import subprocess
+    import sys
+
+    from oddsetl_spark.io import table
+    from oddsetl_spark.session import scratch_dir
+    from .harness import SF_DIRS
+
+    sf_dir = SF_DIRS[os.environ.get("ODDSETL_TEST_SF", "0.001")]
+    src = table(spark, sf_dir, "events")
+    staged = scratch_dir("xproc_state_in")
+    for i in range(4):
+        src.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staged, f"part-{i:04d}"))
+    out = scratch_dir("xproc_state_out")
+    ckpt = scratch_dir("xproc_state_ckpt")
+
+    worker = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "stream_restart_worker.py",
+    )
+    r1 = subprocess.run(
+        [sys.executable, worker, "1", staged, out, ckpt, "1", "stateful"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r1.returncode == 17, (
+        f"phase 1 must die on the injected crash: rc={r1.returncode}\n"
+        f"{r1.stderr[-2000:]}"
+    )
+    r2 = subprocess.run(
+        [sys.executable, worker, "2", staged, out, ckpt, "-1", "stateful"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r2.returncode == 0, f"phase 2 failed: {r2.stderr[-2000:]}"
+
+    got = {
+        r["event_type"]: (r["n"], r["id_sum"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["id_sum"])
+        for r in src.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
+        .collect()
+    }
+    assert got == want, (
+        f"state lost across restart: {len(got)} keys vs {len(want)}"
+    )

@@ -29,6 +29,7 @@ import sys
 def main() -> None:
     phase, staged, root, ckpt = sys.argv[1:5]
     crash_after = int(sys.argv[5]) if len(sys.argv) > 5 else -1
+    mode = sys.argv[6] if len(sys.argv) > 6 else "acid"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
 
@@ -41,6 +42,46 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     schema = spark.read.parquet(os.path.join(staged, "part-0000")).schema
+
+    if mode == "stateful":
+        # STATE-STORE recovery across processes: a complete-mode keyed
+        # aggregation whose running state must survive the kill — if the
+        # restarted process lost state, the final snapshot would count
+        # only post-restart files and the parent's compare fails.
+        from pyspark.sql import functions as F
+
+        def state_sink(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(root)
+            if phase == "1" and batch_id == crash_after:
+                raise RuntimeError(
+                    "injected crash: snapshot written, state commit for "
+                    "this batch not yet durable"
+                )
+
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(staged, "part-*"))
+        )
+        agg = s.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum")
+        )
+        q = (
+            agg.writeStream.foreachBatch(state_sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            code = 0
+        except Exception as exc:
+            code = 17 if "injected crash" in str(exc) else 1
+            if code == 1:
+                print(f"worker failure: {exc}", file=sys.stderr)
+        spark.stop()
+        sys.exit(code)
 
     def sink(batch_df, batch_id):
         tb = AcidTable(root)
