@@ -241,3 +241,32 @@ def test_bounded_sssp_matches_bruteforce(spark, edges, seeds):
                 best[n] = d
         frontier = nxt
     assert got == best, f"{got} != {best}"
+
+
+@given(
+    us=st.integers(min_value=0, max_value=4_102_444_800_000_000),  # ..2100
+)
+@settings(max_examples=300, deadline=None)
+def test_hive_dir_timestamp_parse_roundtrip_generated(us):
+    """parse_hive_dir_value must round-trip EVERY microsecond timestamp
+    through Spark's dir-name rendering (isoformat with trailing
+    fractional zeros trimmed, colons hive-escaped) to the exact padded
+    isoformat the stats compare uses — across the whole input space, not
+    just the fixture's values. Pure driver-side property (no Spark job),
+    so it can afford many examples."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from oddsetl_spark.sources.acid_table import parse_hive_dir_value
+
+    dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+    want = dt.isoformat(sep=" ")  # pads micros to 6 digits when nonzero
+    # Spark renders dir values with trailing fractional zeros trimmed
+    # (and no fraction at all for whole seconds), colons %-escaped.
+    rendered = dt.isoformat(sep=" ")
+    if "." in rendered:
+        rendered = rendered.rstrip("0").rstrip(".")
+    rendered = rendered.replace(":", "%3A")
+    got = parse_hive_dir_value(rendered, T.TimestampType(), "ts")
+    assert got == want, (rendered, got, want)
