@@ -405,3 +405,61 @@ def test_stateful_restart_across_processes_recovers_state(spark):
     assert got == want, (
         f"state lost across restart: {len(got)} keys vs {len(want)}"
     )
+
+
+def test_rocksdb_state_store_provider_equivalent(spark):
+    """The RocksDB state store — the backend whose keyed state spills to
+    local disk instead of living on the executor heap, i.e. the one a
+    100 TB deployment runs — must produce byte-identical results to the
+    default HDFS-backed provider on the same stateful replay, and must
+    actually engage (SST artifacts in the checkpoint)."""
+    import os
+
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.streaming.runner import (
+        read_events_stream,
+        run_to_table,
+        stage_events,
+    )
+    from .harness import SF_DIRS
+
+    sf_dir = SF_DIRS[os.environ.get("ODDSETL_TEST_SF", "0.001")]
+
+    def run(provider: str | None, tag: str):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        saved = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            staged = stage_events(sf_dir, tag=tag)
+            s = read_events_stream(spark, staged)
+            agg = s.groupBy("user_id", "event_type").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+            )
+            ckpt = scratch_dir(f"{tag}_ckpt")
+            out = run_to_table(agg, mode="complete", tag=f"{tag}_out", ckpt=ckpt)
+            rows = sorted(
+                (r["user_id"], r["event_type"], r["n"], round(r["s"], 6))
+                for r in out.collect()
+            )
+            return rows, ckpt
+        finally:
+            if saved is not None:
+                spark.conf.set(key, saved)
+            elif provider:
+                spark.conf.unset(key)
+
+    base, _ = run(None, "ss_hdfs")
+    rocks, ckpt = run(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+        "ss_rocks",
+    )
+    assert rocks == base, (
+        f"provider changed results: {len(rocks)} vs {len(base)} keys"
+    )
+    found = any(
+        "SSTs" in dirs or any(f.endswith(".sst") for f in files)
+        for _, dirs, files in os.walk(ckpt)
+    )
+    assert found, "RocksDB provider never engaged (no SST artifacts)"
