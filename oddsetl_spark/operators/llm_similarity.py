@@ -583,7 +583,9 @@ def sim_lsh_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     n_true, expected = int(row["n_true"]), float(row["expected_recall"] or 0.0)
 
-    recall_ok = n_true > 0 and (n_cand_true / n_true) >= 0.5 * expected
+    # Vacuously true when the truth sample has zero near pairs — the
+    # oracle hard-codes TRUE, and "no pairs to recall" is not a miss.
+    recall_ok = n_true == 0 or (n_cand_true / n_true) >= 0.5 * expected
     balance_ok = pre_cand <= 2.0 * uniform
     return e.sparkSession.createDataFrame(
         [(n, n_true, bool(recall_ok), bool(balance_ok))],

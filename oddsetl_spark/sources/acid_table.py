@@ -265,7 +265,8 @@ class AcidTable:
         complete (None if never vacuumed). Persisted by vacuum() so
         readers in OTHER processes refuse pre-horizon time travel too."""
         try:
-            return json.load(open(self._horizon_path()))["horizon"]
+            with open(self._horizon_path()) as f:
+                return json.load(f)["horizon"]
         except FileNotFoundError:
             return None
 
@@ -794,6 +795,7 @@ class AcidTable:
         cleared (``dv_remove``)."""
         if version is None:
             version = self.latest_version()
+        self._check_horizon(version)
         _active, _stats, dvs = self._fold_state(version)
         return [os.path.join(self.root, f) for f in dvs]
 
@@ -1599,6 +1601,29 @@ def table_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _manifest_adds_reference(t: AcidTable, version: int, out_dir: str) -> bool:
+    """Content-based commit ownership: True iff manifest `version` exists
+    and its 'add' entries reference files under `out_dir`. Used by
+    cleanup paths to decide whether a failed attempt actually published —
+    the data directory's uuid suffix makes it writer-unique, so a match
+    proves the manifest is OURS even when the in-memory publish marker
+    was never set (async exception between os.link and the marker
+    assignment inside commit())."""
+    try:
+        with open(t._manifest_path(version)) as f:
+            manifest = json.load(f)
+    except FileNotFoundError:
+        return False
+    except (OSError, json.JSONDecodeError):
+        # Manifest present but unreadable: a linked manifest is always
+        # fully written + fsynced, so this is an environment fault — the
+        # SAFE answer is "published" (leave the directory; deleting data
+        # a committed manifest might reference is the unrecoverable side).
+        return True
+    prefix = os.path.relpath(out_dir, t.root).rstrip("/") + "/"
+    return any(a.startswith(prefix) for a in manifest.get("add", []))
+
+
 def overwrite_partitions(
     t: AcidTable, spark: SparkSession, df: DataFrame, part_col: str
 ) -> int:
@@ -1727,10 +1752,18 @@ def overwrite_partitions(
         # next_v, then WE fail with a non-conflict error (validation
         # ValueError, pre-link OSError) — the manifest exists but is the
         # racer's, and our never-committed directory must be removed.
+        # The marker is corroborating, not sole, evidence: an async
+        # exception (KeyboardInterrupt) can land INSIDE commit() between
+        # os.link and the marker assignment — manifest published, marker
+        # unset. Content-based ownership from the manifest itself covers
+        # that window: if the manifest at next_v exists AND its 'add'
+        # entries reference OUR out directory, the commit is ours no
+        # matter what the marker says (a racer's manifest references a
+        # different uuid-suffixed directory, so this never misattributes).
         published = (
             t.last_published_version == next_v
             and t.last_published_version != marker_before
-        )
+        ) or _manifest_adds_reference(t, next_v, out)
         if not published:
             shutil.rmtree(out, ignore_errors=True)
         raise

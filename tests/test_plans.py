@@ -799,7 +799,11 @@ def test_skew_salted_join_replicates_dim_across_all_salts(spark):
     plan = _plan(spark, "join_skew_salted")
     full_salt_list = "explode([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15])"
     assert full_salt_list in plan, plan
-    # both sides join on (custkey, salt) — the salt reaches the join keys
-    assert "salt" in plan.split("HashJoin")[1].split("]")[0] or (
-        "salt" in plan.split("SortMergeJoin")[1].split("]")[0]
-    ), plan
+    # both sides join on (custkey, salt) — the salt reaches the join keys.
+    # Guard each branch: indexing an absent node name raises IndexError
+    # before `or` could try the other branch.
+    salt_in_keys = any(
+        node in plan and "salt" in plan.split(node)[1].split("]")[0]
+        for node in ("HashJoin", "SortMergeJoin")
+    )
+    assert salt_in_keys, plan
