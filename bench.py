@@ -60,6 +60,19 @@ HEADLINE = [
 # driver — alongside the like-for-like collect() number.
 EXEC_ONLY = ["win_sessionize", "win_topk_per_group"]
 
+# sf1-only additions (r9): the operators the r8/r9 rounds made
+# load-bearing, so regressions in the new machinery resolve where fixed
+# overhead doesn't dominate — the whitened-rotation LSH contract, the
+# connected-components clustering loop, the iterative pagerank, and one
+# ACID manifest-stats read path. Not in the sf0.1 headline set: that
+# series stays the BASELINE.md like-for-like rows.
+SF1_EXTRA = [
+    "sim_lsh_whitened",
+    "dedup_components",
+    "graph_pagerank",
+    "table_stats_skipping",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -143,7 +156,7 @@ def main() -> None:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
             t_sf1: dict[str, float] = {}
             e_sf1: dict[str, str] = {}
-            for name in names:
+            for name in names + [n for n in SF1_EXTRA if n in available]:
                 try:
                     fn = available[name].fn
                     fn(spark, sf1_dir).collect()  # warm-up

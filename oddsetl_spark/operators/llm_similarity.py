@@ -197,9 +197,9 @@ _LSH_TABLES = 8
 _LSH_MIN_PLANES, _LSH_MAX_PLANES, _LSH_TARGET_BUCKET = 3, 8, 64
 
 
-def _lsh_planes_for(n: int) -> int:
+def _lsh_planes_for(n: int, cap: int = _LSH_MAX_PLANES) -> int:
     p = _LSH_MIN_PLANES
-    while p < _LSH_MAX_PLANES and n > (_LSH_TARGET_BUCKET << p):
+    while p < cap and n > (_LSH_TARGET_BUCKET << p):
         p += 1
     return p
 
@@ -215,6 +215,33 @@ def _lsh_plane(t: int, j: int) -> list[float]:
     return [
         math.sin(float((t * _LSH_MAX_PLANES + j) * 131 + d * 17))
         for d in range(64)
+    ]
+
+
+# Whitened-path plane cap (r9): with per-table QR-orthonormalized planes
+# every extra bit is independent, so raising p past the fixed draw's
+# clamp finally shrinks buckets instead of wasting redundant planes (the
+# r8 probe showed K=20 candidate volume doubling purely as n/2^8 — the
+# clamp, not the rotation, was the only residual growth). Rungs extend
+# to p=12: expected occupancy n/2^p stays <= TARGET up to n ~ 262k, and
+# past that the documented 100 TB move is more tables / re-hash, same as
+# the fixed draw. The fixed-draw cap stays 8 — its near-collinear sin
+# planes make p>8 useless there, and its full-SQL oracle replays the
+# 8-plane ladder verbatim.
+_LSH_MAX_PLANES_WHITENED = 12
+
+
+def _lsh_plane_w(t: int, j: int) -> list[float]:
+    """Whitened-path raw plane draw — stride 16 >= MAX_PLANES_WHITENED
+    keeps the (t, j) sin seeds distinct across tables up to p=12 (the
+    fixed draw's stride of 8 would alias table t's plane 8+ onto table
+    t+1's plane 0, making adjacent tables share bits). Raw collinearity
+    doesn't matter here: the per-table QR orthonormalizes whatever it
+    gets, the draw only needs to be deterministic and full-rank."""
+    import math
+
+    return [
+        math.sin(float((t * 16 + j) * 131 + d * 17)) for d in range(64)
     ]
 
 
@@ -401,10 +428,10 @@ def _lsh_whitened_tables(e: DataFrame):
     cov = g / n - np.outer(mean, mean)
     evals, V = np.linalg.eigh(cov)
     W = V @ np.diag(1.0 / np.sqrt(np.maximum(evals, 1e-12))) @ V.T
-    p = _lsh_planes_for(n)
+    p = _lsh_planes_for(n, _LSH_MAX_PLANES_WHITENED)
     tables = []
     for t in range(_LSH_TABLES):
-        P = np.stack([_lsh_plane(t, j) for j in range(p)])
+        P = np.stack([_lsh_plane_w(t, j) for j in range(p)])
         Q, _ = np.linalg.qr((P @ W).T)  # d x p, orthonormal columns
         planes = []
         for j in range(p):
@@ -500,10 +527,79 @@ def sim_lsh_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).localCheckpoint()  # one layout for all branches
     n, p, mean, W, tables = _lsh_whitened_tables(e)
 
+    # ONE Arrow pass computes everything per-vector the contract needs:
+    # whitened coords (theory angles), all 8 tables' bucket ids (one
+    # batched numpy matmul against the QR planes), and the truth-pair
+    # PREFILTER against the <=500 broadcast anchors. The r8 shape paid
+    # two constants this kills: three separately-analyzed giant literal
+    # folds (8 tables x p 64-literal arrays per branch) and a 500 x n
+    # broadcast nested loop evaluating an interpreted 64-element fold per
+    # pair — together ~13-18 s at sf0.1 on 2,000 vectors, i.e. pure
+    # fixed cost. Buckets here are numpy-evaluated where the production
+    # twin (sim_lsh_whitened_raw) folds JVM literals; last-ulp boundary
+    # flips between the two summation orders are possible and harmless —
+    # the flags they feed are 2x-bounded measurements, not hash-matched
+    # values. The prefilter margin 1e-9 dominates the <=1e-13 gap between
+    # numpy's pairwise sums and the sequential fold, so no true pair can
+    # be dropped; MEMBERSHIP is still decided by the exact fold below,
+    # bit-identical to the oracle's list_reduce.
+    Q = np.stack(
+        [[w for (w, _th) in planes] for planes in tables]
+    )  # tables x p x d
+    TH = np.array([[th for (_w, th) in planes] for planes in tables])
+    bits = 1 << np.arange(Q.shape[1], dtype=np.int64)
+    anchor_rows = (
+        e.filter(F.col("vec_id") < 500).select("vec_id", "emb").collect()
+    )  # <=500 x 64 doubles — O(1) driver payload by design
+    a_ids = np.array([r["vec_id"] for r in anchor_rows], dtype=np.int64)
+    A = (
+        np.array([r["emb"] for r in anchor_rows], dtype=np.float64)
+        if anchor_rows
+        else np.zeros((0, 64))
+    )
+    Wb, mb = W, mean
+
+    def per_vec(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            XW = (X - mb) @ Wb
+            buckets = np.stack(
+                [(X @ Q[t].T > TH[t]) @ bits for t in range(len(Q))],
+                axis=1,
+            )
+            D = X @ A.T  # batch x n_anchors prefilter dots
+            vid = pdf["vec_id"].to_numpy()
+            near = [
+                a_ids[(D[i] >= 0.3 - 1e-9) & (a_ids < vid[i])].tolist()
+                for i in range(len(vid))
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "xw": list(map(list, XW)),
+                    "buckets": list(map(list, buckets)),
+                    "near": near,
+                }
+            )
+
+    narrow = (
+        e.select("vec_id", "emb")
+        .mapInPandas(
+            per_vec,
+            "vec_id long, xw array<double>, buckets array<long>, "
+            "near array<long>",
+        )
+        .localCheckpoint()  # buckets/xw/prefilter computed exactly once
+    )
+
     # pre-refine bucket-join volume (no join materialized)
     occ = (
-        e.select(F.explode(F.array(*_lsh_bucket_structs(tables))).alias("tb"))
-        .groupBy("tb.table_id", "tb.bucket")
+        narrow.select(F.posexplode("buckets").alias("table_id", "bucket"))
+        .groupBy("table_id", "bucket")
         .count()
     )
     pre_cand = int(
@@ -515,9 +611,11 @@ def sim_lsh_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform = _LSH_TABLES * n * n / float(1 << (p + 1))
 
     # candidates restricted to the truth sample's a-side, refined exact
-    b = e.select(
-        "vec_id", F.explode(F.array(*_lsh_bucket_structs(tables))).alias("tb")
-    ).select("vec_id", "tb.table_id", "tb.bucket")
+    emb_a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
+    emb_b = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
+    b = narrow.select(
+        "vec_id", F.posexplode("buckets").alias("table_id", "bucket")
+    )
     x = b.filter(F.col("vec_id") < 500).alias("x")
     y = b.alias("y")
     cand = (
@@ -529,42 +627,33 @@ def sim_lsh_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
         .distinct()
-        .join(e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb")), "a_id")
-        .join(e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb")), "b_id")
+        .join(emb_a, "a_id")
+        .join(emb_b, "b_id")
         .filter(_dot(F.col("a_emb"), F.col("b_emb")) >= 0.3)
     )
     n_cand_true = cand.count()
 
-    # truth sample + per-pair whitened-angle collision expectation.
-    # Whitened coords via one Arrow pass (W is a 64x64 closure literal);
-    # the per-pair theory probability is then pure JVM math.
-    Wb, mb = W, mean
-
-    def to_xw(it):
-        import pandas as pd
-
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-            XW = (X - mb) @ Wb
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "xw": list(map(list, XW))}
-            )
-
-    xw = e.select("vec_id", "emb").mapInPandas(to_xw, "vec_id long, xw array<double>")
-    a = e.filter(F.col("vec_id") < 500).select(
-        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb")
-    )
+    # truth sample: numpy-prefiltered pairs, membership decided by the
+    # exact sequential fold; then the per-pair whitened-angle collision
+    # expectation (pure JVM math on the few thousand surviving pairs)
     pairs = (
-        e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
-        .join(F.broadcast(a), F.col("b_id") > F.col("a_id"))
+        narrow.select(
+            F.col("vec_id").alias("b_id"), F.explode("near").alias("a_id")
+        )
+        .join(emb_a, "a_id")
+        .join(emb_b, "b_id")
         .filter(_dot(F.col("a_emb"), F.col("b_emb")) >= 0.3)
         .select("a_id", "b_id")
     )
     px = (
-        pairs.join(xw.select(F.col("vec_id").alias("a_id"), F.col("xw").alias("xa")), "a_id")
-        .join(xw.select(F.col("vec_id").alias("b_id"), F.col("xw").alias("xb")), "b_id")
+        pairs.join(
+            narrow.select(F.col("vec_id").alias("a_id"), F.col("xw").alias("xa")),
+            "a_id",
+        )
+        .join(
+            narrow.select(F.col("vec_id").alias("b_id"), F.col("xw").alias("xb")),
+            "b_id",
+        )
     )
     sim = 1 - F.acos(
         F.least(

@@ -407,6 +407,107 @@ def test_stateful_restart_across_processes_recovers_state(spark):
     )
 
 
+def test_rocksdb_state_restart_across_processes(spark):
+    """Compose the two r8 proofs (provider equivalence + cross-process
+    restart): kill the driver AFTER batch 1's snapshot write with KEYED
+    STATE IN ROCKSDB, resume in a fresh process, and require
+
+    - zero loss: the final complete-mode snapshot equals the batch
+      aggregate of ALL staged input (state for batches 0-1 must have been
+      rebuilt from the checkpoint's SST snapshot + changelog — the heap
+      it lived in is gone with the killed JVM);
+    - no over-reprocessing: phase 2 records commits only for the
+      re-delivered crashed batch and later ones (batch 0's commit is
+      phase 1's, untouched);
+    - SST engagement on BOTH sides of the kill: phase 1 leaves SST
+      artifacts in the checkpoint, and phase 2 adds state versions on
+      top of them rather than starting a fresh lineage."""
+    import os
+    import subprocess
+    import sys
+
+    from oddsetl_spark.io import table
+    from oddsetl_spark.session import scratch_dir
+    from .harness import SF_DIRS
+
+    sf_dir = SF_DIRS[os.environ.get("ODDSETL_TEST_SF", "0.001")]
+    src = table(spark, sf_dir, "events")
+    staged = scratch_dir("xproc_rocks_in")
+    for i in range(4):
+        src.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staged, f"part-{i:04d}"))
+    out = scratch_dir("xproc_rocks_out")
+    ckpt = scratch_dir("xproc_rocks_ckpt")
+
+    worker = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "stream_restart_worker.py",
+    )
+
+    def ssts(root):
+        return sorted(
+            os.path.join(d, f)[len(root):]
+            for d, _dirs, files in os.walk(root)
+            for f in files
+            if f.endswith(".sst")
+        )
+
+    def committed(root):
+        cdir = os.path.join(root, "commits")
+        return sorted(
+            int(f) for f in os.listdir(cdir) if not f.startswith(".")
+        ) if os.path.isdir(cdir) else []
+
+    r1 = subprocess.run(
+        [sys.executable, worker, "1", staged, out, ckpt, "1",
+         "stateful-rocks"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r1.returncode == 17, (
+        f"phase 1 must die on the injected crash: rc={r1.returncode}\n"
+        f"{r1.stderr[-2000:]}"
+    )
+    sst_phase1 = ssts(ckpt)
+    assert sst_phase1, "RocksDB never engaged in phase 1 (no SSTs)"
+    commits_phase1 = committed(ckpt)
+    assert commits_phase1 == [0], (
+        f"crash landed after batch 1's snapshot but before its commit "
+        f"record; checkpoint commits: {commits_phase1}"
+    )
+
+    r2 = subprocess.run(
+        [sys.executable, worker, "2", staged, out, ckpt, "-1",
+         "stateful-rocks"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r2.returncode == 0, f"phase 2 failed: {r2.stderr[-2000:]}"
+
+    # no over-reprocessing: phase 2 appended commits 1..3 on top of
+    # phase 1's batch 0 — a fresh lineage would have re-run batch 0 too
+    assert committed(ckpt) == [0, 1, 2, 3], committed(ckpt)
+    # SST reuse: phase 2 extended the SST lineage, not replaced it
+    sst_phase2 = ssts(ckpt)
+    assert len(sst_phase2) > len(sst_phase1), (
+        f"phase 2 added no SSTs: {len(sst_phase1)} -> {len(sst_phase2)}"
+    )
+
+    got = {
+        r["event_type"]: (r["n"], r["id_sum"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["id_sum"])
+        for r in src.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
+        .collect()
+    }
+    assert got == want, (
+        f"state lost across RocksDB restart: {got} vs {want}"
+    )
+
+
 def test_rocksdb_state_store_provider_equivalent(spark):
     """The RocksDB state store — the backend whose keyed state spills to
     local disk instead of living on the executor heap, i.e. the one a

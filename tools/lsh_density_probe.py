@@ -42,6 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from oddsetl_spark.operators.llm_similarity import (  # noqa: E402
+    _LSH_MAX_PLANES_WHITENED,
     _LSH_TABLES,
     _dot,
     _lsh_plane,
@@ -162,7 +163,7 @@ def main() -> None:
     n0 = base.count()
     for mode in ("duplicate", "rotated"):
         print(f"\n-- {mode} copies --")
-        print(f"{'K':>3} {'n':>7} {'p':>2}  {'cand_adaptive':>14} "
+        print(f"{'K':>3} {'n':>7} {'p':>2} {'pw':>2}  {'cand_adaptive':>14} "
               f"{'cand_whitened':>13} {'cand_fixed3':>12}  "
               f"{'adapt/n':>8} {'whit/n':>7} {'fixed/n':>8}  sec")
         for k in ks:
@@ -175,12 +176,13 @@ def main() -> None:
             e = e.localCheckpoint()
             n = n0 * k
             p = _lsh_planes_for(n)
+            pw = _lsh_planes_for(n, _LSH_MAX_PLANES_WHITENED)
             t0 = time.time()
             ca = candidate_count(e, p)
             cw = whitened_candidate_count(e)
             cf = candidate_count(e, 3)
             print(
-                f"{k:>3} {n:>7} {p:>2}  {ca:>14,} {cw:>13,} {cf:>12,}  "
+                f"{k:>3} {n:>7} {p:>2} {pw:>2}  {ca:>14,} {cw:>13,} {cf:>12,}  "
                 f"{ca / n:>8.1f} {cw / n:>7.1f} {cf / n:>8.1f}  "
                 f"{time.time() - t0:.1f}"
             )

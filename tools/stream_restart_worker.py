@@ -43,12 +43,23 @@ def main() -> None:
 
     schema = spark.read.parquet(os.path.join(staged, "part-0000")).schema
 
-    if mode == "stateful":
+    if mode in ("stateful", "stateful-rocks"):
         # STATE-STORE recovery across processes: a complete-mode keyed
         # aggregation whose running state must survive the kill — if the
         # restarted process lost state, the final snapshot would count
         # only post-restart files and the parent's compare fails.
+        # "stateful-rocks" runs the same shape on the RocksDB provider
+        # (keyed state on local disk, the 100 TB backend): the restarted
+        # process must REBUILD its store from the checkpoint's SST
+        # snapshot + changelog, not from heap it no longer has.
         from pyspark.sql import functions as F
+
+        if mode == "stateful-rocks":
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
 
         def state_sink(batch_df, batch_id):
             batch_df.write.mode("overwrite").parquet(root)
