@@ -807,3 +807,57 @@ def test_skew_salted_join_replicates_dim_across_all_salts(spark):
         for node in ("HashJoin", "SortMergeJoin")
     )
     assert salt_in_keys, plan
+
+
+def test_cbo_profile_flips_broadcast_decision(spark):
+    """The ANALYZE-backed CBO session profile (plans/cbo.py) must flip a
+    real broadcast decision from true selectivity: a ~2%-selective
+    predicate on lineitem makes its join input a few KB, but without
+    column stats Spark estimates the filtered scan at the full table
+    size and SortMergeJoins. Under cbo_profile the STATIC plan broadcasts
+    the filtered side. Thresholds are scaled to the fixture like
+    skew_probe scales AQE's (the decision boundary is size-relative);
+    the full measured ~sf1 diff — build-side flip at the default 10MB
+    threshold, SMJ->BHJ with 3->1 materialized shuffles at 5MB — lives
+    in PLANS.md ("CBO profile", tools/cbo_plan_diff.py)."""
+    from oddsetl_spark.plans.cbo import cbo_profile
+
+    sf_dir = "/root/testdata/sf0.01"
+    q = """
+    SELECT o.o_orderpriority, COUNT(*) AS n_lines
+    FROM {orders} o JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity > 49
+    GROUP BY o.o_orderpriority
+    """
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        with cbo_profile(
+            spark, sf_dir, ("orders", "lineitem"), prefix="cbolock"
+        ) as cat:
+            # AFTER the profile landed its tables: table() pins session
+            # confs, which re-pins the 10MB default over an earlier set
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024)
+            )
+            on_plan = (
+                spark.sql(q.format(**cat))
+                ._jdf.queryExecution()
+                .sparkPlan()
+                .toString()
+            )
+        # same catalog tables, CBO off (the profile restored the confs)
+        off_plan = (
+            spark.sql(q.format(**cat))
+            ._jdf.queryExecution()
+            .sparkPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "SortMergeJoin" in off_plan, off_plan
+    assert "BroadcastHashJoin" in on_plan, on_plan
+    # and the build side is the FILTERED lineitem, not blind orders
+    join_line = next(
+        line for line in on_plan.splitlines() if "BroadcastHashJoin" in line
+    )
+    assert "BuildRight" in join_line, on_plan

@@ -311,6 +311,30 @@ for name in HEADLINE:
     out.append("```")
     out.append("")
 
+# CBO profile (r9): live A/B plan diff at ~sf1 — ANALYZE statistics flip
+# a real broadcast decision (build side at the default threshold; SMJ ->
+# BHJ with fewer materialized shuffles at 5MB). Asserted while rendered.
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+from cbo_plan_diff import section_lines  # noqa: E402
+
+out.append("## CBO profile (plans/cbo.py, ~sf1 catalog tables)")
+out.append("")
+out.append(
+    "ANALYZE-backed statistics vs file-size guesses on the same catalog "
+    "tables (tools/cbo_plan_diff.py; locked by test_plans.py::"
+    "test_cbo_profile_flips_broadcast_decision). Without column stats "
+    "the 2%-filtered lineitem looks full-size, so the optimizer "
+    "broadcasts the WRONG side at the default threshold and falls to "
+    "SortMergeJoin — both sides shuffled — when no full table fits "
+    "under it; statistics fix the static plan before any I/O, where AQE "
+    "can only repair it after the probe side's map-side shuffle write."
+)
+out.append("")
+out.append("```")
+out.extend(line.rstrip() for line in section_lines(spark))
+out.append("```")
+out.append("")
+
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("\n".join(out))
 print("wrote PLANS.md", sum(len(x) for x in out))
