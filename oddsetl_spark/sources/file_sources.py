@@ -382,6 +382,43 @@ def opt_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "opt_cbo_stats_profile",
+    category="sources",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n_lines
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity > 49
+GROUP BY o.o_orderpriority
+""",
+)
+def opt_cbo_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE-backed CBO session profile (plans/cbo.py) as a
+    registered query: land orders+lineitem as catalog tables with full
+    column statistics and run a selective fact-filter join under
+    cost-based optimization. With stats, FilterEstimation sees the
+    ~2%-selective l_quantity predicate and the optimizer builds the hash
+    side on the FILTERED fact instead of blind file-size guesses — the
+    decision measured at ~sf1 in PLANS.md ("CBO profile": build-side
+    flip at the default threshold, SortMergeJoin -> BroadcastHashJoin
+    with 3 -> 1 materialized shuffles at 5MB) and plan-locked by
+    test_plans.py::test_cbo_profile_flips_broadcast_decision. The result
+    is materialized inside the profile (localCheckpoint) so the CBO plan
+    executes before the session confs are restored."""
+    from ..plans.cbo import cbo_profile
+
+    with cbo_profile(spark, sf_dir, ("orders", "lineitem")) as cat:
+        return spark.sql(
+            f"""
+            SELECT o.o_orderpriority, COUNT(*) AS n_lines
+            FROM {cat['orders']} o
+            JOIN {cat['lineitem']} l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity > 49
+            GROUP BY o.o_orderpriority
+            """
+        ).localCheckpoint()
+
+
 # --- Z-order clustering ---------------------------------------------------
 # The bit-interleave is unrolled in Python once and rendered into BOTH the
 # Spark expression and the DuckDB oracle, so the two engines execute the

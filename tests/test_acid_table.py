@@ -1302,3 +1302,31 @@ def test_reader_consistency_under_writer_and_vacuum_churn():
     assert want == sum(
         100 for m in t.history() if m["op"].startswith("append")
     ), "appended rows lost"
+
+
+def test_manifest_ownership_is_content_based(spark):
+    """_manifest_adds_reference (the overwrite_partitions cleanup's
+    corroborating evidence): a manifest counts as OURS iff its 'add'
+    entries reference our uuid-suffixed out directory. Covers the torn
+    window where an async exception lands inside commit() between
+    os.link and the publish-marker assignment — marker unset, manifest
+    published — which the marker-only check misattributed as
+    'not published' and rmtree'd data a committed manifest references."""
+    from oddsetl_spark.sources.acid_table import _manifest_adds_reference
+
+    base = table(spark, SF_DIR, "events").limit(20)
+    t = AcidTable.create(spark, base.coalesce(1), scratch_dir("acid_own"))
+    v1 = t.latest_version() + 1
+    add = t._write_files(base.coalesce(1), f"commit-{v1:05d}-owntest")
+    t.commit(v1, "owntest", add=add, remove=[])
+
+    our_dir = os.path.join(t.root, os.path.dirname(add[0]))
+    assert _manifest_adds_reference(t, v1, our_dir), (
+        "manifest referencing our directory must count as ours even with "
+        "the in-memory marker unset"
+    )
+    # a racer's manifest references a DIFFERENT uuid-suffixed directory
+    other_dir = os.path.join(t.data_dir, "commit-99999-racer-deadbeef")
+    assert not _manifest_adds_reference(t, v1, other_dir)
+    # no manifest at that version -> not published
+    assert not _manifest_adds_reference(t, v1 + 7, our_dir)
