@@ -142,6 +142,10 @@ INVARIANCE_SET = [
     # layout) — the contract output (exact counts + bound flags with
     # wide margins) must stay invariant under re-partitioning
     "sim_lsh_whitened",
+    # round 9: the ANALYZE-backed CBO profile — statistics change the
+    # PLAN (build side), never the result; the catalog landing +
+    # conf-restore must hold under any layout
+    "opt_cbo_stats_profile",
 ]
 
 
