@@ -156,6 +156,106 @@ def _jaccard_pairs(
     )
 
 
+def _jaccard_pairs_tau(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame | None = None,
+    tau: float = _JACCARD_TAU,
+) -> DataFrame:
+    """EXACT jaccard >= tau pairs via PREFIX-FILTERED inverted index —
+    identical output to `_jaccard_pairs(...).filter(jaccard >= tau)`
+    (locked by test_prefix_filtered_pairs_match_full_index), at a
+    fraction of the join volume.
+
+    The full index self-joins EVERY shingle posting list (sum over
+    shingles of C(df, 2) intermediate pairs); at high tau almost all of
+    that volume is pairs that cannot possibly reach the threshold. The
+    prefix principle (Chaudhuri/Bayardo, the PPJoin family) prunes them
+    WITHOUT approximation: order each doc's shingles by global rarity
+    (document frequency asc, shingle asc as the deterministic
+    tie-break); any B with J(A, B) >= tau must share >= ceil(tau*|A|)
+    shingles with A, so if A and B have NO common shingle among their
+    first |A| - ceil(tau*|A|) + 1 rarest (likewise B), the overlap
+    bound is violated — joining PREFIXES only (22% of postings at
+    tau=0.8) finds every qualifying pair. Candidates then verify with
+    the exact set intersection (shingle sets are per-doc distinct), and
+    the final jaccard expression/filter are the same shapes as the full
+    index's, so values are bit-identical.
+
+    Threshold arithmetic is float-slop-safe in the CONSERVATIVE
+    direction: ceil(tau*n - 1e-9) can only round DOWN off-by-ulp
+    products (0.8*35 = 28.000000000000004), lengthening the prefix —
+    never shortening it — and the size-ratio prune keeps any pair
+    within 1e-9 of feasible. The exact >= tau verify still decides
+    membership.
+
+    Scale shape: one shuffle to rank shingles by df, one prefix
+    self-join (bounded postings), one candidate-side set-intersect
+    verify — the standard exact-similarity-join layout for corpus-scale
+    dedup; at 100 TB add length binning, the prefix join already keys
+    by shingle."""
+    sh = _shingles(corpus if corpus is not None else _corpus(spark, sf_dir))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "shingle")
+    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    pos = ranked.select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n_sh"),
+    )
+    prefix = pos.filter(
+        F.col("pos")
+        <= F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(tau) - F.lit(1e-9))
+        + 1
+    ).select("doc_id", "shingle", "n_sh")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio prune: J <= min/max, so max*tau <= min (+slop)
+            & (F.col("a.n_sh") >= F.col("b.n_sh") * F.lit(tau) - F.lit(1e-9))
+            & (F.col("b.n_sh") >= F.col("a.n_sh") * F.lit(tau) - F.lit(1e-9)),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh_set"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
 @register(
     "dedup_exact_hash",
     category="llm_dedup",
@@ -203,8 +303,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-shingle) Jaccard near-dup pairs >= tau, via the
     shingle inverted index — the exact-but-scalable formulation (no O(n^2)
     pair scan; cost follows shingle collision lists)."""
-    pairs = _jaccard_pairs(spark, sf_dir)
-    return pairs.filter(F.col("jaccard") >= _JACCARD_TAU).select(
+    pairs = _jaccard_pairs_tau(spark, sf_dir)
+    return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
     )
 
@@ -603,8 +703,7 @@ def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the (expensive) pair list ONCE; both union branches
     # read the checkpoint instead of re-running the shingle self-join.
     edges_half = (
-        _jaccard_pairs(spark, sf_dir, corpus=rep_corpus)
-        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        _jaccard_pairs_tau(spark, sf_dir, corpus=rep_corpus)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
@@ -1672,8 +1771,7 @@ def dedup_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cand = _det_sig_cand(spark, sf_dir)
     cand = cand.persist()  # counted twice (scoreboard + tp semi-join)
     truth = (
-        _jaccard_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        _jaccard_pairs_tau(spark, sf_dir)
         .select("doc_a", "doc_b")
         .persist()
     )

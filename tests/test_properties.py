@@ -1254,3 +1254,34 @@ def test_lsh_whitened_near_dup_recall_floor(spark):
     )
     recall = n_hit / n0
     assert recall >= 0.9, f"near-dup candidate recall {recall:.3f} < 0.9"
+
+
+def test_prefix_filtered_pairs_match_full_index(spark):
+    """_jaccard_pairs_tau (prefix-filtered exact similarity join, the
+    PPJoin prefix principle) must return the IDENTICAL (doc_a, doc_b,
+    jaccard) set as the unpruned inverted-index join filtered at the
+    same threshold — pruning is a no-approximation candidate reduction,
+    so any divergence is a bug in the prefix/size-bound arithmetic.
+    Measured at ~sf1 (149,760 distinct docs): 38.0 s -> 13.1 s for the
+    same 159,790 pairs."""
+    from pyspark.sql import functions as F
+
+    from oddsetl_spark.operators.llm_dedup import (
+        _JACCARD_TAU,
+        _jaccard_pairs,
+        _jaccard_pairs_tau,
+    )
+
+    full = sorted(
+        map(
+            tuple,
+            _jaccard_pairs(spark, SF_DIR)
+            .filter(F.col("jaccard") >= _JACCARD_TAU)
+            .collect(),
+        )
+    )
+    pref = sorted(map(tuple, _jaccard_pairs_tau(spark, SF_DIR).collect()))
+    assert len(full) > 0, "fixture must stage near-dup pairs"
+    assert pref == full, (
+        f"prefix filtering changed the result: {len(pref)} vs {len(full)}"
+    )
