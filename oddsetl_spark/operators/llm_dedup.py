@@ -182,6 +182,11 @@ def _jaccard_pairs_tau(
     the final jaccard expression/filter are the same shapes as the full
     index's, so values are bit-identical.
 
+    The shingle table is localCheckpointed: three branches consume it
+    (document frequencies, the ranked prefix, the verify sets) and each
+    would otherwise re-run the corpus union + explode upstream —
+    measured ~7 s of redundant recompute per call at ~sf1.
+
     Threshold arithmetic is float-slop-safe in the CONSERVATIVE
     direction: ceil(tau*n - 1e-9) can only round DOWN off-by-ulp
     products (0.8*35 = 28.000000000000004), lengthening the prefix —
@@ -194,7 +199,9 @@ def _jaccard_pairs_tau(
     verify — the standard exact-similarity-join layout for corpus-scale
     dedup; at 100 TB add length binning, the prefix join already keys
     by shingle."""
-    sh = _shingles(corpus if corpus is not None else _corpus(spark, sf_dir))
+    sh = _shingles(
+        corpus if corpus is not None else _corpus(spark, sf_dir)
+    ).localCheckpoint()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(dfreq, "shingle")
     w = W.partitionBy("doc_id").orderBy("df", "shingle")
@@ -684,7 +691,11 @@ def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     K=10, where every doc has 10 identical copies); contracted, the
     pair-finding cost depends on DISTINCT texts only. This is the
     standard corpus-pipeline ordering: exact dedup before near-dup."""
-    corpus = _corpus(spark, sf_dir)
+    # One materialization of the augmented corpus: the exact-dup grouping,
+    # the membership join, and the rep-corpus shingle pipeline each
+    # re-derived the 3-variant union (lower + split/slice string work)
+    # from parquet otherwise.
+    corpus = _corpus(spark, sf_dir).localCheckpoint()
     key = F.md5(F.col("text"))
     groups = (
         corpus.select("doc_id", key.alias("k"))
