@@ -1,0 +1,75 @@
+"""The exact-dup-contraction twin oracles == the registered full-graph
+oracles, on data WITH real duplicate classes.
+
+This is the equivalence that makes the duplicate-heavy ~sf1 sweep
+(tools/dup_heavy_sweep.py, SCALING.md round 9) trustworthy: the twin
+contracts identical-content rows, runs the registered CTE chain over
+representatives, and expands back by membership — so it must reproduce
+the full-graph oracle bit-for-bit, including the closed-form
+within-class terms (jaccard/containment exactly 1.0, all-bands MinHash
+collisions, self-dot cosine) and the 10-round min-label state.
+
+The K=3 verbatim staging gives every document/vector 3 identical copies,
+so every expansion term fires (19,260 expanded pairs vs 1,640 at base);
+plain sf0.001 covers the degenerate all-singleton-classes case.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oddsetl_spark.operators.dedup_twin_oracles import twin_oracle_sql
+from tests.harness import _rows_canon, duck_con
+
+
+def _registered_oracles():
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    return entry.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def dup_heavy_dir(spark):
+    from tools.stage_sf1 import stage
+
+    return stage(3, "standard", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def oracles():
+    return _registered_oracles()
+
+
+def _check(sf_dir: str, name: str, full_sql: str, twin_sql: str) -> None:
+    con = duck_con(sf_dir)
+    try:
+        r = con.execute(full_sql)
+        r_cols = [d[0] for d in r.description]
+        r_rows = r.fetchall()
+        t = con.execute(twin_sql)
+        t_cols = [d[0] for d in t.description]
+        t_rows = t.fetchall()
+    finally:
+        con.close()
+    assert sorted(r_cols) == sorted(t_cols)
+    assert len(r_rows) == len(t_rows), (name, len(r_rows), len(t_rows))
+    assert _rows_canon(r_rows, r_cols) == _rows_canon(t_rows, t_cols), name
+
+
+@pytest.mark.parametrize("name", sorted(twin_oracle_sql()))
+def test_twin_matches_full_on_dup_heavy(name, dup_heavy_dir, oracles):
+    twin = twin_oracle_sql()[name]
+    _check(dup_heavy_dir, name, oracles[name], twin)
+
+
+@pytest.mark.parametrize("name", sorted(twin_oracle_sql()))
+def test_twin_matches_full_on_singletons(name, oracles):
+    twin = twin_oracle_sql()[name]
+    _check("/root/testdata/sf0.001", name, oracles[name], twin)

@@ -28,8 +28,10 @@ Two modes:
         not K^2).
     No RNG anywhere — both engines see identical bytes.
 
-Usage: python tools/stage_sf1.py [K] [standard|low-dup]
-Default: K=10, low-dup. Output dir printed on the last line.
+Usage: python tools/stage_sf1.py [K] [standard|low-dup] [src_dir]
+Default: K=10, low-dup, src=/root/testdata/sf0.1. Output dir printed on
+the last line. A non-default src (e.g. sf0.001 for a small
+duplicate-heavy oracle-equivalence fixture) is tagged into the dir name.
 """
 
 from __future__ import annotations
@@ -95,19 +97,20 @@ def _mutate(t: str, c, i: int):
     return c
 
 
-def stage(k: int, mode: str) -> str:
-    out = f"/tmp/oddsetl_sf1_{mode.replace('-', '')}_k{k}"
+def stage(k: int, mode: str, src: str = SRC) -> str:
+    tag = "" if src == SRC else f"_{os.path.basename(src.rstrip('/'))}"
+    out = f"/tmp/oddsetl_sf1_{mode.replace('-', '')}_k{k}{tag}"
     if all(os.path.exists(f"{out}/{t}.parquet") for t in TABLES):
         return out
     spark = get_spark("stage-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
-        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        base = spark.read.parquet(f"{src}/{t}.parquet")
         if t in FACT_SHIFT and k > 1:
             copies = []
             for i in range(k):
-                c = src
+                c = base
                 for col, span in FACT_SHIFT[t].items():
                     c = c.withColumn(col, F.col(col) + F.lit(i * span))
                 if mode == "low-dup":
@@ -117,7 +120,7 @@ def stage(k: int, mode: str) -> str:
             for c in copies[1:]:
                 df = df.unionByName(c)
         else:
-            df = src
+            df = base
         tmp = f"{out}/_tmp_{t}"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
@@ -131,7 +134,8 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     mode = sys.argv[2] if len(sys.argv) > 2 else "low-dup"
     assert mode in ("standard", "low-dup"), mode
-    print(stage(k, mode))
+    src = sys.argv[3] if len(sys.argv) > 3 else SRC
+    print(stage(k, mode, src))
 
 
 if __name__ == "__main__":
