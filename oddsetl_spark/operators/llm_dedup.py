@@ -25,6 +25,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -161,6 +163,7 @@ def _jaccard_pairs_tau(
     sf_dir: str,
     corpus: DataFrame | None = None,
     tau: float = _JACCARD_TAU,
+    length_binned: bool = False,
 ) -> DataFrame:
     """EXACT jaccard >= tau pairs via PREFIX-FILTERED inverted index —
     identical output to `_jaccard_pairs(...).filter(jaccard >= tau)`
@@ -197,8 +200,22 @@ def _jaccard_pairs_tau(
     Scale shape: one shuffle to rank shingles by df, one prefix
     self-join (bounded postings), one candidate-side set-intersect
     verify — the standard exact-similarity-join layout for corpus-scale
-    dedup; at 100 TB add length binning, the prefix join already keys
-    by shingle."""
+    dedup.
+
+    `length_binned=True` adds the documented 100 TB refinement: the
+    prefix join keys on (shingle, size_bin) instead of shingle alone,
+    with geometric bins of ratio 1/tau. The probe side expands each
+    prefix entry to every bin intersecting its EXACT ratio-prune window
+    [ceil(tau*n - 1e-9), floor(n/tau + 1e-9)] (typically 2 bins at
+    tau=0.8), so size-incompatible postings never meet in the hash
+    join at all, instead of meeting and dying in the ratio post-filter.
+    Losslessness needs no float reasoning: the build side's bin and the
+    probe side's bin range run the IDENTICAL floor(ln(n)/ln(1/tau))
+    expression, and any partner size inside the window maps into the
+    probed bin range by monotonicity — the candidate set (and hence the
+    output) is identical, locked by
+    test_length_binned_pairs_match_unbinned. Measured volume/time at
+    ~sf1 in SCALING.md (tools/prefix_bin_probe.py)."""
     sh = _shingles(
         corpus if corpus is not None else _corpus(spark, sf_dir)
     ).localCheckpoint()
@@ -217,12 +234,29 @@ def _jaccard_pairs_tau(
         - F.ceil(F.col("n_sh") * F.lit(tau) - F.lit(1e-9))
         + 1
     ).select("doc_id", "shingle", "n_sh")
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+    if length_binned:
+        def _bin(c):  # identical expression on both sides => monotone map
+            return F.floor(
+                F.log(c.cast("double")) / F.lit(math.log(1.0 / tau))
+            )
+
+        lo = F.ceil(F.col("n_sh") * F.lit(tau) - F.lit(1e-9))
+        hi = F.floor(F.col("n_sh") / F.lit(tau) + F.lit(1e-9))
+        a = prefix.withColumn(
+            "pbin", F.explode(F.sequence(_bin(lo), _bin(hi)))
+        ).alias("a")
+        b = prefix.withColumn("pbin", _bin(F.col("n_sh"))).alias("b")
+        key = (F.col("a.shingle") == F.col("b.shingle")) & (
+            F.col("a.pbin") == F.col("b.pbin")
+        )
+    else:
+        a = prefix.alias("a")
+        b = prefix.alias("b")
+        key = F.col("a.shingle") == F.col("b.shingle")
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            key
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size-ratio prune: J <= min/max, so max*tau <= min (+slop)
             & (F.col("a.n_sh") >= F.col("b.n_sh") * F.lit(tau) - F.lit(1e-9))
@@ -310,7 +344,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-shingle) Jaccard near-dup pairs >= tau, via the
     shingle inverted index — the exact-but-scalable formulation (no O(n^2)
     pair scan; cost follows shingle collision lists)."""
-    pairs = _jaccard_pairs_tau(spark, sf_dir)
+    pairs = _jaccard_pairs_tau(spark, sf_dir, length_binned=True)
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
     )
@@ -714,7 +748,7 @@ def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the (expensive) pair list ONCE; both union branches
     # read the checkpoint instead of re-running the shingle self-join.
     edges_half = (
-        _jaccard_pairs_tau(spark, sf_dir, corpus=rep_corpus)
+        _jaccard_pairs_tau(spark, sf_dir, corpus=rep_corpus, length_binned=True)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
@@ -1782,7 +1816,7 @@ def dedup_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cand = _det_sig_cand(spark, sf_dir)
     cand = cand.persist()  # counted twice (scoreboard + tp semi-join)
     truth = (
-        _jaccard_pairs_tau(spark, sf_dir)
+        _jaccard_pairs_tau(spark, sf_dir, length_binned=True)
         .select("doc_a", "doc_b")
         .persist()
     )

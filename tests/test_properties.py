@@ -1285,3 +1285,27 @@ def test_prefix_filtered_pairs_match_full_index(spark):
     assert pref == full, (
         f"prefix filtering changed the result: {len(pref)} vs {len(full)}"
     )
+
+
+def test_length_binned_pairs_match_unbinned(spark):
+    """The length-binned prefix join (join keyed on (shingle, size_bin),
+    probe side expanded over the bins covering its exact ratio window)
+    must return the IDENTICAL pair set as the plain prefix join: the
+    build bin and the probe bin range run the same floor(ln(n)/ln(1/tau))
+    expression, so any partner inside the retained ratio post-filter maps
+    into the probed range by monotonicity — binning prunes join MATCHES
+    (1.83x fewer at sf0.1, tools/prefix_bin_probe.py), never candidates.
+    """
+    from oddsetl_spark.operators.llm_dedup import _jaccard_pairs_tau
+
+    plain = sorted(map(tuple, _jaccard_pairs_tau(spark, SF_DIR).collect()))
+    binned = sorted(
+        map(
+            tuple,
+            _jaccard_pairs_tau(spark, SF_DIR, length_binned=True).collect(),
+        )
+    )
+    assert len(plain) > 0
+    assert binned == plain, (
+        f"length binning changed the result: {len(binned)} vs {len(plain)}"
+    )
