@@ -214,8 +214,19 @@ def _jaccard_pairs_tau(
     expression, and any partner size inside the window maps into the
     probed bin range by monotonicity — the candidate set (and hence the
     output) is identical, locked by
-    test_length_binned_pairs_match_unbinned. Measured volume/time at
-    ~sf1 in SCALING.md (tools/prefix_bin_probe.py)."""
+    test_length_binned_pairs_match_unbinned.
+
+    Measured (tools/prefix_bin_probe.py): the intermediate match volume
+    drops exactly 1.83x at BOTH sf0.1 and ~sf1 (11.53M -> 6.32M at
+    ~sf1), but wall time is neutral-to-slightly-worse locally (10.5 ->
+    11.7 s at ~sf1): this corpus's per-shingle posting lists are short,
+    so the probe-side 2x row expansion offsets the saved matches.
+    Binning pays when posting lists are LONG — df grows with corpus
+    size while the per-doc bin fan-out stays ~2, so the saved matches
+    grow ~linearly with corpus size at fixed join cost overhead. Hence
+    OFF by default at bench scale, and the documented switch for the
+    100 TB regime — with its losslessness already locked, flipping it
+    is a config change, not a correctness event."""
     sh = _shingles(
         corpus if corpus is not None else _corpus(spark, sf_dir)
     ).localCheckpoint()
@@ -344,7 +355,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-shingle) Jaccard near-dup pairs >= tau, via the
     shingle inverted index — the exact-but-scalable formulation (no O(n^2)
     pair scan; cost follows shingle collision lists)."""
-    pairs = _jaccard_pairs_tau(spark, sf_dir, length_binned=True)
+    pairs = _jaccard_pairs_tau(spark, sf_dir)
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
     )
@@ -748,7 +759,7 @@ def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the (expensive) pair list ONCE; both union branches
     # read the checkpoint instead of re-running the shingle self-join.
     edges_half = (
-        _jaccard_pairs_tau(spark, sf_dir, corpus=rep_corpus, length_binned=True)
+        _jaccard_pairs_tau(spark, sf_dir, corpus=rep_corpus)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
@@ -1816,7 +1827,7 @@ def dedup_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cand = _det_sig_cand(spark, sf_dir)
     cand = cand.persist()  # counted twice (scoreboard + tp semi-join)
     truth = (
-        _jaccard_pairs_tau(spark, sf_dir, length_binned=True)
+        _jaccard_pairs_tau(spark, sf_dir)
         .select("doc_a", "doc_b")
         .persist()
     )
