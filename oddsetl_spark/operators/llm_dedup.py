@@ -362,6 +362,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_length_binned",
+    category="llm_dedup",
+    oracle=f"""
+WITH {_SQL_CORPUS}
+SELECT doc_a, doc_b, round(jaccard, 9) AS jaccard
+FROM jac WHERE jaccard >= {_JACCARD_TAU}
+""",
+)
+def dedup_jaccard_length_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The length-binned prefix similarity join as a first-class query:
+    the self-join keys on (shingle, size_bin) so size-incompatible
+    postings never meet (see _jaccard_pairs_tau's length_binned note and
+    tools/prefix_bin_probe.py — 1.83x intermediate-volume cut, identical
+    output). Verified against the SAME full-graph oracle as
+    dedup_ngram_jaccard, making the 100 TB switch a driver-checked
+    config change rather than an untested branch."""
+    pairs = _jaccard_pairs_tau(spark, sf_dir, length_binned=True)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     category="llm_dedup",
     oracle=f"""
