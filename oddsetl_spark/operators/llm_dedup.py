@@ -230,12 +230,43 @@ def _jaccard_pairs_tau(
     sh = _shingles(
         corpus if corpus is not None else _corpus(spark, sf_dir)
     ).localCheckpoint()
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(dfreq, "shingle")
-    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    # INT-HASHED index (r9 ~sf10 fix): every shuffle downstream of the
+    # vocabulary build — the df join, the doc_id window, the prefix
+    # self-join, and the collect_set/verify arrays — carries xxhash64
+    # longs instead of ~25-byte shingle strings (3x the bytes plus
+    # object overhead; at K=100 the string-array verify shuffle alone
+    # was ~90 GB and GC-killed the stage). EXACTNESS is guarded, not
+    # assumed: the vocabulary (one row per distinct shingle string, the
+    # only string-keyed shuffle left) is checked for hash collisions
+    # and the query FAILS LOUD on any — so downstream, hash identity
+    # provably IS string identity: df per hash, common-hash counts, and
+    # set sizes are bit-identical to the string formulation. (Same
+    # discipline as dedup_substring_spans' pre-shuffle span hashing,
+    # which relies on width; here the guard makes it unconditional.)
+    vmap = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(F.xxhash64("shingle").alias("h"), "df")
+        .localCheckpoint()
+    )
+    n_coll = (
+        vmap.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    if n_coll:
+        raise RuntimeError(
+            f"xxhash64 shingle collision ({n_coll} hash buckets with >1 "
+            "distinct shingle) — the int-hashed inverted index would "
+            "merge distinct shingles; fall back to the string index"
+        )
+    shh = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    ranked = shh.join(vmap, "h")
+    w = W.partitionBy("doc_id").orderBy("df", "h")
     pos = ranked.select(
         "doc_id",
-        "shingle",
+        "h",
         F.row_number().over(w).alias("pos"),
         F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n_sh"),
     )
@@ -244,7 +275,7 @@ def _jaccard_pairs_tau(
         <= F.col("n_sh")
         - F.ceil(F.col("n_sh") * F.lit(tau) - F.lit(1e-9))
         + 1
-    ).select("doc_id", "shingle", "n_sh")
+    ).select("doc_id", "h", "n_sh", "pos")
     if length_binned:
         def _bin(c):  # identical expression on both sides => monotone map
             return F.floor(
@@ -257,13 +288,27 @@ def _jaccard_pairs_tau(
             "pbin", F.explode(F.sequence(_bin(lo), _bin(hi)))
         ).alias("a")
         b = prefix.withColumn("pbin", _bin(F.col("n_sh"))).alias("b")
-        key = (F.col("a.shingle") == F.col("b.shingle")) & (
+        key = (F.col("a.h") == F.col("b.h")) & (
             F.col("a.pbin") == F.col("b.pbin")
         )
     else:
         a = prefix.alias("a")
         b = prefix.alias("b")
-        key = F.col("a.shingle") == F.col("b.shingle")
+        key = F.col("a.h") == F.col("b.h")
+    # Positional filter (PPJoin): J >= tau implies common >= alpha =
+    # ceil(tau/(1+tau) * (nA+nB)); at a prefix match seen at ranks
+    # (pA, pB), the overlap can be at most 1 + min(nA-pA, nB-pB). The
+    # FIRST common shingle of a qualifying pair always passes (its
+    # remaining-overlap bound >= the pair's true overlap >= alpha), so
+    # keeping only passing matches loses no pair — it just stops the
+    # verify stage from shipping shingle sets for pairs the positions
+    # already refute (measured at K=100/~sf10: candidates 36.7M -> the
+    # verify join was the GC-killing 90 GB stage; see SCALING.md r9).
+    # Slop rounds alpha DOWN on off-by-ulp products — conservative.
+    alpha = F.ceil(
+        (F.col("a.n_sh") + F.col("b.n_sh")) * F.lit(tau / (1.0 + tau))
+        - F.lit(1e-9)
+    )
     cand = (
         a.join(
             b,
@@ -271,15 +316,23 @@ def _jaccard_pairs_tau(
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size-ratio prune: J <= min/max, so max*tau <= min (+slop)
             & (F.col("a.n_sh") >= F.col("b.n_sh") * F.lit(tau) - F.lit(1e-9))
-            & (F.col("b.n_sh") >= F.col("a.n_sh") * F.lit(tau) - F.lit(1e-9)),
+            & (F.col("b.n_sh") >= F.col("a.n_sh") * F.lit(tau) - F.lit(1e-9))
+            & (
+                1
+                + F.least(
+                    F.col("a.n_sh") - F.col("a.pos"),
+                    F.col("b.n_sh") - F.col("b.pos"),
+                )
+                >= alpha
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh_set"),
+    sets = shh.groupBy("doc_id").agg(
+        F.collect_set("h").alias("sh_set"),
         F.count(F.lit(1)).alias("n_sh"),
     )
     sa = sets.select(

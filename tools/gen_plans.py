@@ -53,9 +53,14 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             # hyperplane LSH
             "sim_ann_ivf", "sim_lsh_approx",
             # round 8: the whitened-orthonormal rotation contract query
-            "sim_lsh_whitened"]
+            "sim_lsh_whitened",
+            # round 9: the (shingle, size_bin)-keyed prefix join
+            "dedup_jaccard_length_binned"]
 
 NOTES = {
+    "dedup_jaccard_length_binned": "prefix join keyed on (shingle, "
+        "size_bin): probe side explodes over the ~2 bins covering its "
+        "exact ratio window; size-incompatible postings never meet.",
     "sim_lsh_whitened": "data-dependent planes from the tree-merged "
         "Gramian fold (no corpus shuffle); bucket exprs are JVM literal "
         "folds; contract columns computed on a 500-vector a-side sample.",
