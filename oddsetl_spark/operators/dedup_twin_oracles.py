@@ -145,6 +145,10 @@ WITH {_CONTRACTED_CORPUS},
     # identical signatures).
     twins["dedup_minhash_lsh"] = twins["dedup_ngram_jaccard"]
 
+    # The length-binned prefix join returns the identical pair set
+    # (test_length_binned_pairs_match_unbinned), so it shares the twin.
+    twins["dedup_jaccard_length_binned"] = twins["dedup_ngram_jaccard"]
+
     # Containment: the contained side is decided by shingle-set sizes
     # (content-level); on equal sizes the registered rule attributes
     # doc_a — the smaller id — so the expansion maps it to LEAST.
