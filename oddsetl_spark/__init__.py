@@ -15,7 +15,7 @@ from .session import get_spark, pin_session  # noqa: F401
 # SURVEY.md §2 categories.
 from .functions import scalar_functions, udfs  # noqa: F401,E402
 from .sources import acid_table, file_sources, python_datasource  # noqa: F401,E402
-from .streaming import stream_queries  # noqa: F401,E402
+from .streaming import stream_neardup, stream_queries  # noqa: F401,E402
 from .operators import (  # noqa: F401,E402
     aggregates,
     etl,
