@@ -251,21 +251,19 @@ def _verified_pairs(
     )
 
 
-@register(
-    "stream_neardup_minhash",
-    category="streaming",
-    heavy=True,
-    oracle=_neardup_oracle(),
-)
-def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming near-dup dedup (see module docstring for semantics and
-    the 100 TB shape). Verdict per document: kept / dropped_batch /
-    dropped_state, with dup_of = the smallest blocking document."""
-    pin_session(spark)
-    staged = _stage_neardup(spark, sf_dir)
-    state_dir = scratch_dir("neardup_state")
-    out_dir = scratch_dir("neardup_out")
-    marker_dir = scratch_dir("neardup_markers")
+def neardup_batch_fn(
+    state_dir: str,
+    out_dir: str,
+    marker_dir: str,
+    crash_batch: int = -1,
+    crash_point: str = "late",
+):
+    """The per-micro-batch dedup closure; `crash_batch`/`crash_point`
+    inject a failure for the restart test — "early" lands between the
+    state write and the verdict/marker writes (replay must rewrite both,
+    which the write-once batch-named dirs make idempotent), "late" lands
+    after the marker (the at-least-once re-delivery window; the marker
+    must no-op the replay)."""
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -287,10 +285,13 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("doc_a").alias("dup_of"))
             .localCheckpoint()
         )
+        # exclude this batch's own dir: a crash between the state write
+        # and the marker leaves it behind, and the replay must dedup
+        # against exactly the pre-batch state
         state_parts = [
             os.path.join(state_dir, d)
             for d in sorted(os.listdir(state_dir))
-            if d.startswith("batch-")
+            if d.startswith("batch-") and d != f"batch-{n:04d}"
         ]
         if state_parts:
             state = sp.read.parquet(*state_parts)
@@ -310,6 +311,10 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch-{n:04d}")
         )
+        if n == crash_batch and crash_point == "early":
+            raise RuntimeError(
+                "injected crash: state written, verdicts and marker not"
+            )
         db = dropb.select("doc_id", F.col("dup_of").alias("dup_b"))
         ds = drops.select("doc_id", F.col("dup_of").alias("dup_s"))
         verdicts = (
@@ -330,8 +335,16 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out_dir, f"batch-{n:04d}")
         )
         open(marker, "w").close()
+        if n == crash_batch and crash_point == "late":
+            raise RuntimeError(
+                "injected crash: marker landed, checkpoint offset not"
+            )
 
-    schema = T.StructType(
+    return dedup_batch
+
+
+def neardup_schema() -> T.StructType:
+    return T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("batch", T.IntegerType()),
@@ -340,17 +353,36 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         + [T.StructField(f"s{i}", T.LongType()) for i in range(len(_DET_AB))]
     )
-    q = (
-        spark.readStream.schema(schema)
+
+
+def neardup_start(
+    spark: SparkSession,
+    staged: str,
+    state_dir: str,
+    out_dir: str,
+    marker_dir: str,
+    ckpt: str,
+    crash_batch: int = -1,
+    crash_point: str = "late",
+):
+    """Start the dedup stream; returns the StreamingQuery."""
+    return (
+        spark.readStream.schema(neardup_schema())
         .option("maxFilesPerTrigger", "1")
         .parquet(os.path.join(staged, "part-*"))
-        .writeStream.foreachBatch(dedup_batch)
+        .writeStream.foreachBatch(
+            neardup_batch_fn(
+                state_dir, out_dir, marker_dir, crash_batch, crash_point
+            )
+        )
         .outputMode("append")
-        .option("checkpointLocation", scratch_dir("neardup_ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+
+
+def neardup_read_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
     parts = [
         os.path.join(out_dir, d)
         for d in sorted(os.listdir(out_dir))
@@ -359,3 +391,26 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(*parts).select(
         "doc_id", "batch_id", "verdict", "dup_of"
     )
+
+
+@register(
+    "stream_neardup_minhash",
+    category="streaming",
+    heavy=True,
+    oracle=_neardup_oracle(),
+)
+def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup dedup (see module docstring for semantics and
+    the 100 TB shape). Verdict per document: kept / dropped_batch /
+    dropped_state, with dup_of = the smallest blocking document."""
+    pin_session(spark)
+    staged = _stage_neardup(spark, sf_dir)
+    state_dir = scratch_dir("neardup_state")
+    out_dir = scratch_dir("neardup_out")
+    marker_dir = scratch_dir("neardup_markers")
+    q = neardup_start(
+        spark, staged, state_dir, out_dir, marker_dir,
+        scratch_dir("neardup_ckpt"),
+    )
+    q.awaitTermination()
+    return neardup_read_verdicts(spark, out_dir)

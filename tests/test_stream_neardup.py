@@ -41,6 +41,77 @@ def test_neardup_verdict_invariants(spark):
             assert blocker["batch_id"] == r["batch_id"]
 
 
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["neardup", "neardup-early"])
+def test_neardup_restart_across_processes(spark, mode):
+    """Kill/resume across two driver processes: phase 1 crashes inside
+    batch 2 — either AFTER the commit marker ("neardup": the
+    at-least-once window, re-delivery must no-op) or BETWEEN the state
+    write and the verdict/marker writes ("neardup-early": re-delivery
+    must rewrite both dirs idempotently). Phase 2 resumes the same
+    checkpoint in a fresh process; the final verdicts must equal a
+    clean single-process run's, with exactly one marker/state/out dir
+    per batch."""
+    import os
+    import subprocess
+    import sys
+
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.streaming.stream_neardup import (
+        _stage_neardup,
+        neardup_read_verdicts,
+    )
+
+    staged = _stage_neardup(spark, SF_DIR)
+    root = scratch_dir(f"neardup_xproc_{mode.replace('-', '')}")
+    ckpt = os.path.join(root, "ckpt")
+    worker = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "stream_restart_worker.py",
+    )
+    r1 = subprocess.run(
+        [sys.executable, worker, "1", staged, root, ckpt, "2", mode],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r1.returncode == 17, (
+        f"phase 1 must die on the injected crash: rc={r1.returncode}\n"
+        f"{r1.stderr[-2000:]}"
+    )
+    marker_dir = os.path.join(root, "markers")
+    markers = sorted(os.listdir(marker_dir))
+    if mode == "neardup":
+        assert "applied_2" in markers, markers  # marker landed pre-crash
+    else:
+        assert "applied_2" not in markers, markers  # crash beat the marker
+    r2 = subprocess.run(
+        [sys.executable, worker, "2", staged, root, ckpt, "-1", mode],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r2.returncode == 0, f"phase 2 failed: {r2.stderr[-2000:]}"
+    assert sorted(os.listdir(marker_dir)) == [
+        f"applied_{i}" for i in range(1, 5)
+    ]
+    got = sorted(
+        map(tuple, neardup_read_verdicts(spark, os.path.join(root, "out")).collect())
+    )
+    clean = sorted(
+        map(
+            tuple,
+            registry.get("stream_neardup_minhash").fn(spark, SF_DIR).collect(),
+        )
+    )
+    assert got == clean, (
+        f"kill/resume changed the verdicts: {len(got)} vs {len(clean)} rows"
+    )
+
+
 def test_neardup_batches_cover_corpus(spark):
     from oddsetl_spark.operators.llm_dedup import _corpus
 

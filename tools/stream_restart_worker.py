@@ -41,6 +41,34 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
+    if mode in ("neardup", "neardup-early"):
+        # Streaming near-dup dedup recovery: state/verdict dirs are
+        # write-once per batch with a commit marker. "neardup" crashes
+        # AFTER the marker (re-delivery must no-op); "neardup-early"
+        # crashes between the state write and the verdict/marker writes
+        # (re-delivery must rewrite both, idempotently).
+        from oddsetl_spark.streaming.stream_neardup import neardup_start
+
+        state_dir, out_dir, marker_dir = (
+            os.path.join(root, d) for d in ("state", "out", "markers")
+        )
+        for d in (state_dir, out_dir, marker_dir):
+            os.makedirs(d, exist_ok=True)
+        q = neardup_start(
+            spark, staged, state_dir, out_dir, marker_dir, ckpt,
+            crash_batch=crash_after if phase == "1" else -1,
+            crash_point="early" if mode == "neardup-early" else "late",
+        )
+        try:
+            q.awaitTermination()
+            code = 0
+        except Exception as exc:  # noqa: BLE001
+            code = 17 if "injected crash" in str(exc) else 1
+            if code == 1:
+                print(f"worker failure: {exc}", file=sys.stderr)
+        spark.stop()
+        sys.exit(code)
+
     schema = spark.read.parquet(os.path.join(staged, "part-0000")).schema
 
     if mode in ("stateful", "stateful-rocks"):
