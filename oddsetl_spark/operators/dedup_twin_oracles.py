@@ -70,7 +70,12 @@ _CONTRACTED_CORPUS = _SQL_CORPUS.replace("corpus AS (", "corpus0 AS (", 1).repla
   FROM corpus0 GROUP BY text
 ),
 mem AS MATERIALIZED (
-  SELECT c.rep, d.doc_id FROM corpus0 d JOIN cls c ON d.text = c.text
+  -- IS NOT DISTINCT FROM: the twin variants of sub-shingle-width docs
+  -- come out of list_slice as NULL text, GROUP BY puts them in one
+  -- class, and a plain equality join would silently DROP them from the
+  -- membership (caught by the randomized twin-equivalence property)
+  SELECT c.rep, d.doc_id FROM corpus0 d
+  JOIN cls c ON d.text IS NOT DISTINCT FROM c.text
 ),
 corpus AS (SELECT rep AS doc_id, text FROM cls),
 shingled AS MATERIALIZED (""",
@@ -281,7 +286,8 @@ ecls AS MATERIALIZED (
   FROM e GROUP BY emb
 ),
 emem AS MATERIALIZED (
-  SELECT c.rep, v.vec_id, v.label FROM e v JOIN ecls c ON v.emb = c.emb
+  SELECT c.rep, v.vec_id, v.label FROM e v
+  JOIN ecls c ON v.emb IS NOT DISTINCT FROM c.emb
 ),
 rp AS MATERIALIZED (
   SELECT a.rep AS rep_a, b.rep AS rep_b,
@@ -339,7 +345,8 @@ ncls AS MATERIALIZED (
   SELECT text, MIN(new_id) AS nrep FROM newb0 GROUP BY text
 ),
 nmem AS MATERIALIZED (
-  SELECT c.nrep, n.new_id FROM newb0 n JOIN ncls c ON n.text = c.text
+  SELECT c.nrep, n.new_id FROM newb0 n
+  JOIN ncls c ON n.text IS NOT DISTINCT FROM c.text
 ),
 exact AS MATERIALIZED (
   SELECT n.nrep, CAST(MIN(o.rep) AS BIGINT) AS dup_of

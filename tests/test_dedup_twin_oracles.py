@@ -73,3 +73,80 @@ def test_twin_matches_full_on_dup_heavy(name, dup_heavy_dir, oracles):
 def test_twin_matches_full_on_singletons(name, oracles):
     twin = twin_oracle_sql()[name]
     _check("/root/testdata/sf0.001", name, oracles[name], twin)
+
+
+# --- randomized equivalence: twin == full on GENERATED corpora --------------
+#
+# The staged K=3 fixture exercises every expansion term, but only one
+# duplicate geometry (uniform 3-member classes). These properties feed the
+# twins corpora with RANDOM duplicate structure — classes of mixed sizes,
+# docs below the shingle width, near-dup chains — and require bit-equality
+# with the full-graph oracle. Pure DuckDB (the equivalence is a property of
+# the SQL, not of Spark), so examples are cheap.
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["flood", "levee", "storm", "surge", "river", "dam", "rain",
+          "wind", "alert", "zone", "crest", "basin"]
+
+_doc = st.lists(
+    st.sampled_from(_WORDS), min_size=1, max_size=12
+).map(" ".join)
+
+_corpora = st.lists(
+    st.tuples(_doc, st.integers(min_value=1, max_value=4)),
+    min_size=1,
+    max_size=25,
+)
+
+_RANDOM_KEYS = [
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "dedup_components",
+    "dedup_cluster_size_histogram",
+    "dedup_candidate_eval",
+    "curate_dedup_keep_best",
+    "curate_leakage_safe_split",
+    "dedup_incremental_batch",
+]
+
+
+@given(corpus=_corpora)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_twin_matches_full_on_random_corpora(corpus, oracles):
+    """For any documents table — including multi-size exact-dup classes
+    and sub-shingle-width docs — every contraction twin must reproduce
+    its full-graph oracle bit-for-bit."""
+    rows = []
+    doc_id = 0
+    for text, copies in corpus:
+        for _ in range(copies):
+            rows.append((doc_id, text))
+            doc_id += 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    twins = twin_oracle_sql()
+    try:
+        for name in _RANDOM_KEYS:
+            r = con.execute(oracles[name])
+            r_cols = [d[0] for d in r.description]
+            r_rows = r.fetchall()
+            t = con.execute(twins[name])
+            t_cols = [d[0] for d in t.description]
+            t_rows = t.fetchall()
+            assert sorted(r_cols) == sorted(t_cols), name
+            assert _rows_canon(r_rows, r_cols) == _rows_canon(t_rows, t_cols), (
+                name,
+                len(r_rows),
+                len(t_rows),
+                rows,
+            )
+    finally:
+        con.close()
