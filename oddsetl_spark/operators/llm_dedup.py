@@ -164,6 +164,8 @@ def _jaccard_pairs_tau(
     corpus: DataFrame | None = None,
     tau: float = _JACCARD_TAU,
     length_binned: bool = False,
+    use_string_index: bool = False,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """EXACT jaccard >= tau pairs via PREFIX-FILTERED inverted index —
     identical output to `_jaccard_pairs(...).filter(jaccard >= tau)`
@@ -243,25 +245,54 @@ def _jaccard_pairs_tau(
     # set sizes are bit-identical to the string formulation. (Same
     # discipline as dedup_substring_spans' pre-shuffle span hashing,
     # which relies on width; here the guard makes it unconditional.)
-    vmap = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select(F.xxhash64("shingle").alias("h"), "df")
-        .localCheckpoint()
-    )
-    n_coll = (
-        vmap.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .count()
-    )
-    if n_coll:
-        raise RuntimeError(
-            f"xxhash64 shingle collision ({n_coll} hash buckets with >1 "
-            "distinct shingle) — the int-hashed inverted index would "
-            "merge distinct shingles; fall back to the string index"
+    #
+    # r10 (ADVICE): the guard is IN-PIPELINE, not a separate blocking
+    # count() job — the hash-keyed vocabulary carries a per-hash
+    # distinct-shingle count, and raise_error fires inside the same
+    # localCheckpoint job that builds it, so repeated callers
+    # (doc_components / keep_best / leakage_split) pay zero extra
+    # passes over the shingle table. And the advertised fallback EXISTS:
+    # `use_string_index=True` keeps the join keys as shingle strings
+    # (collision-free by identity; the pre-r9 formulation, same output —
+    # locked by test_string_index_matches_hashed) for corpora past the
+    # xxhash64 birthday bound (~1e12 distinct shingles at 100 TB, where
+    # dozens of collisions are statistically expected).
+    if use_string_index:
+        vmap = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select(F.col("shingle").alias("h"), "df")
+            .localCheckpoint()
         )
-    shh = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+        shh = sh.select("doc_id", F.col("shingle").alias("h"))
+    else:
+        vmap = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .groupBy(F.xxhash64("shingle").alias("h"))
+            .agg(
+                F.sum("df").alias("df_sum"),
+                F.count(F.lit(1)).alias("n_distinct"),
+            )
+            .select(
+                "h",
+                F.when(
+                    F.col("n_distinct") > 1,
+                    F.raise_error(
+                        F.lit(
+                            "xxhash64 shingle collision (>1 distinct "
+                            "shingle in one hash bucket) — the int-hashed "
+                            "inverted index would merge distinct shingles; "
+                            "re-run with use_string_index=True"
+                        )
+                    ).cast("long"),
+                )
+                .otherwise(F.col("df_sum"))
+                .alias("df"),
+            )
+            .localCheckpoint()
+        )
+        shh = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
     ranked = shh.join(vmap, "h")
     w = W.partitionBy("doc_id").orderBy("df", "h")
     pos = ranked.select(
@@ -305,6 +336,22 @@ def _jaccard_pairs_tau(
     # already refute (measured at K=100/~sf10: candidates 36.7M -> the
     # verify join was the GC-killing 90 GB stage; see SCALING.md r9).
     # Slop rounds alpha DOWN on off-by-ulp products — conservative.
+    #
+    # Measured NEGATIVE result (r10, tools/ppjoin_bound_probe.py): the
+    # PPJoin accumulated-overlap bound — aggregate ALL prefix matches
+    # per pair and filter on m + min(nA-pa*, nB-pb*) >= alpha, which is
+    # sound and subsumes this per-match form — cut candidates only 1.5%
+    # on this corpus (1.18M -> 1.16M at ~sf1, cand/pair 7.2 both ways)
+    # while tripling the pre-agg join volume (~sf10 wall 100 -> 127 s).
+    # The surviving non-pairs here share tightly-packed prefixes that
+    # position accumulation cannot refute, so the per-match filter +
+    # distinct stays the production shape. And further candidate
+    # pruning is chasing the wrong stage: the ~sf10 decomposition
+    # (SCALING.md r10) puts the set-intersect verify at 26 of 104 s —
+    # the post-r9 wall is the LINEAR index-build (shingle/df/rank)
+    # pipeline, which scales with partitions, not with cleverness.
+    # cand/pair is 7.3 at BOTH ~sf1 and ~sf10 — scale-stable, so the
+    # verify share does not grow with the decade.
     alpha = F.ceil(
         (F.col("a.n_sh") + F.col("b.n_sh")) * F.lit(tau / (1.0 + tau))
         - F.lit(1e-9)
@@ -331,6 +378,10 @@ def _jaccard_pairs_tau(
         )
         .distinct()
     )
+    if candidates_only:
+        # instrumentation path (tools/ppjoin_bound_probe.py): the pair
+        # set entering the set-intersect verify stage, pre-verification
+        return cand
     sets = shh.groupBy("doc_id").agg(
         F.collect_set("h").alias("sh_set"),
         F.count(F.lit(1)).alias("n_sh"),
