@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .session import pin_session
+from .session import pin_session, size_shuffle_partitions
 
 TABLES = (
     "region",
@@ -74,6 +74,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     wherever events.ts is compared or output.
     """
     pin_session(spark)
+    # Input-sized shuffle width (SCALING.md r9 measured rule): partitions
+    # grow with the bytes under sf_dir; a no-op below ~2 GiB on 32 cores.
+    size_shuffle_partitions(spark, sf_dir)
     app = spark.sparkContext.applicationId
     key = (app, sf_dir, name)
     cached = _TABLE_CACHE.get(key)

@@ -106,6 +106,57 @@ def pin_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Input-byte totals per fixture dir, computed once (os.walk over local
+# parquet files; fixture dirs are immutable within a process).
+_DIR_BYTES: dict[str, int] = {}
+
+# Target shuffle-task input: the r9 ~sf10 sweep (SCALING.md
+# "shuffle-partition sizing at ~sf10") measured the spill inflection at
+# ~1.9M lineitem rows/task (p=32 at 60M rows: join_broadcast_star paid
+# 5.1x) and flat-to-noise beyond ~0.9M rows/task (p=64 vs p=128).
+# Calibration is in SOURCE-PARQUET bytes, which run ~12x smaller than
+# the in-memory rows a shuffle task holds (snappy + dictionary columnar
+# vs row objects): the staged ~sf10 dir is 1.58 GB of parquet for 60M
+# lineitem rows, so 16 MiB/task -> p=95, inside the measured p=64-128
+# flat band, while sf0.1 (17.5 MB) and ~sf1 (156 MB) stay on the cores
+# floor where they measured fastest. On a real cluster the same rule
+# scales partitions with data; AQE coalesces back when individual
+# stages are small.
+_TARGET_TASK_INPUT_BYTES = 16 * 1024 * 1024
+_MAX_SHUFFLE_PARTITIONS = 4096
+
+
+def size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
+    """Set spark.sql.shuffle.partitions from the input size (r9 board
+    item: 'partitions scale with data' was a documented rule; this wires
+    it). Called by io.table() so every registered query gets it for the
+    dir it actually reads. ODDSETL_SHUFFLE_PARTITIONS still wins (the
+    partition-invariance tests prove results don't depend on this)."""
+    if os.environ.get("ODDSETL_SHUFFLE_PARTITIONS"):
+        return  # explicit override already pinned by pin_session
+    total = _DIR_BYTES.get(sf_dir)
+    if total is None:
+        total = 0
+        try:
+            if os.path.isdir(sf_dir):
+                for root, _, files in os.walk(sf_dir):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            total += os.path.getsize(os.path.join(root, f))
+        except OSError:
+            total = 0  # non-local / unreadable dir: keep the cores floor
+        _DIR_BYTES[sf_dir] = total
+    try:
+        floor = max(spark.sparkContext.defaultParallelism, 8)
+        p = min(
+            _MAX_SHUFFLE_PARTITIONS,
+            max(floor, -(-total // _TARGET_TASK_INPUT_BYTES)),
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    except Exception:
+        pass
+
+
 def get_spark(app_name: str = "oddsetl-spark") -> SparkSession:
     """Build (or reuse) a local session sized from $SPARK_GRAFT_CPUS."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

@@ -1309,3 +1309,76 @@ def test_length_binned_pairs_match_unbinned(spark):
     assert binned == plain, (
         f"length binning changed the result: {len(binned)} vs {len(plain)}"
     )
+
+
+def test_string_index_matches_hashed(spark):
+    """use_string_index=True (the collision-proof fallback the xxhash64
+    guard directs users to, for corpora past the 64-bit birthday bound)
+    must return the IDENTICAL pair set as the int-hashed index. The two
+    differ only in the join-key representation and the prefix tie-break
+    order (df asc, then hash vs string) — and the prefix principle holds
+    for ANY deterministic global shingle order, so the verified output
+    is invariant."""
+    from oddsetl_spark.operators.llm_dedup import _jaccard_pairs_tau
+
+    hashed = sorted(map(tuple, _jaccard_pairs_tau(spark, SF_DIR).collect()))
+    strs = sorted(
+        map(
+            tuple,
+            _jaccard_pairs_tau(
+                spark, SF_DIR, use_string_index=True
+            ).collect(),
+        )
+    )
+    assert len(hashed) > 0
+    assert strs == hashed, (
+        f"string-index fallback changed the result: "
+        f"{len(strs)} vs {len(hashed)}"
+    )
+
+
+def test_input_sized_shuffle_partitions(spark, tmp_path):
+    """The r9-measured 'partitions scale with data' rule is WIRED, not
+    just documented (r9 verdict item 2): io.table() sizes
+    spark.sql.shuffle.partitions from the bytes under sf_dir — the
+    cores floor below ~512 MiB of source parquet (where p=32 measured
+    fastest), growing at 16 MiB/task above it (the staged ~sf10 dir's
+    1.58 GB -> p~95, inside the measured p=64-128 flat band), and the
+    ODDSETL_SHUFFLE_PARTITIONS override still wins (the invariance
+    tests depend on it)."""
+    import os
+
+    from oddsetl_spark.session import (
+        _DIR_BYTES,
+        size_shuffle_partitions,
+    )
+
+    floor = max(spark.sparkContext.defaultParallelism, 8)
+
+    # Small dir: cores floor (the real fixtures are all < 20 MB).
+    size_shuffle_partitions(spark, SF_DIR)
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == floor
+
+    # Big dir: a sparse 1.58 GB "parquet" file stands in for the staged
+    # ~sf10 layout — expect ceil(bytes / 16 MiB), not the floor.
+    big = tmp_path / "bigsf"
+    big.mkdir()
+    with open(big / "lineitem.parquet", "wb") as f:
+        f.truncate(1_580_000_000)
+    size_shuffle_partitions(spark, str(big))
+    expect = -(-1_580_000_000 // (16 * 1024 * 1024))
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == max(
+        floor, expect
+    )
+    assert 64 <= max(floor, expect) <= 128, "outside the measured band"
+
+    # Override wins: the function must not touch the conf at all.
+    os.environ["ODDSETL_SHUFFLE_PARTITIONS"] = "5"
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        _DIR_BYTES.pop(str(big), None)
+        size_shuffle_partitions(spark, str(big))
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+    finally:
+        del os.environ["ODDSETL_SHUFFLE_PARTITIONS"]
+        spark.conf.set("spark.sql.shuffle.partitions", str(floor))
