@@ -74,16 +74,55 @@ SF1_EXTRA = [
 ]
 
 
+# ~sf10 series (r9 verdict item 3): the scale where the real walls
+# appeared (the 90 GB verify-shuffle wall was invisible below sf10).
+# Only queries with measured sf10 history (SCALING.md round 9); timing
+# is warm-up + ONE timed run for the heavy rows — at 50-250 s/run the
+# JIT half-cold residue the sf1 median-of-3 exists for is <5% noise,
+# and median-of-3 would triple a ~12-minute block.
+SF10_MEDIAN3 = ["agg_groupby_multi", "join_broadcast_star"]
+SF10_WARM1 = ["dedup_minhash_det", "sim_lsh_whitened", "dedup_components"]
+# stream_neardup re-stages and replays the whole 4-batch stream every
+# call (state dirs are per-call scratch), so "warm" never applies: one
+# cold run, like a user's one-shot backfill.
+SF10_COLD1 = ["stream_neardup_minhash"]
+
+
+def _run_child(child_flag: str, timeout: int) -> dict:
+    """Run this file as a child process with `child_flag`=1 and parse its
+    last stdout line as JSON. Fail-loud on nonzero exit or unparseable
+    output, carrying the child's stderr tail (ADVICE r9: a child that
+    died after partial output used to surface as an opaque
+    JSONDecodeError with zero diagnostics)."""
+    import subprocess
+
+    env = dict(os.environ, **{child_flag: "1"})
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=timeout,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"child exited rc={proc.returncode}; "
+            f"stderr tail: {proc.stderr[-400:]}"
+        )
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # noqa: BLE001 — re-raise with diagnostics
+        raise RuntimeError(
+            f"child stdout unparseable ({type(exc).__name__}: {exc}); "
+            f"stdout tail: {proc.stdout[-200:]}; "
+            f"stderr tail: {proc.stderr[-300:]}"
+        ) from exc
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("oddsetl-bench")
-    # Parity with BASELINE.md's measurement config (local[8],
-    # shuffle.partitions=16): at sf0.1 the 32-partition session default
-    # makes every shuffle stage scheduling-bound (BASELINE.md
-    # "Interpretation" bullet 3); 16 measurably shaves the window-heavy
-    # rows. Runtime-settable, so sibling sessions are unaffected.
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
 
     available = registry.all_queries()
     names = [n for n in HEADLINE if n in available]
@@ -154,19 +193,16 @@ def main() -> None:
     # benches each scale in its own process; so do we.
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
         try:
-            import subprocess
-
-            env = dict(os.environ, SPARK_GRAFT_SF1_CHILD="1")
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                capture_output=True,
-                text=True,
-                env=env,
-                timeout=3600,
-            )
-            out["sf1"] = json.loads(proc.stdout.strip().splitlines()[-1])
+            out["sf1"] = _run_child("SPARK_GRAFT_SF1_CHILD", 3600)
         except Exception as exc:  # noqa: BLE001 — sf1 series is additive
-            out["sf1_error"] = f"{type(exc).__name__}: {exc}"[:300]
+            out["sf1_error"] = f"{type(exc).__name__}: {exc}"[:500]
+    # ~sf10 series: the decade where walls appear (fresh process, like
+    # sf1 — the sf0.1/sf1 phases' heap residue inflates iterative rows).
+    if os.environ.get("SPARK_GRAFT_SF10", "1") != "0" and sf == "0.1":
+        try:
+            out["sf10"] = _run_child("SPARK_GRAFT_SF10_CHILD", 3000)
+        except Exception as exc:  # noqa: BLE001 — sf10 series is additive
+            out["sf10_error"] = f"{type(exc).__name__}: {exc}"[:500]
     print(json.dumps(out))
 
 
@@ -180,7 +216,10 @@ def sf1_child() -> None:
 
     spark = get_spark("oddsetl-bench-sf1")
     sf1_dir = _stage_sf1(10, "low-dup")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # shuffle width now comes from session.size_shuffle_partitions via
+    # io.table() — the ~sf1 dir (156 MB) stays on the 32-core floor,
+    # same value the old explicit pin set (which io.table() overrode
+    # on every load anyway).
     available = registry.all_queries()
     names = [n for n in HEADLINE if n in available]
     t_sf1: dict[str, float] = {}
@@ -225,8 +264,58 @@ def sf1_child() -> None:
     print(json.dumps(res))
 
 
+def sf10_child() -> None:
+    """The ~sf10 series (K=100 low-dup staging, fresh process): the
+    decade where the r9 pair-join wall first became visible. Targets in
+    BASELINE.md '~sf10 targets' are 2x the SCALING.md round-9/10
+    measured rows, same convention as the sf1 series."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    from stage_sf1 import stage as _stage_sf1
+
+    spark = get_spark("oddsetl-bench-sf10")
+    t_stage0 = time.perf_counter()
+    sf10_dir = _stage_sf1(100, "low-dup")
+    stage_s = round(time.perf_counter() - t_stage0, 1)
+    available = registry.all_queries()
+    t10: dict[str, float] = {}
+    e10: dict[str, str] = {}
+    for name in SF10_MEDIAN3 + SF10_WARM1 + SF10_COLD1:
+        if name not in available:
+            continue
+        try:
+            fn = available[name].fn
+            if name in SF10_COLD1:
+                t0 = time.perf_counter()
+                fn(spark, sf10_dir).collect()
+                t10[name] = round(time.perf_counter() - t0, 4)
+                continue
+            fn(spark, sf10_dir).collect()  # warm-up
+            n_runs = 3 if name in SF10_MEDIAN3 else 1
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                fn(spark, sf10_dir).collect()
+                runs.append(time.perf_counter() - t0)
+            t10[name] = round(sorted(runs)[len(runs) // 2], 4)
+        except Exception as exc:  # noqa: BLE001
+            e10[name] = f"{type(exc).__name__}: {exc}"[:300]
+    res = {
+        "value": round(sum(t10.values()), 4),
+        "queries": t10,
+        "staging": f"k100 low-dup (tools/stage_sf1.py), fresh process, "
+        f"staging {stage_s}s",
+    }
+    if e10:
+        res["errors"] = e10
+    print(json.dumps(res))
+
+
 if __name__ == "__main__":
     if os.environ.get("SPARK_GRAFT_SF1_CHILD") == "1":
         sf1_child()
+    elif os.environ.get("SPARK_GRAFT_SF10_CHILD") == "1":
+        sf10_child()
     else:
         main()
