@@ -27,12 +27,21 @@ and one against the state's band index — candidate volume tracks true
 near-dup density, never |batch| x |state|; the exact-Jaccard refine
 touches candidates only. State grows by kept docs' signatures (16
 longs) + shingle sets — the same index a batch LSH build pays, spread
-over arrival. At 100 TB the state lives in a table bucketed by
-(band_id, band_key) so each micro-batch's probe is a co-located join.
+over arrival.
 
-foreachBatch is at-least-once: state versions are WRITE-ONCE per batch
-id (overwrite of the same batch-named dir) and a marker commits each
-batch, so re-delivery no-ops — the scd2/acid-sink discipline.
+State layout (r10, the implemented 100 TB shape): TWO bucketed catalog
+tables under state_dir — the band index CLUSTERED BY (band_id,
+band_key) and the shingle-set store CLUSTERED BY (doc_id), both
+PARTITIONED BY (batch). The per-batch probe is therefore CO-LOCATED:
+the state side of the band-collision join and of the verify join scans
+pre-bucketed files with NO exchange (asserted in tests/test_plans.py;
+only the small arriving batch shuffles), and `batch < n` prunes to
+committed partitions without listing uncommitted data. Writes are
+dynamic-partition OVERWRITES of the arriving batch's partition —
+write-once per batch id, so at-least-once re-delivery stays idempotent
+(the scd2/acid-sink discipline), with a marker committing each batch.
+Catalog entries are re-registered from the on-disk layout on restart
+(`ensure_state_tables`), so kill/resume works across processes.
 """
 
 from __future__ import annotations
@@ -57,6 +66,51 @@ from ..registry import register
 from ..session import pin_session, scratch_dir
 
 _N_BATCHES = 4
+# Bucket count for the state tables. Local test scale: 8. At 100 TB this
+# is the one knob to raise (buckets ~ total kept docs x bands / target
+# task size); the layout and plans are bucket-count-agnostic.
+_STATE_BUCKETS = 8
+
+
+def _state_tbl_names(state_dir: str) -> tuple[str, str]:
+    """Deterministic catalog names derived from the state dir (scratch
+    dirs are mkdtemp-unique, so concurrent streams in one session get
+    distinct tables; a resumed process derives the SAME names)."""
+    import re
+
+    tag = re.sub(
+        r"[^0-9a-zA-Z]", "_", os.path.basename(state_dir.rstrip("/"))
+    ).lower()
+    return f"nd_state_bands_{tag}", f"nd_state_docs_{tag}"
+
+
+def ensure_state_tables(spark: SparkSession, state_dir: str) -> tuple[str, str]:
+    """Create-or-re-register the two bucketed state tables over their
+    on-disk layout. Idempotent; a restarted process (fresh in-memory
+    catalog) recovers the bucket spec AND the already-committed batch
+    partitions from the directory structure (MSCK), which is what makes
+    the co-located probe survive kill/resume."""
+    bands, docs = _state_tbl_names(state_dir)
+    # MSCK lists the location eagerly; make both dirs exist up front.
+    os.makedirs(os.path.join(state_dir, "bands"), exist_ok=True)
+    os.makedirs(os.path.join(state_dir, "docs"), exist_ok=True)
+    spark.sql(
+        f"""CREATE TABLE IF NOT EXISTS {bands}
+        (band_id INT, band_key STRING, doc_id BIGINT, batch INT)
+        USING PARQUET PARTITIONED BY (batch)
+        CLUSTERED BY (band_id, band_key) INTO {_STATE_BUCKETS} BUCKETS
+        LOCATION '{os.path.join(state_dir, "bands")}'"""
+    )
+    spark.sql(
+        f"""CREATE TABLE IF NOT EXISTS {docs}
+        (doc_id BIGINT, n_sh BIGINT, sh_set ARRAY<STRING>, batch INT)
+        USING PARQUET PARTITIONED BY (batch)
+        CLUSTERED BY (doc_id) INTO {_STATE_BUCKETS} BUCKETS
+        LOCATION '{os.path.join(state_dir, "docs")}'"""
+    )
+    spark.sql(f"MSCK REPAIR TABLE {bands}")
+    spark.sql(f"MSCK REPAIR TABLE {docs}")
+    return bands, docs
 
 
 def _neardup_oracle() -> str:
@@ -209,16 +263,17 @@ def _bands_of(df: DataFrame) -> DataFrame:
     )
 
 
-def _verified_pairs(
-    blockers: DataFrame, probes: DataFrame, tau: float
+def _band_collisions(
+    blocker_bands: DataFrame, probe_bands: DataFrame
 ) -> DataFrame:
-    """(doc_a=blocker, doc_b=probe) band-colliding pairs with exact
-    Jaccard >= tau; blocker ids are strictly smaller by arrival order."""
-    cand = (
-        _bands_of(blockers)
-        .alias("a")
+    """Distinct (doc_a, doc_b) band-colliding candidate pairs. When the
+    blocker side is a state table bucketed on (band_id, band_key), this
+    join is co-located: the state scan needs no exchange (plan-asserted
+    in tests/test_plans.py)."""
+    return (
+        blocker_bands.alias("a")
         .join(
-            _bands_of(probes).alias("b"),
+            probe_bands.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -228,7 +283,28 @@ def _verified_pairs(
         )
         .distinct()
     )
-    sa = blockers.select(
+
+
+def _verified_pairs(
+    blockers: DataFrame,
+    probes: DataFrame,
+    tau: float,
+    blocker_bands: DataFrame | None = None,
+    blocker_sets: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a=blocker, doc_b=probe) band-colliding pairs with exact
+    Jaccard >= tau; blocker ids are strictly smaller by arrival order.
+
+    For the state probe, `blocker_bands`/`blocker_sets` supply the
+    PRE-MATERIALIZED bucketed state tables (band index and shingle-set
+    store) instead of re-deriving bands from `blockers`; both joins
+    then read co-located buckets on the state side."""
+    cand = _band_collisions(
+        _bands_of(blockers) if blocker_bands is None else blocker_bands,
+        _bands_of(probes),
+    )
+    blk = blockers if blocker_sets is None else blocker_sets
+    sa = blk.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh_set").alias("sh_a"),
         F.col("n_sh").alias("na"),
@@ -270,14 +346,37 @@ def neardup_batch_fn(
         batches = [r[0] for r in batch_df.select("batch").distinct().collect()]
         if not batches:
             return
-        assert len(batches) == 1, (
-            f"replay delivered multiple staged batches at once: {batches} — "
-            "the ordered-arrival semantics need maxFilesPerTrigger=1"
-        )
+        if len(batches) != 1:
+            # real raise, not assert: an assert is stripped under
+            # python -O and this is a correctness precondition
+            raise RuntimeError(
+                f"replay delivered multiple staged batches at once: "
+                f"{batches} — the ordered-arrival semantics need "
+                "maxFilesPerTrigger=1"
+            )
         n = batches[0]
         marker = os.path.join(marker_dir, f"applied_{n}")
         if os.path.exists(marker):
             return  # re-delivered batch: already applied exactly once
+        # Ordered-arrival guard (r10, ADVICE): FileStreamSource orders
+        # staged part dirs by modification time; an mtime tie could
+        # deliver batches out of order, which would otherwise only
+        # surface later as an oracle hash mismatch. Applied batch ids
+        # must be strictly increasing — a smaller id arriving after a
+        # larger one was applied is a reordering, and since each batch
+        # deduplicates against exactly the prior batches' kept state,
+        # applying it late would change verdicts. Fail loud instead.
+        applied = [
+            int(f.rsplit("_", 1)[1])
+            for f in os.listdir(marker_dir)
+            if f.startswith("applied_")
+        ]
+        if applied and n <= max(applied):
+            raise RuntimeError(
+                f"out-of-order arrival: staged batch {n} delivered after "
+                f"batch {max(applied)} was already applied — mtime tie in "
+                "the file source? Re-stage with distinct mtimes."
+            )
         batch = batch_df.localCheckpoint()
         dropb = (
             _verified_pairs(batch, batch, _JACCARD_TAU)
@@ -285,19 +384,28 @@ def neardup_batch_fn(
             .agg(F.min("doc_a").alias("dup_of"))
             .localCheckpoint()
         )
-        # exclude this batch's own dir: a crash between the state write
-        # and the marker leaves it behind, and the replay must dedup
-        # against exactly the pre-batch state
-        state_parts = [
-            os.path.join(state_dir, d)
-            for d in sorted(os.listdir(state_dir))
-            if d.startswith("batch-") and d != f"batch-{n:04d}"
-        ]
-        if state_parts:
-            state = sp.read.parquet(*state_parts)
+        bands_tbl, docs_tbl = _state_tbl_names(state_dir)
+        # `batch < n` prunes to COMMITTED partitions only: a crash
+        # between the state write and the marker leaves this batch's
+        # own partition behind, and the replay must dedup against
+        # exactly the pre-batch state (its own crashed write is
+        # partition-pruned out, then overwritten below).
+        if applied:
+            state_bands = sp.table(bands_tbl).filter(
+                F.col("batch") < n
+            ).drop("batch")
+            state_docs = sp.table(docs_tbl).filter(
+                F.col("batch") < n
+            ).drop("batch")
             survivors = batch.join(dropb.select("doc_id"), "doc_id", "left_anti")
             drops = (
-                _verified_pairs(state, survivors, _JACCARD_TAU)
+                _verified_pairs(
+                    None,
+                    survivors,
+                    _JACCARD_TAU,
+                    blocker_bands=state_bands,
+                    blocker_sets=state_docs,
+                )
                 .groupBy(F.col("doc_b").alias("doc_id"))
                 .agg(F.min("doc_a").alias("dup_of"))
                 .localCheckpoint()
@@ -307,9 +415,21 @@ def neardup_batch_fn(
         kept = (
             batch.join(dropb.select("doc_id"), "doc_id", "left_anti")
             .join(drops.select("doc_id"), "doc_id", "left_anti")
+        ).localCheckpoint()
+        # WRITE-ONCE per batch id: dynamic overwrite of this batch's
+        # partition in both bucketed tables — idempotent under replay.
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        nb = F.lit(n).cast("int")
+        (
+            _bands_of(kept)
+            .select("band_id", "band_key", "doc_id", nb.alias("batch"))
+            .write.mode("overwrite")
+            .insertInto(bands_tbl)
         )
-        kept.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch-{n:04d}")
+        (
+            kept.select("doc_id", "n_sh", "sh_set", nb.alias("batch"))
+            .write.mode("overwrite")
+            .insertInto(docs_tbl)
         )
         if n == crash_batch and crash_point == "early":
             raise RuntimeError(
@@ -366,6 +486,9 @@ def neardup_start(
     crash_point: str = "late",
 ):
     """Start the dedup stream; returns the StreamingQuery."""
+    # Register (or recover, on cross-process resume) the bucketed state
+    # tables before the first batch fires.
+    ensure_state_tables(spark, state_dir)
     return (
         spark.readStream.schema(neardup_schema())
         .option("maxFilesPerTrigger", "1")

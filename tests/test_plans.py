@@ -861,3 +861,51 @@ def test_cbo_profile_flips_broadcast_decision(spark):
         line for line in on_plan.splitlines() if "BroadcastHashJoin" in line
     )
     assert "BuildRight" in join_line, on_plan
+
+
+def test_stream_neardup_state_probe_is_colocated(spark):
+    """The streaming near-dup state's 100 TB claim, as a plan property:
+    the kept-signature state lives in tables bucketed by (band_id,
+    band_key) / (doc_id), so a micro-batch's band-collision probe scans
+    the state WITHOUT an exchange — only the (small) arriving batch
+    shuffles. Forced to SMJ so AQE's broadcast of the tiny test batch
+    can't mask the bucketing (broadcast would also be exchange-free on
+    the state side, but then the assert would pass vacuously)."""
+    from pyspark.sql import functions as F
+
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.streaming.stream_neardup import (
+        _band_collisions,
+        ensure_state_tables,
+    )
+
+    state_dir = scratch_dir("ndplan")
+    bands_tbl, _ = ensure_state_tables(spark, state_dir)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rows = spark.range(2000).select(
+        (F.col("id") % 16).cast("int").alias("band_id"),
+        (F.col("id") % 97).cast("string").alias("band_key"),
+        F.col("id").alias("doc_id"),
+        F.lit(1).cast("int").alias("batch"),
+    )
+    rows.write.mode("overwrite").insertInto(bands_tbl)
+    probe = spark.range(100).select(
+        (F.col("id") % 16).cast("int").alias("band_id"),
+        (F.col("id") % 97).cast("string").alias("band_key"),
+        (F.col("id") + 50_000).alias("doc_id"),
+    )
+    state = spark.table(bands_tbl).filter(F.col("batch") <= 1).drop("batch")
+    j = _band_collisions(state.hint("merge"), probe)
+    j.collect()
+    full = j._jdf.queryExecution().executedPlan().toString()
+    # AQE prints final + initial plans; assert on the final one only
+    plan = full.split("== Initial Plan ==")[0]
+    assert "Bucketed: true" in plan, plan
+    # exactly ONE exchange on the band key — the probe side; a second
+    # one would mean the bucketed state side got shuffled anyway. (The
+    # distinct() after the join adds its own (doc_a, doc_b) exchange —
+    # different key, legitimately required.)
+    n_band_ex = plan.count("Exchange hashpartitioning(band_id")
+    assert n_band_ex == 1, (
+        f"expected 1 band-key exchange (probe side), got {n_band_ex}:\n{plan}"
+    )

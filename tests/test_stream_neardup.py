@@ -44,7 +44,7 @@ def test_neardup_verdict_invariants(spark):
 import pytest
 
 
-@pytest.mark.parametrize("mode", ["neardup", "neardup-early"])
+@pytest.mark.parametrize("mode", ["neardup", "neardup-early", "neardup-rocks"])
 def test_neardup_restart_across_processes(spark, mode):
     """Kill/resume across two driver processes: phase 1 crashes inside
     batch 2 — either AFTER the commit marker ("neardup": the
@@ -53,7 +53,9 @@ def test_neardup_restart_across_processes(spark, mode):
     must rewrite both dirs idempotently). Phase 2 resumes the same
     checkpoint in a fresh process; the final verdicts must equal a
     clean single-process run's, with exactly one marker/state/out dir
-    per batch."""
+    per batch. "neardup-rocks" repeats the late-crash shape under the
+    RocksDB state store provider (r9 verdict item 6: the last
+    provider x operator composition gap)."""
     import os
     import subprocess
     import sys
@@ -84,10 +86,10 @@ def test_neardup_restart_across_processes(spark, mode):
     )
     marker_dir = os.path.join(root, "markers")
     markers = sorted(os.listdir(marker_dir))
-    if mode == "neardup":
-        assert "applied_2" in markers, markers  # marker landed pre-crash
-    else:
+    if mode == "neardup-early":
         assert "applied_2" not in markers, markers  # crash beat the marker
+    else:  # late-crash modes (heap + rocksdb providers)
+        assert "applied_2" in markers, markers  # marker landed pre-crash
     r2 = subprocess.run(
         [sys.executable, worker, "2", staged, root, ckpt, "-1", mode],
         capture_output=True,

@@ -41,13 +41,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
-    if mode in ("neardup", "neardup-early"):
+    if mode.startswith("neardup"):
         # Streaming near-dup dedup recovery: state/verdict dirs are
         # write-once per batch with a commit marker. "neardup" crashes
         # AFTER the marker (re-delivery must no-op); "neardup-early"
         # crashes between the state write and the verdict/marker writes
-        # (re-delivery must rewrite both, idempotently).
+        # (re-delivery must rewrite both, idempotently). "neardup-rocks"
+        # runs the late-crash shape with the RocksDB state store
+        # provider pinned — foreachBatch itself keeps no keyed state,
+        # but the checkpoint/commit-log recovery path must behave
+        # identically under the 100 TB provider (the last
+        # provider x operator composition gap, r9 verdict item 6).
         from oddsetl_spark.streaming.stream_neardup import neardup_start
+
+        if "rocks" in mode:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
 
         state_dir, out_dir, marker_dir = (
             os.path.join(root, d) for d in ("state", "out", "markers")
@@ -57,7 +69,7 @@ def main() -> None:
         q = neardup_start(
             spark, staged, state_dir, out_dir, marker_dir, ckpt,
             crash_batch=crash_after if phase == "1" else -1,
-            crash_point="early" if mode == "neardup-early" else "late",
+            crash_point="early" if "early" in mode else "late",
         )
         try:
             q.awaitTermination()
