@@ -133,3 +133,38 @@ def test_neardup_batches_cover_corpus(spark):
     # dedup is effective on the twin-staged corpus: at most ~40% survives
     kept = df.filter(F.col("verdict") == "kept").count()
     assert kept < 0.45 * n_corpus, (kept, n_corpus)
+
+
+def test_neardup_rejects_out_of_order_batch(spark):
+    """The ordered-arrival guard must be a real raise, not a stripped
+    assert: delivering staged batch 1 after batch 2's marker has landed
+    (an mtime tie in the file source could reorder delivery) aborts the
+    stream instead of silently applying state-dedup against the wrong
+    prefix — which would only surface later as an oracle mismatch."""
+    import os
+
+    import pytest as _pytest
+
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.streaming.stream_neardup import (
+        _stage_neardup,
+        ensure_state_tables,
+        neardup_batch_fn,
+    )
+
+    staged = _stage_neardup(spark, SF_DIR)
+    state_dir = scratch_dir("nd_ooo_state")
+    marker_dir = scratch_dir("nd_ooo_markers")
+    ensure_state_tables(spark, state_dir)
+    fn = neardup_batch_fn(state_dir, scratch_dir("nd_ooo_out"), marker_dir)
+    # simulate batch 2 already applied, then batch 1 arriving late
+    open(os.path.join(marker_dir, "applied_2"), "w").close()
+    b1 = spark.read.parquet(os.path.join(staged, "part-0001"))
+    with _pytest.raises(RuntimeError, match="out-of-order arrival"):
+        fn(b1, 0)
+    # and a multi-batch delivery (maxFilesPerTrigger violated) raises too
+    b12 = spark.read.parquet(
+        os.path.join(staged, "part-0001"), os.path.join(staged, "part-0002")
+    )
+    with _pytest.raises(RuntimeError, match="multiple staged batches"):
+        fn(b12, 1)
