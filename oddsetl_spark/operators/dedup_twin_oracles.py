@@ -153,6 +153,9 @@ WITH {_CONTRACTED_CORPUS},
     # The length-binned prefix join returns the identical pair set
     # (test_length_binned_pairs_match_unbinned), so it shares the twin.
     twins["dedup_jaccard_length_binned"] = twins["dedup_ngram_jaccard"]
+    # ...as is the string-keyed fallback (same output, different join-key
+    # representation; locked by test_string_index_matches_hashed).
+    twins["dedup_jaccard_string_index"] = twins["dedup_ngram_jaccard"]
 
     # Containment: the contained side is decided by shingle-set sizes
     # (content-level); on equal sizes the registered rule attributes

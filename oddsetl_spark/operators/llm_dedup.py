@@ -489,6 +489,30 @@ def dedup_jaccard_length_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_string_index",
+    category="llm_dedup",
+    oracle=f"""
+WITH {_SQL_CORPUS}
+SELECT doc_a, doc_b, round(jaccard, 9) AS jaccard
+FROM jac WHERE jaccard >= {_JACCARD_TAU}
+""",
+)
+def dedup_jaccard_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string-keyed prefix similarity join as a first-class query:
+    the collision-proof fallback the xxhash64 vocabulary guard directs
+    users to (use_string_index=True) for corpora past the 64-bit
+    birthday bound (~1e12 distinct shingles, where the int-hashed index
+    would fail loud). Join keys stay shingle strings — heavier shuffles,
+    zero collision risk. Verified against the SAME full-graph oracle as
+    dedup_ngram_jaccard, so the escape hatch is a driver-checked code
+    path rather than an untested branch (r9 ADVICE item)."""
+    pairs = _jaccard_pairs_tau(spark, sf_dir, use_string_index=True)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     category="llm_dedup",
     oracle=f"""
