@@ -81,7 +81,17 @@ SF1_EXTRA = [
 # JIT half-cold residue the sf1 median-of-3 exists for is <5% noise,
 # and median-of-3 would triple a ~12-minute block.
 SF10_MEDIAN3 = ["agg_groupby_multi", "join_broadcast_star"]
-SF10_WARM1 = ["dedup_minhash_det", "sim_lsh_whitened", "dedup_components"]
+# win_sessionize_stats and sim_ann_ivf are the input-sized
+# shuffle-partition rule's watch items (decade ratios 10.8x -> 5.7x and
+# 10.5x -> 8.1x when the rule landed): if the sizing rule regresses,
+# these rows are where it shows first.
+SF10_WARM1 = [
+    "win_sessionize_stats",
+    "sim_ann_ivf",
+    "dedup_minhash_det",
+    "sim_lsh_whitened",
+    "dedup_components",
+]
 # stream_neardup re-stages and replays the whole 4-batch stream every
 # call (state dirs are per-call scratch), so "warm" never applies: one
 # cold run, like a user's one-shot backfill.
