@@ -46,7 +46,9 @@ Catalog entries are re-registered from the on-disk layout on restart
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,15 +75,21 @@ _STATE_BUCKETS = 8
 
 
 def _state_tbl_names(state_dir: str) -> tuple[str, str]:
-    """Deterministic catalog names derived from the state dir (scratch
-    dirs are mkdtemp-unique, so concurrent streams in one session get
-    distinct tables; a resumed process derives the SAME names)."""
+    """Deterministic catalog names derived from the state dir. The tag
+    mixes a short hash of the FULL absolute path, not just the basename
+    (r10 ADVICE): two streams in one session whose state dirs share a
+    basename (e.g. both '<root>/state') must never alias — CREATE TABLE
+    IF NOT EXISTS would silently keep the first LOCATION and the second
+    stream would read and overwrite the first's state. mkdtemp-unique
+    dirs were safe by accident; distinct paths are now safe by
+    construction, and a resumed process still derives the SAME names."""
+    import hashlib
     import re
 
-    tag = re.sub(
-        r"[^0-9a-zA-Z]", "_", os.path.basename(state_dir.rstrip("/"))
-    ).lower()
-    return f"nd_state_bands_{tag}", f"nd_state_docs_{tag}"
+    abspath = os.path.abspath(state_dir.rstrip("/"))
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(abspath)).lower()
+    h = hashlib.sha256(abspath.encode()).hexdigest()[:10]
+    return f"nd_state_bands_{tag}_{h}", f"nd_state_docs_{tag}_{h}"
 
 
 def ensure_state_tables(spark: SparkSession, state_dir: str) -> tuple[str, str]:
@@ -113,11 +121,121 @@ def ensure_state_tables(spark: SparkSession, state_dir: str) -> tuple[str, str]:
     return bands, docs
 
 
-def _neardup_oracle() -> str:
-    """The 4-batch replay in chained CTEs: cand/jac are the shared
-    md5-family banding + exact-Jaccard machinery; kept sets build batch
-    by batch (k1..k3), state drops stratify cleanly because batch order
-    is doc_id order."""
+# Batch ids from the staging ntile start at 1, so partition 0 is free to
+# hold the compacted fold of all committed batches.
+_COMPACT_PARTITION = 0
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    marker_dir: str,
+    crash_after_fold: bool = False,
+) -> dict:
+    """OPTIMIZE-style compaction of the bucketed state tables (r10
+    verdict item 3): without it the tables accumulate one partition per
+    batch FOREVER — a long-running stream hits the small-file wall
+    (O(batches x buckets) files) that makes every probe's scan
+    listing-bound. The fold rewrites all COMMITTED state (partitions
+    1..max(applied markers), plus any previous fold in partition 0) into
+    the single partition batch=0 and removes the folded source
+    partitions, so the steady-state file count is O(buckets).
+
+    The probe semantics are untouched: dedup_batch reads `batch < n`,
+    and 0 < n for every real batch, so the fold is visible to every
+    future probe while a crashed uncommitted batch's own partition stays
+    pruned out. The bucket layout is a property of the TABLE, so the
+    fold goes through the same insertInto path as the per-batch writes
+    and the probe stays the co-located zero-exchange plan
+    (tests/test_plans.py asserts it over post-compaction state).
+
+    Crash-safe at any point, via a pending-intent marker written BEFORE
+    the fold and removed after the source-partition removals: recovery
+    (_run_compaction from dedup_batch / a resumed process) re-runs the
+    fold, whose input — union of batch <= upto, batch column dropped,
+    .distinct() — is the exact committed state set whether or not the
+    previous fold committed and whatever prefix of the drops completed:
+    state rows are unique per (band_id, band_key, doc_id) / (doc_id), so
+    partial-fold duplicates collapse. `crash_after_fold` is the test
+    hook (same convention as crash_batch): raise between the fold commit
+    and the drops, the exact window where disk state is transiently
+    duplicated and only the marker protocol makes the next probe safe.
+    """
+    applied = [
+        int(f.rsplit("_", 1)[1])
+        for f in os.listdir(marker_dir)
+        if f.startswith("applied_")
+    ]
+    if not applied:
+        return {"folded_upto": None, "skipped": "nothing committed"}
+    pending = os.path.join(marker_dir, "compact_pending")
+    tmp = pending + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"upto": max(applied)}, f)
+    os.replace(tmp, pending)  # atomic: never a truncated intent file
+    return _run_compaction(spark, state_dir, pending, crash_after_fold)
+
+
+def _run_compaction(
+    spark: SparkSession,
+    state_dir: str,
+    pending: str,
+    crash_after_fold: bool = False,
+) -> dict:
+    """Execute (or recover) the fold recorded in the pending marker."""
+    with open(pending) as f:
+        upto = json.load(f)["upto"]
+    bands_tbl, docs_tbl = ensure_state_tables(spark, state_dir)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    stats: dict = {"folded_upto": upto}
+    for tbl, subdir in ((bands_tbl, "bands"), (docs_tbl, "docs")):
+        src = (
+            spark.table(tbl)
+            .filter(F.col("batch") <= upto)
+            .drop("batch")
+            .distinct()
+            .withColumn(
+                "batch", F.lit(_COMPACT_PARTITION).cast("int")
+            )
+            # break lineage: the fold overwrites a partition of the very
+            # table it reads (same pattern as the per-batch writes)
+            .localCheckpoint()
+        )
+        src.write.mode("overwrite").insertInto(tbl)
+        if crash_after_fold:
+            raise RuntimeError(
+                "injected crash: fold committed, source partitions not "
+                "dropped — disk state transiently duplicated"
+            )
+        root = os.path.join(state_dir, subdir)
+        for k in range(1, upto + 1):
+            # metadata first, then the files — an external table's DROP
+            # PARTITION leaves files behind, and the resume-path MSCK
+            # would resurrect them as duplicates
+            spark.sql(
+                f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (batch={k})"
+            )
+            shutil.rmtree(os.path.join(root, f"batch={k}"), True)
+        spark.catalog.refreshTable(tbl)
+        stats[f"{subdir}_files_after"] = sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(root)
+        )
+    os.remove(pending)
+    return stats
+
+
+def _neardup_chain_sql(bat_src: str) -> str:
+    """The batched-replay verdict chain (bat -> dropb -> k1 -> d2..dN ->
+    final verdict SELECT), shared byte-for-byte between the registered
+    oracle and the dup-heavy contraction twin
+    (operators/dedup_twin_oracles.py): both bind a `verified(doc_a <
+    doc_b)` CTE upstream — the registered one from the banded cand/jac
+    machinery over the full corpus, the twin from the rep-level jac
+    expanded over exact-text classes — and the chain arithmetic on top
+    is the identical SQL text. `bat_src` is the CTE holding ONE row per
+    arriving doc ('corpus' registered; 'corpus0' in the twin, where
+    'corpus' is rebound to class representatives)."""
     drops, kepts = [], []
     for n in range(2, _N_BATCHES + 1):
         drops.append(f"""
@@ -146,18 +264,11 @@ k{n} AS MATERIALIZED (
         f"SELECT * FROM d{n}" for n in range(2, _N_BATCHES + 1)
     )
     return f"""
-WITH {_SQL_CORPUS},
-{_det_cand_ctes()},
-verified AS MATERIALIZED (
-  SELECT c.doc_a, c.doc_b FROM cand c
-  JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-  WHERE j.jaccard >= {_JACCARD_TAU}
-),
 bat AS MATERIALIZED (
   SELECT doc_id,
          CAST(ntile({_N_BATCHES}) OVER (ORDER BY doc_id) AS BIGINT)
            AS batch_id
-  FROM corpus
+  FROM {bat_src}
 ),
 dropb AS MATERIALIZED (
   SELECT v.doc_b AS doc_id, MIN(v.doc_a) AS dup_of
@@ -180,6 +291,22 @@ FROM bat b
 LEFT JOIN dropb db ON db.doc_id = b.doc_id
 LEFT JOIN ({ds_union}) ds ON ds.doc_id = b.doc_id
 """
+
+
+def _neardup_oracle() -> str:
+    """The 4-batch replay in chained CTEs: cand/jac are the shared
+    md5-family banding + exact-Jaccard machinery; kept sets build batch
+    by batch (k1..k3), state drops stratify cleanly because batch order
+    is doc_id order."""
+    return f"""
+WITH {_SQL_CORPUS},
+{_det_cand_ctes()},
+verified AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+  WHERE j.jaccard >= {_JACCARD_TAU}
+),
+{_neardup_chain_sql("corpus")}"""
 
 
 def _stage_neardup(spark: SparkSession, sf_dir: str) -> str:
@@ -333,6 +460,7 @@ def neardup_batch_fn(
     marker_dir: str,
     crash_batch: int = -1,
     crash_point: str = "late",
+    compact_every: int = 0,
 ):
     """The per-micro-batch dedup closure; `crash_batch`/`crash_point`
     inject a failure for the restart test — "early" lands between the
@@ -358,24 +486,36 @@ def neardup_batch_fn(
         marker = os.path.join(marker_dir, f"applied_{n}")
         if os.path.exists(marker):
             return  # re-delivered batch: already applied exactly once
-        # Ordered-arrival guard (r10, ADVICE): FileStreamSource orders
-        # staged part dirs by modification time; an mtime tie could
-        # deliver batches out of order, which would otherwise only
-        # surface later as an oracle hash mismatch. Applied batch ids
-        # must be strictly increasing — a smaller id arriving after a
-        # larger one was applied is a reordering, and since each batch
-        # deduplicates against exactly the prior batches' kept state,
-        # applying it late would change verdicts. Fail loud instead.
+        # Recover a compaction that crashed between its fold and its
+        # source-partition drops: the pending intent must complete
+        # BEFORE this batch reads state, or the probe would see the
+        # transiently duplicated fold + originals.
+        pending = os.path.join(marker_dir, "compact_pending")
+        if os.path.exists(pending):
+            _run_compaction(sp, state_dir, pending)
+        # Ordered-arrival guard (r10 ADVICE, tightened r11): the file
+        # source orders staged part dirs by modification time; an mtime
+        # tie could deliver batches out of order. Monotonicity alone
+        # (n > max(applied)) is NOT enough — the reordered-AHEAD batch
+        # passes it first (e.g. batch 3 when applied=[1]), dedups
+        # against state missing batch 2, and durably commits wrong
+        # verdicts one batch before the late arrival finally raises.
+        # Staged batch ids are contiguous from 1 by construction
+        # (_stage_neardup's ntile), so enforce contiguity AT APPLY TIME:
+        # n must be exactly the next expected id. This rejects both the
+        # behind batch and the ahead batch before anything commits.
         applied = [
             int(f.rsplit("_", 1)[1])
             for f in os.listdir(marker_dir)
             if f.startswith("applied_")
         ]
-        if applied and n <= max(applied):
+        expected = (max(applied) + 1) if applied else 1
+        if n != expected:
             raise RuntimeError(
-                f"out-of-order arrival: staged batch {n} delivered after "
-                f"batch {max(applied)} was already applied — mtime tie in "
-                "the file source? Re-stage with distinct mtimes."
+                f"out-of-order arrival: staged batch {n} delivered but "
+                f"batch {expected} is the next unapplied one (applied="
+                f"{sorted(applied)}) — mtime tie in the file source? "
+                "Re-stage with distinct mtimes."
             )
         batch = batch_df.localCheckpoint()
         dropb = (
@@ -459,6 +599,8 @@ def neardup_batch_fn(
             raise RuntimeError(
                 "injected crash: marker landed, checkpoint offset not"
             )
+        if compact_every and n % compact_every == 0:
+            compact_state(sp, state_dir, marker_dir)
 
     return dedup_batch
 
@@ -484,6 +626,7 @@ def neardup_start(
     ckpt: str,
     crash_batch: int = -1,
     crash_point: str = "late",
+    compact_every: int = 0,
 ):
     """Start the dedup stream; returns the StreamingQuery."""
     # Register (or recover, on cross-process resume) the bucketed state
@@ -495,7 +638,8 @@ def neardup_start(
         .parquet(os.path.join(staged, "part-*"))
         .writeStream.foreachBatch(
             neardup_batch_fn(
-                state_dir, out_dir, marker_dir, crash_batch, crash_point
+                state_dir, out_dir, marker_dir, crash_batch, crash_point,
+                compact_every,
             )
         )
         .outputMode("append")
@@ -534,6 +678,35 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = neardup_start(
         spark, staged, state_dir, out_dir, marker_dir,
         scratch_dir("neardup_ckpt"),
+    )
+    q.awaitTermination()
+    return neardup_read_verdicts(spark, out_dir)
+
+
+@register(
+    "stream_neardup_compacted",
+    category="streaming",
+    heavy=True,
+    oracle=_neardup_oracle(),
+)
+def stream_neardup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_neardup_minhash with OPTIMIZE-style state compaction
+    after every 2nd applied batch (compact_state): committed per-batch
+    state partitions fold into the single batch=0 partition, bounding
+    the state file count at O(buckets) instead of O(batches x buckets)
+    — the maintenance a long-running stream needs before it hits the
+    small-file wall. Verdicts are IDENTICAL to the uncompacted stream
+    (the oracle is the same chained replay, so the driver's hash match
+    is direct evidence compaction never changes results)."""
+    pin_session(spark)
+    staged = _stage_neardup(spark, sf_dir)
+    state_dir = scratch_dir("neardupc_state")
+    out_dir = scratch_dir("neardupc_out")
+    marker_dir = scratch_dir("neardupc_markers")
+    q = neardup_start(
+        spark, staged, state_dir, out_dir, marker_dir,
+        scratch_dir("neardupc_ckpt"),
+        compact_every=2,
     )
     q.awaitTermination()
     return neardup_read_verdicts(spark, out_dir)

@@ -909,3 +909,53 @@ def test_stream_neardup_state_probe_is_colocated(spark):
     assert n_band_ex == 1, (
         f"expected 1 band-key exchange (probe side), got {n_band_ex}:\n{plan}"
     )
+
+
+def test_stream_neardup_probe_colocated_after_compaction(spark):
+    """Compaction must preserve the zero-exchange state side: the fold
+    rewrites committed per-batch partitions into batch=0 through the
+    same bucketed insertInto path, so the post-compaction probe plan is
+    the SAME co-located shape — bucketed scan, exactly one band-key
+    exchange (the probe's). If the fold ever bypassed the bucket spec,
+    this assert is where the 100 TB claim would break first."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.streaming.stream_neardup import (
+        _band_collisions,
+        compact_state,
+        ensure_state_tables,
+    )
+
+    state_dir = scratch_dir("ndplanc")
+    marker_dir = scratch_dir("ndplanc_markers")
+    bands_tbl, _ = ensure_state_tables(spark, state_dir)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for n in (1, 2):
+        spark.range(1000).select(
+            (F.col("id") % 16).cast("int").alias("band_id"),
+            ((F.col("id") + n) % 97).cast("string").alias("band_key"),
+            (F.col("id") + n * 10_000).alias("doc_id"),
+            F.lit(n).cast("int").alias("batch"),
+        ).write.mode("overwrite").insertInto(bands_tbl)
+        open(os.path.join(marker_dir, f"applied_{n}"), "w").close()
+    stats = compact_state(spark, state_dir, marker_dir)
+    assert stats["folded_upto"] == 2
+    probe = spark.range(100).select(
+        (F.col("id") % 16).cast("int").alias("band_id"),
+        (F.col("id") % 97).cast("string").alias("band_key"),
+        (F.col("id") + 50_000).alias("doc_id"),
+    )
+    state = spark.table(bands_tbl).filter(F.col("batch") < 3).drop("batch")
+    assert state.count() == 2000, "fold must keep every state row"
+    j = _band_collisions(state.hint("merge"), probe)
+    j.collect()
+    full = j._jdf.queryExecution().executedPlan().toString()
+    plan = full.split("== Initial Plan ==")[0]
+    assert "Bucketed: true" in plan, plan
+    n_band_ex = plan.count("Exchange hashpartitioning(band_id")
+    assert n_band_ex == 1, (
+        f"expected 1 band-key exchange (probe side), got {n_band_ex}:\n{plan}"
+    )

@@ -168,3 +168,148 @@ def test_neardup_rejects_out_of_order_batch(spark):
     )
     with _pytest.raises(RuntimeError, match="multiple staged batches"):
         fn(b12, 1)
+
+
+def test_neardup_rejects_reordered_ahead_batch(spark):
+    """The r10 guard only caught a SMALLER id arriving after a larger
+    one — by then the reordered-AHEAD batch had already deduped against
+    state missing its predecessor and durably committed wrong verdicts.
+    Contiguity at apply time rejects the ahead batch BEFORE it commits:
+    batch 3 when applied=[1] must raise (expected next id is 2), and
+    batch 2 arriving first of all must raise (expected id is 1)."""
+    import os
+
+    import pytest as _pytest
+
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.streaming.stream_neardup import (
+        _stage_neardup,
+        ensure_state_tables,
+        neardup_batch_fn,
+    )
+
+    staged = _stage_neardup(spark, SF_DIR)
+    state_dir = scratch_dir("nd_ahead_state")
+    marker_dir = scratch_dir("nd_ahead_markers")
+    out_dir = scratch_dir("nd_ahead_out")
+    ensure_state_tables(spark, state_dir)
+    fn = neardup_batch_fn(state_dir, out_dir, marker_dir)
+    # nothing applied yet: the first delivery must be batch 1
+    b2 = spark.read.parquet(os.path.join(staged, "part-0002"))
+    with _pytest.raises(RuntimeError, match="out-of-order arrival"):
+        fn(b2, 0)
+    assert not os.listdir(out_dir), "ahead batch must not commit verdicts"
+    # batch 1 applied, batch 3 skips ahead of 2: reject before commit
+    open(os.path.join(marker_dir, "applied_1"), "w").close()
+    b3 = spark.read.parquet(os.path.join(staged, "part-0003"))
+    with _pytest.raises(RuntimeError, match="out-of-order arrival"):
+        fn(b3, 1)
+    assert not os.listdir(out_dir), "ahead batch must not commit verdicts"
+    assert sorted(os.listdir(marker_dir)) == ["applied_1"], (
+        "ahead batch must not write a marker"
+    )
+
+
+def test_compacted_stream_matches_plain(spark):
+    """State compaction (fold committed per-batch partitions into
+    batch=0) must be invisible in the results: the compacted variant's
+    verdicts equal the plain stream's row for row, while the state
+    tables end with the folded layout — only partitions {0} + the
+    final batch, and O(buckets) files instead of O(batches x buckets)."""
+    import os
+
+    from oddsetl_spark.streaming.stream_neardup import _STATE_BUCKETS
+
+    plain = sorted(
+        tuple(r)
+        for r in registry.get("stream_neardup_minhash")
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    compacted_df = registry.get("stream_neardup_compacted").fn(spark, SF_DIR)
+    compacted = sorted(tuple(r) for r in compacted_df.collect())
+    assert compacted == plain
+    # the compacted run's state tables: compact_every=2 over 4 batches
+    # folds after batch 2 and after batch 4, so every per-batch source
+    # partition is gone and only the fold remains
+    state_dirs = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("nd_state_bands_neardupc_state")
+    ]
+    assert state_dirs, "compacted run must have registered state tables"
+    bands_tbl = state_dirs[-1]
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {bands_tbl}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    ).replace("file:", "")
+    parts = sorted(d for d in os.listdir(loc) if d.startswith("batch="))
+    assert parts == ["batch=0"], parts
+    n_files = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(loc)
+    )
+    assert n_files <= _STATE_BUCKETS, (
+        f"fold must bound files at O(buckets): {n_files} > {_STATE_BUCKETS}"
+    )
+
+
+def test_compaction_crash_recovery(spark):
+    """A compaction that crashes between its fold commit and its
+    source-partition drops leaves the state transiently DUPLICATED on
+    disk (fold in batch=0 + originals in batch=1..n) plus a pending
+    intent marker. The next batch must complete the drops before
+    reading state — otherwise the probe would double-count — and the
+    final verdicts must equal a clean run's."""
+    import os
+
+    import pytest as _pytest
+
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.streaming.stream_neardup import (
+        _stage_neardup,
+        _state_tbl_names,
+        compact_state,
+        ensure_state_tables,
+        neardup_batch_fn,
+        neardup_read_verdicts,
+    )
+
+    staged = _stage_neardup(spark, SF_DIR)
+    state_dir = scratch_dir("nd_crec_state")
+    marker_dir = scratch_dir("nd_crec_markers")
+    out_dir = scratch_dir("nd_crec_out")
+    ensure_state_tables(spark, state_dir)
+    fn = neardup_batch_fn(state_dir, out_dir, marker_dir)
+    for n in (1, 2):
+        fn(spark.read.parquet(os.path.join(staged, f"part-{n:04d}")), n)
+    with _pytest.raises(RuntimeError, match="injected crash: fold"):
+        compact_state(spark, state_dir, marker_dir, crash_after_fold=True)
+    bands_tbl, _ = _state_tbl_names(state_dir)
+    # the crash window: fold committed AND originals still present
+    parts = {
+        r["batch"]
+        for r in spark.table(bands_tbl).select("batch").distinct().collect()
+    }
+    assert parts == {0, 1, 2}, parts
+    assert os.path.exists(os.path.join(marker_dir, "compact_pending"))
+    # batches 3 and 4 recover the pending fold, then apply normally
+    for n in (3, 4):
+        fn(spark.read.parquet(os.path.join(staged, f"part-{n:04d}")), n)
+    assert not os.path.exists(os.path.join(marker_dir, "compact_pending"))
+    parts = {
+        r["batch"]
+        for r in spark.table(bands_tbl).select("batch").distinct().collect()
+    }
+    assert parts == {0, 3, 4}, parts
+    got = sorted(
+        tuple(r) for r in neardup_read_verdicts(spark, out_dir).collect()
+    )
+    clean = sorted(
+        tuple(r)
+        for r in registry.get("stream_neardup_minhash")
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    assert got == clean

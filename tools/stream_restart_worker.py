@@ -36,10 +36,14 @@ def main() -> None:
     from oddsetl_spark.session import get_spark, pin_session
     from oddsetl_spark.sources.acid_table import AcidTable
 
+    # Pin the shuffle width through the env escape hatch, not conf.set:
+    # session.size_shuffle_partitions (called by every io.table()) would
+    # silently clobber a programmatic pin on the next table load, but
+    # honors ODDSETL_SHUFFLE_PARTITIONS (r10 ADVICE).
+    os.environ.setdefault("ODDSETL_SHUFFLE_PARTITIONS", "8")
     spark = get_spark("restart-worker")
     pin_session(spark)
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     if mode.startswith("neardup"):
         # Streaming near-dup dedup recovery: state/verdict dirs are
