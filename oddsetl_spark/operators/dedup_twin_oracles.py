@@ -411,4 +411,40 @@ LEFT JOIN exact e ON e.nrep = m.nrep
 LEFT JOIN near nr ON nr.nrep = m.nrep
 """
 
+    # The chained 4-batch streaming replay (r10 SCALING: its full oracle
+    # out-spilled the disk on exact-twin staging — every copy collides
+    # in ALL bands across every chained stage). The twin rebinds only
+    # `verified`: rep-level jac pairs (banding recall on >= tau pairs is
+    # 100% and deterministic — same argument the dedup_minhash_lsh twin
+    # already relies on) expanded over class membership, plus the
+    # within-class pairs in closed form (identical shingled texts pair
+    # at exactly jaccard 1.0). The verdict chain downstream — bat,
+    # dropb, k1, d2..dN, the final CASE — is the registered oracle's
+    # text byte-for-byte via the shared _neardup_chain_sql builder;
+    # `corpus0` (the pre-contraction corpus, byte-identical to the
+    # registered `corpus` CTE) feeds the batch roster so ntile sees the
+    # full doc set. Doc-level `verified` stays canonical (doc_a < doc_b,
+    # no duplicates): each doc pair arises from exactly one class pair,
+    # and LEAST/GREATEST canonicalizes member interleaving.
+    from ..streaming.stream_neardup import _neardup_chain_sql
+
+    twins["stream_neardup_minhash"] = f"""
+WITH {_CONTRACTED_CORPUS},
+{_SELFPAIR},
+verified AS MATERIALIZED (
+  SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+         GREATEST(ma.doc_id, mb.doc_id) AS doc_b
+  FROM jac j
+  JOIN mem ma ON ma.rep = j.doc_a
+  JOIN mem mb ON mb.rep = j.doc_b
+  WHERE j.jaccard >= {_JACCARD_TAU}
+  UNION ALL
+  SELECT doc_a, doc_b FROM selfpair
+),
+{_neardup_chain_sql("corpus0")}"""
+
+    # The compacted variant commits to IDENTICAL verdicts (its registered
+    # oracle is the same chained replay), so it shares the twin.
+    twins["stream_neardup_compacted"] = twins["stream_neardup_minhash"]
+
     return twins

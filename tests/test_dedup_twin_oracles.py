@@ -110,6 +110,12 @@ _RANDOM_KEYS = [
     "curate_dedup_keep_best",
     "curate_leakage_safe_split",
     "dedup_incremental_batch",
+    # The chained streaming replay's twin (r11): random class sizes make
+    # exact-dup classes SPAN batch boundaries — the geometry where the
+    # within-class expansion must interact correctly with the
+    # batch/state verdict chain (a kept earlier copy state-drops a later
+    # one; two copies in one batch drop within-batch).
+    "stream_neardup_minhash",
 ]
 
 
