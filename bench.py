@@ -84,14 +84,21 @@ SF10_MEDIAN3 = ["agg_groupby_multi", "join_broadcast_star"]
 # win_sessionize_stats and sim_ann_ivf are the input-sized
 # shuffle-partition rule's watch items (decade ratios 10.8x -> 5.7x and
 # 10.5x -> 8.1x when the rule landed): if the sizing rule regresses,
-# these rows are where it shows first.
+# these rows are where it shows first. graph_pagerank (r11, verdict
+# item 6) completes the decade series for the iterative family.
 SF10_WARM1 = [
     "win_sessionize_stats",
     "sim_ann_ivf",
     "dedup_minhash_det",
     "sim_lsh_whitened",
     "dedup_components",
+    "graph_pagerank",
 ]
+# The wide-result row's decade twin runs execution-only (noop sink):
+# at ~9.5M session rows the collect() time is pure Py4J transfer, which
+# the sf0.1/sf1 series already track — the sf10 row exists to watch the
+# sessionize EXECUTION (window + cumsum + per-session agg) scale.
+SF10_EXEC1 = ["win_sessionize"]
 # stream_neardup re-stages and replays the whole 4-batch stream every
 # call (state dirs are per-call scratch), so "warm" never applies: one
 # cold run, like a user's one-shot backfill.
@@ -132,6 +139,7 @@ def _run_child(child_flag: str, timeout: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_at_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("oddsetl-bench")
 
     available = registry.all_queries()
@@ -177,6 +185,13 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r11 noise protocol: single-invocation sf0.1 sums carry ~±30%
+        # machine variance (BASELINE.md "sf0.1 noise band"); loadavg is
+        # recorded so a contended run is visible in the record, and
+        # cross-round claims go through tools/bench_ab.py (interleaved
+        # fresh-process A/B, bench_data/ab_r11_*.json).
+        "loadavg_at_start": load_at_start,
+        "noise_protocol": "tools/bench_ab.py; see BASELINE.md sf0.1 noise band",
     }
     if times_exec:
         # Execution-only twins (noop sink, no driver transfer) for the
@@ -311,9 +326,22 @@ def sf10_child() -> None:
             t10[name] = round(sorted(runs)[len(runs) // 2], 4)
         except Exception as exc:  # noqa: BLE001
             e10[name] = f"{type(exc).__name__}: {exc}"[:300]
+    t10_exec: dict[str, float] = {}
+    for name in SF10_EXEC1:
+        if name not in available:
+            continue
+        try:
+            fn = available[name].fn
+            fn(spark, sf10_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sf10_dir).write.format("noop").mode("overwrite").save()
+            t10_exec[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001
+            e10[f"{name}_exec"] = f"{type(exc).__name__}: {exc}"[:300]
     res = {
         "value": round(sum(t10.values()), 4),
         "queries": t10,
+        "queries_exec": t10_exec,
         "staging": f"k100 low-dup (tools/stage_sf1.py), fresh process, "
         f"staging {stage_s}s",
     }

@@ -55,12 +55,20 @@ HEADLINE = ["agg_groupby_multi", "join3_topk_revenue", "join_broadcast_star",
             # round 8: the whitened-orthonormal rotation contract query
             "sim_lsh_whitened",
             # round 9: the (shingle, size_bin)-keyed prefix join
-            "dedup_jaccard_length_binned"]
+            "dedup_jaccard_length_binned",
+            # round 10: the collision-proof string-keyed prefix join
+            "dedup_jaccard_string_index"]
 
 NOTES = {
     "dedup_jaccard_length_binned": "prefix join keyed on (shingle, "
         "size_bin): probe side explodes over the ~2 bins covering its "
         "exact ratio window; size-incompatible postings never meet.",
+    "dedup_jaccard_string_index": "the same prefix similarity join with "
+        "STRING shingle keys instead of xxhash64 — the registered "
+        "fallback the in-pipeline collision guard directs to past the "
+        "64-bit birthday bound (~1e12 distinct shingles at 100 TB); "
+        "identical pair set (test_string_index_matches_hashed), the "
+        "join key is just wider.",
     "sim_lsh_whitened": "data-dependent planes from the tree-merged "
         "Gramian fold (no corpus shuffle); bucket exprs are JVM literal "
         "folds; contract columns computed on a 500-vector a-side sample.",
@@ -339,6 +347,80 @@ out.append("```")
 out.extend(line.rstrip() for line in section_lines(spark))
 out.append("```")
 out.append("")
+
+# Streaming near-dup state probe (r10 shape, rendered r11): the state
+# side of the band-collision probe is a table bucketed by (band_id,
+# band_key), so the probe plan shows "Bucketed: true" and exactly ONE
+# band-key exchange — the arriving batch's. Rendered both on per-batch
+# partitions and AFTER compact_state folds them into batch=0 (the fold
+# goes through the same bucketed insertInto, so the plan must not
+# change). Locked by test_plans.py::
+# test_stream_neardup_state_probe_is_colocated and
+# ::test_stream_neardup_probe_colocated_after_compaction.
+
+
+def _neardup_state_plans() -> list[str]:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.streaming.stream_neardup import (
+        _band_collisions,
+        compact_state,
+        ensure_state_tables,
+    )
+
+    state_dir = scratch_dir("plansnd")
+    marker_dir = scratch_dir("plansnd_markers")
+    bands_tbl, _ = ensure_state_tables(spark, state_dir)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for n in (1, 2):
+        spark.range(2000).select(
+            (F.col("id") % 16).cast("int").alias("band_id"),
+            ((F.col("id") + n) % 97).cast("string").alias("band_key"),
+            (F.col("id") + n * 10_000).alias("doc_id"),
+            F.lit(n).cast("int").alias("batch"),
+        ).write.mode("overwrite").insertInto(bands_tbl)
+        open(os.path.join(marker_dir, f"applied_{n}"), "w").close()
+    probe = spark.range(100).select(
+        (F.col("id") % 16).cast("int").alias("band_id"),
+        (F.col("id") % 97).cast("string").alias("band_key"),
+        (F.col("id") + 50_000).alias("doc_id"),
+    )
+
+    def _probe_plan() -> str:
+        state = spark.table(bands_tbl).filter(F.col("batch") < 3).drop("batch")
+        j = _band_collisions(state.hint("merge"), probe)
+        j.collect()
+        full = j._jdf.queryExecution().executedPlan().toString()
+        plan = full.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange hashpartitioning(band_id") == 1
+        return "\n".join(
+            line.rstrip() for line in plan.splitlines() if line.strip()
+        )
+
+    lines = ["### per-batch partitions (as written by the stream)", "",
+             "```", _probe_plan(), "```", ""]
+    compact_state(spark, state_dir, marker_dir)
+    lines += ["### after compact_state (fold into batch=0)", "",
+              "```", _probe_plan(), "```", ""]
+    return lines
+
+
+out.append("## stream_neardup state probe (bucketed, co-located)")
+out.append("")
+out.append(
+    "The kept-signature state lives in tables bucketed by (band_id, "
+    "band_key) / (doc_id); a micro-batch's probe join scans the state "
+    "with NO exchange (the one band-key exchange below is the small "
+    "arriving batch's). compact_state's fold preserves the layout — "
+    "same plan before and after. Forced to SMJ so AQE's broadcast of "
+    "the tiny demo batch can't mask the bucketing."
+)
+out.append("")
+out.extend(_neardup_state_plans())
 
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("\n".join(out))
