@@ -106,9 +106,12 @@ def pin_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
-# Input-byte totals per fixture dir, computed once (os.walk over local
-# parquet files; fixture dirs are immutable within a process).
-_DIR_BYTES: dict[str, int] = {}
+# Input-byte totals per fixture dir, keyed on (dir, top-level mtime_ns):
+# staging tools add/replace table subdirs in place, which bumps the
+# parent dir's mtime, so a dir that grows after first sizing re-walks
+# instead of keeping a stale partition count for the process lifetime
+# (r10 ADVICE). Within one mtime the walk runs once.
+_DIR_BYTES: dict[tuple[str, int], int] = {}
 
 # Target shuffle-task input: the r9 ~sf10 sweep (SCALING.md
 # "shuffle-partition sizing at ~sf10") measured the spill inflection at
@@ -130,11 +133,21 @@ def size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
     """Set spark.sql.shuffle.partitions from the input size (r9 board
     item: 'partitions scale with data' was a documented rule; this wires
     it). Called by io.table() so every registered query gets it for the
-    dir it actually reads. ODDSETL_SHUFFLE_PARTITIONS still wins (the
-    partition-invariance tests prove results don't depend on this)."""
+    dir it actually reads.
+
+    ODDSETL_SHUFFLE_PARTITIONS is the documented escape hatch and still
+    wins (the partition-invariance tests prove results don't depend on
+    this). Tools that need a fixed width must pin through the env var,
+    NOT spark.conf.set — this function runs on every table load and
+    would clobber a programmatic pin on the next one (r10 ADVICE;
+    tools/stream_restart_worker.py is the in-repo example)."""
     if os.environ.get("ODDSETL_SHUFFLE_PARTITIONS"):
         return  # explicit override already pinned by pin_session
-    total = _DIR_BYTES.get(sf_dir)
+    try:
+        key = (sf_dir, os.stat(sf_dir).st_mtime_ns)
+    except OSError:
+        key = (sf_dir, 0)
+    total = _DIR_BYTES.get(key)
     if total is None:
         total = 0
         try:
@@ -145,7 +158,7 @@ def size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
                             total += os.path.getsize(os.path.join(root, f))
         except OSError:
             total = 0  # non-local / unreadable dir: keep the cores floor
-        _DIR_BYTES[sf_dir] = total
+        _DIR_BYTES[key] = total
     try:
         floor = max(spark.sparkContext.defaultParallelism, 8)
         p = min(

@@ -1372,11 +1372,23 @@ def test_input_sized_shuffle_partitions(spark, tmp_path):
     )
     assert 64 <= max(floor, expect) <= 128, "outside the measured band"
 
+    # A dir that GROWS after first sizing re-walks (the byte cache is
+    # keyed on the dir's top-level mtime, r10 ADVICE): adding a second
+    # table bumps the parent mtime, so the stale count must not stick.
+    os.utime(big, ns=(1, 1))  # force a distinct mtime for the add below
+    with open(big / "orders.parquet", "wb") as f:
+        f.truncate(1_580_000_000)
+    size_shuffle_partitions(spark, str(big))
+    expect2 = -(-2 * 1_580_000_000 // (16 * 1024 * 1024))
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == max(
+        floor, expect2
+    ), "grown dir kept a stale partition count"
+
     # Override wins: the function must not touch the conf at all.
     os.environ["ODDSETL_SHUFFLE_PARTITIONS"] = "5"
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "5")
-        _DIR_BYTES.pop(str(big), None)
+        _DIR_BYTES.clear()
         size_shuffle_partitions(spark, str(big))
         assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
     finally:
