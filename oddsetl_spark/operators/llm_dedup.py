@@ -887,22 +887,23 @@ def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     K=10, where every doc has 10 identical copies); contracted, the
     pair-finding cost depends on DISTINCT texts only. This is the
     standard corpus-pipeline ordering: exact dedup before near-dup."""
-    # One materialization of the augmented corpus: the exact-dup grouping,
-    # the membership join, and the rep-corpus shingle pipeline each
-    # re-derived the 3-variant union (lower + split/slice string work)
-    # from parquet otherwise.
-    corpus = _corpus(spark, sf_dir).localCheckpoint()
+    # Checkpoint only the COMPACT (doc_id, md5-of-text) frame, never the
+    # full-text corpus (r11): caching text rows on-heap is what OOM'd
+    # the 16 GB local JVM at ~sf30 (4.5M docs on 0.5 GB/slot x 32
+    # slots), and at 100 TB nobody can cache the corpus — the grouping
+    # and membership only ever need the 32-byte key, and the rep-corpus
+    # shingle pipeline re-derives the 3-variant union from the columnar
+    # scan (one extra projection pass, measured wall-neutral at sf10).
+    corpus = _corpus(spark, sf_dir)
     key = F.md5(F.col("text"))
+    keyed = corpus.select("doc_id", key.alias("k")).localCheckpoint()
     groups = (
-        corpus.select("doc_id", key.alias("k"))
-        .groupBy("k")
+        keyed.groupBy("k")
         .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n"))
         .localCheckpoint()
     )
-    membership = (
-        corpus.select("doc_id", key.alias("k"))
-        .join(groups.select("k", "rep_id"), "k")
-        .select("doc_id", "rep_id")
+    membership = keyed.join(groups.select("k", "rep_id"), "k").select(
+        "doc_id", "rep_id"
     )
     rep_corpus = corpus.join(
         groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
