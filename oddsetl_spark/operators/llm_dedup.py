@@ -187,10 +187,19 @@ def _jaccard_pairs_tau(
     the final jaccard expression/filter are the same shapes as the full
     index's, so values are bit-identical.
 
-    The shingle table is localCheckpointed: three branches consume it
-    (document frequencies, the ranked prefix, the verify sets) and each
-    would otherwise re-run the corpus union + explode upstream —
-    measured ~7 s of redundant recompute per call at ~sf1.
+    The HASHED shingle table (doc_id, xxhash64 long) is what gets
+    localCheckpointed — its two consumers (the ranked prefix, the
+    verify sets) would otherwise re-run the corpus union + explode
+    upstream (measured ~7 s of redundant recompute per call at ~sf1).
+    The STRING shingle table stays lazy and is consumed exactly once,
+    by the vocabulary/collision-guard pass: caching exploded ~25-byte
+    shingle strings on-heap is what exhausted the default 16 GB local
+    JVM at ~sf30 (r11: ~200M exploded rows; the compact long
+    checkpoint is ~4x smaller and removes the string churn from every
+    downstream stage). Cost: the explode pipeline runs twice (hash
+    checkpoint + vocabulary job) instead of once-plus-cache — measured
+    wall-neutral at sf10 and the difference between OOM and green at
+    sf30 on default heap.
 
     Threshold arithmetic is float-slop-safe in the CONSERVATIVE
     direction: ceil(tau*n - 1e-9) can only round DOWN off-by-ulp
@@ -229,9 +238,10 @@ def _jaccard_pairs_tau(
     OFF by default at bench scale, and the documented switch for the
     100 TB regime — with its losslessness already locked, flipping it
     is a config change, not a correctness event."""
-    sh = _shingles(
-        corpus if corpus is not None else _corpus(spark, sf_dir)
-    ).localCheckpoint()
+    sh = _shingles(corpus if corpus is not None else _corpus(spark, sf_dir))
+    if use_string_index:
+        # string keys ARE the index: the one checkpoint must hold them
+        sh = sh.localCheckpoint()
     # INT-HASHED index (r9 ~sf10 fix): every shuffle downstream of the
     # vocabulary build — the df join, the doc_id window, the prefix
     # self-join, and the collect_set/verify arrays — carries xxhash64
@@ -292,7 +302,9 @@ def _jaccard_pairs_tau(
             )
             .localCheckpoint()
         )
-        shh = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+        shh = sh.select(
+            "doc_id", F.xxhash64("shingle").alias("h")
+        ).localCheckpoint()
     ranked = shh.join(vmap, "h")
     w = W.partitionBy("doc_id").orderBy("df", "h")
     pos = ranked.select(
