@@ -600,7 +600,19 @@ def neardup_batch_fn(
                 "injected crash: marker landed, checkpoint offset not"
             )
         if compact_every and n % compact_every == 0:
-            compact_state(sp, state_dir, marker_dir)
+            compact_state(
+                sp,
+                state_dir,
+                marker_dir,
+                # "compact" crash point: die between the fold commit and
+                # the source-partition drops — the cross-process resume
+                # must complete the pending fold before the next batch
+                # reads state (tools/stream_restart_worker.py
+                # neardup-compact mode).
+                crash_after_fold=(
+                    n == crash_batch and crash_point == "compact"
+                ),
+            )
 
     return dedup_batch
 

@@ -44,7 +44,10 @@ def test_neardup_verdict_invariants(spark):
 import pytest
 
 
-@pytest.mark.parametrize("mode", ["neardup", "neardup-early", "neardup-rocks"])
+@pytest.mark.parametrize(
+    "mode",
+    ["neardup", "neardup-early", "neardup-rocks", "neardup-compact"],
+)
 def test_neardup_restart_across_processes(spark, mode):
     """Kill/resume across two driver processes: phase 1 crashes inside
     batch 2 — either AFTER the commit marker ("neardup": the
@@ -55,7 +58,12 @@ def test_neardup_restart_across_processes(spark, mode):
     clean single-process run's, with exactly one marker/state/out dir
     per batch. "neardup-rocks" repeats the late-crash shape under the
     RocksDB state store provider (r9 verdict item 6: the last
-    provider x operator composition gap)."""
+    provider x operator composition gap). "neardup-compact" (r11) runs
+    with state compaction every 2nd batch and crashes INSIDE the
+    compaction — fold committed, source partitions not dropped, state
+    transiently duplicated on disk — so the resumed process must
+    complete the pending fold (through a fresh catalog + MSCK
+    re-registration) before batch 3 reads state."""
     import os
     import subprocess
     import sys
@@ -88,8 +96,11 @@ def test_neardup_restart_across_processes(spark, mode):
     markers = sorted(os.listdir(marker_dir))
     if mode == "neardup-early":
         assert "applied_2" not in markers, markers  # crash beat the marker
-    else:  # late-crash modes (heap + rocksdb providers)
+    else:  # late-crash modes (heap + rocksdb providers) + compact
         assert "applied_2" in markers, markers  # marker landed pre-crash
+    if mode == "neardup-compact":
+        # the crash window left the pending intent + the duplicated state
+        assert "compact_pending" in markers, markers
     r2 = subprocess.run(
         [sys.executable, worker, "2", staged, root, ckpt, "-1", mode],
         capture_output=True,

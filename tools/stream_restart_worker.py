@@ -70,10 +70,20 @@ def main() -> None:
         )
         for d in (state_dir, out_dir, marker_dir):
             os.makedirs(d, exist_ok=True)
+        # "neardup-compact": run with state compaction every 2nd batch
+        # and crash phase 1 INSIDE the compaction (fold committed,
+        # source partitions not dropped) — the resumed process must
+        # complete the pending fold before the next batch reads state.
+        crash_point = (
+            "compact" if "compact" in mode
+            else "early" if "early" in mode
+            else "late"
+        )
         q = neardup_start(
             spark, staged, state_dir, out_dir, marker_dir, ckpt,
             crash_batch=crash_after if phase == "1" else -1,
-            crash_point="early" if "early" in mode else "late",
+            crash_point=crash_point,
+            compact_every=2 if "compact" in mode else 0,
         )
         try:
             q.awaitTermination()
