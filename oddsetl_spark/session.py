@@ -106,12 +106,22 @@ def pin_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
-# Input-byte totals per fixture dir, keyed on (dir, top-level mtime_ns):
-# staging tools add/replace table subdirs in place, which bumps the
-# parent dir's mtime, so a dir that grows after first sizing re-walks
-# instead of keeping a stale partition count for the process lifetime
-# (r10 ADVICE). Within one mtime the walk runs once.
+# Input-byte totals per fixture dir, keyed on (dir, max mtime_ns over
+# the dir AND its immediate table subdirs): staging tools add/replace
+# table subdirs (bumps the parent mtime) or rewrite parquet files INSIDE
+# an existing subdir (bumps only that subdir's mtime — the parent alone
+# was a stale key, r11 ADVICE), so either kind of growth re-walks
+# instead of keeping a stale partition count for the process lifetime.
+# Within one key the full walk runs once; the key itself is one listdir.
 _DIR_BYTES: dict[tuple[str, int], int] = {}
+
+
+def _dir_key_mtime(sf_dir: str) -> int:
+    mt = os.stat(sf_dir).st_mtime_ns
+    for entry in os.scandir(sf_dir):
+        if entry.is_dir(follow_symlinks=False):
+            mt = max(mt, entry.stat().st_mtime_ns)
+    return mt
 
 # Target shuffle-task input: the r9 ~sf10 sweep (SCALING.md
 # "shuffle-partition sizing at ~sf10") measured the spill inflection at
@@ -144,7 +154,7 @@ def size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
     if os.environ.get("ODDSETL_SHUFFLE_PARTITIONS"):
         return  # explicit override already pinned by pin_session
     try:
-        key = (sf_dir, os.stat(sf_dir).st_mtime_ns)
+        key = (sf_dir, _dir_key_mtime(sf_dir))
     except OSError:
         key = (sf_dir, 0)
     total = _DIR_BYTES.get(key)

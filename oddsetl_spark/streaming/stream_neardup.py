@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -126,6 +127,22 @@ def ensure_state_tables(spark: SparkSession, state_dir: str) -> tuple[str, str]:
 _COMPACT_PARTITION = 0
 
 
+@contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    """Scope partitionOverwriteMode=dynamic to one write (r11 ADVICE):
+    setting it session-wide and never restoring silently changed
+    overwrite-insertInto semantics for unrelated queries sharing the
+    session — a later full-table `mode("overwrite").insertInto` would
+    only replace the partitions present in its input."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved) if saved is not None else spark.conf.unset(key)
+
+
 def compact_state(
     spark: SparkSession,
     state_dir: str,
@@ -186,7 +203,6 @@ def _run_compaction(
     with open(pending) as f:
         upto = json.load(f)["upto"]
     bands_tbl, docs_tbl = ensure_state_tables(spark, state_dir)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     stats: dict = {"folded_upto": upto}
     for tbl, subdir in ((bands_tbl, "bands"), (docs_tbl, "docs")):
         src = (
@@ -201,7 +217,8 @@ def _run_compaction(
             # table it reads (same pattern as the per-batch writes)
             .localCheckpoint()
         )
-        src.write.mode("overwrite").insertInto(tbl)
+        with _dynamic_overwrite(spark):
+            src.write.mode("overwrite").insertInto(tbl)
         if crash_after_fold:
             raise RuntimeError(
                 "injected crash: fold committed, source partitions not "
@@ -483,16 +500,21 @@ def neardup_batch_fn(
                 "maxFilesPerTrigger=1"
             )
         n = batches[0]
-        marker = os.path.join(marker_dir, f"applied_{n}")
-        if os.path.exists(marker):
-            return  # re-delivered batch: already applied exactly once
         # Recover a compaction that crashed between its fold and its
         # source-partition drops: the pending intent must complete
         # BEFORE this batch reads state, or the probe would see the
-        # transiently duplicated fold + originals.
+        # transiently duplicated fold + originals. Checked BEFORE the
+        # applied-marker short-circuit (r11 ADVICE): a crash inside the
+        # LAST batch's compaction redelivers a batch whose marker already
+        # exists, and returning at the marker would leave the intent and
+        # the duplicated partitions behind forever (neardup_start also
+        # recovers, covering the availableNow case with no redelivery).
         pending = os.path.join(marker_dir, "compact_pending")
         if os.path.exists(pending):
             _run_compaction(sp, state_dir, pending)
+        marker = os.path.join(marker_dir, f"applied_{n}")
+        if os.path.exists(marker):
+            return  # re-delivered batch: already applied exactly once
         # Ordered-arrival guard (r10 ADVICE, tightened r11): the file
         # source orders staged part dirs by modification time; an mtime
         # tie could deliver batches out of order. Monotonicity alone
@@ -558,19 +580,19 @@ def neardup_batch_fn(
         ).localCheckpoint()
         # WRITE-ONCE per batch id: dynamic overwrite of this batch's
         # partition in both bucketed tables — idempotent under replay.
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         nb = F.lit(n).cast("int")
-        (
-            _bands_of(kept)
-            .select("band_id", "band_key", "doc_id", nb.alias("batch"))
-            .write.mode("overwrite")
-            .insertInto(bands_tbl)
-        )
-        (
-            kept.select("doc_id", "n_sh", "sh_set", nb.alias("batch"))
-            .write.mode("overwrite")
-            .insertInto(docs_tbl)
-        )
+        with _dynamic_overwrite(sp):
+            (
+                _bands_of(kept)
+                .select("band_id", "band_key", "doc_id", nb.alias("batch"))
+                .write.mode("overwrite")
+                .insertInto(bands_tbl)
+            )
+            (
+                kept.select("doc_id", "n_sh", "sh_set", nb.alias("batch"))
+                .write.mode("overwrite")
+                .insertInto(docs_tbl)
+            )
         if n == crash_batch and crash_point == "early":
             raise RuntimeError(
                 "injected crash: state written, verdicts and marker not"
@@ -644,6 +666,14 @@ def neardup_start(
     # Register (or recover, on cross-process resume) the bucketed state
     # tables before the first batch fires.
     ensure_state_tables(spark, state_dir)
+    # Recover a compaction that crashed after the LAST batch (r11
+    # ADVICE): with availableNow + all markers applied, no batch is
+    # redelivered, so dedup_batch's pending check never runs — the
+    # intent and the duplicated fold+original partitions would persist
+    # indefinitely for any direct reader of the state tables.
+    pending = os.path.join(marker_dir, "compact_pending")
+    if os.path.exists(pending):
+        _run_compaction(spark, state_dir, pending)
     return (
         spark.readStream.schema(neardup_schema())
         .option("maxFilesPerTrigger", "1")

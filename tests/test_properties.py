@@ -1384,6 +1384,31 @@ def test_input_sized_shuffle_partitions(spark, tmp_path):
         floor, expect2
     ), "grown dir kept a stale partition count"
 
+    # Replacing files IN PLACE inside an existing table subdir bumps
+    # only the SUBDIR's mtime, not the parent's (r11 ADVICE: the
+    # parent-only key kept a stale byte total for the process lifetime).
+    # The key is now the max mtime across the dir and its immediate
+    # subdirs, so an in-place rewrite re-walks too.
+    sub = big / "events"
+    sub.mkdir()
+    with open(sub / "part-0.parquet", "wb") as f:
+        f.truncate(1_580_000_000)
+    parent_ns = os.stat(big).st_mtime_ns
+    size_shuffle_partitions(spark, str(big))
+    expect3 = -(-3 * 1_580_000_000 // (16 * 1024 * 1024))
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == max(
+        floor, expect3
+    )
+    with open(sub / "part-0.parquet", "wb") as f:
+        f.truncate(2 * 1_580_000_000)  # in-place rewrite, same filename
+    os.utime(big, ns=(parent_ns, parent_ns))  # parent mtime unchanged
+    os.utime(sub, ns=(parent_ns + 7, parent_ns + 7))
+    size_shuffle_partitions(spark, str(big))
+    expect4 = -(-4 * 1_580_000_000 // (16 * 1024 * 1024))
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == max(
+        floor, expect4
+    ), "in-place subdir rewrite kept a stale partition count"
+
     # Override wins: the function must not touch the conf at all.
     os.environ["ODDSETL_SHUFFLE_PARTITIONS"] = "5"
     try:

@@ -324,3 +324,120 @@ def test_compaction_crash_recovery(spark):
         .collect()
     )
     assert got == clean
+
+
+def test_compaction_crash_after_last_batch_recovers(spark):
+    """A compaction that crashes AFTER the LAST batch has no future
+    'next batch' to piggyback recovery on, and every redelivered batch
+    already has its applied marker (r11 ADVICE: the old code returned
+    at the marker BEFORE the pending check, so the intent and the
+    duplicated fold+original partitions persisted forever). Both
+    recovery paths must clear it: a redelivered already-applied batch,
+    and a resumed stream with nothing to redeliver (neardup_start)."""
+    import os
+
+    import pytest as _pytest
+
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.streaming.stream_neardup import (
+        _stage_neardup,
+        _state_tbl_names,
+        compact_state,
+        neardup_batch_fn,
+        neardup_read_verdicts,
+        neardup_start,
+    )
+
+    staged = _stage_neardup(spark, SF_DIR)
+    state_dir = scratch_dir("nd_last_state")
+    marker_dir = scratch_dir("nd_last_markers")
+    out_dir = scratch_dir("nd_last_out")
+    ckpt = scratch_dir("nd_last_ckpt")
+    # consume the whole stream through the real streaming path so the
+    # checkpoint records every batch as committed
+    q = neardup_start(spark, staged, state_dir, out_dir, marker_dir, ckpt)
+    q.awaitTermination()
+    with _pytest.raises(RuntimeError, match="injected crash: fold"):
+        compact_state(spark, state_dir, marker_dir, crash_after_fold=True)
+    bands_tbl, _ = _state_tbl_names(state_dir)
+    pending = os.path.join(marker_dir, "compact_pending")
+    assert os.path.exists(pending)
+
+    # Path 1: an at-least-once REDELIVERY of an already-applied batch
+    # must recover the pending fold before its marker short-circuit.
+    fn = neardup_batch_fn(state_dir, out_dir, marker_dir)
+    fn(spark.read.parquet(os.path.join(staged, "part-0004")), 99)
+    assert not os.path.exists(pending), "redelivered batch must recover"
+    parts = {
+        r["batch"]
+        for r in spark.table(bands_tbl).select("batch").distinct().collect()
+    }
+    assert parts == {0}, parts
+
+    # Path 2: a RESUMED stream with a consumed checkpoint redelivers
+    # nothing (availableNow), so neardup_start itself must recover.
+    with _pytest.raises(RuntimeError, match="injected crash: fold"):
+        compact_state(spark, state_dir, marker_dir, crash_after_fold=True)
+    assert os.path.exists(pending)
+    q2 = neardup_start(spark, staged, state_dir, out_dir, marker_dir, ckpt)
+    q2.awaitTermination()
+    assert not os.path.exists(pending), "resumed stream must recover"
+    parts = {
+        r["batch"]
+        for r in spark.table(bands_tbl).select("batch").distinct().collect()
+    }
+    assert parts == {0}, parts
+    # verdicts untouched by either recovery
+    got = sorted(
+        tuple(r) for r in neardup_read_verdicts(spark, out_dir).collect()
+    )
+    clean = sorted(
+        tuple(r)
+        for r in registry.get("stream_neardup_minhash")
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    assert got == clean
+
+
+def test_dynamic_overwrite_conf_restored(spark):
+    """partitionOverwriteMode=dynamic is scoped to the state writes
+    (r11 ADVICE: it used to leak session-wide, silently changing
+    overwrite-insertInto semantics for unrelated queries): both the
+    per-batch write and the compaction fold must restore the caller's
+    prior value — even when the fold crashes mid-way."""
+    import os
+
+    import pytest as _pytest
+
+    from oddsetl_spark.session import scratch_dir
+    from oddsetl_spark.streaming.stream_neardup import (
+        _stage_neardup,
+        compact_state,
+        ensure_state_tables,
+        neardup_batch_fn,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        staged = _stage_neardup(spark, SF_DIR)
+        state_dir = scratch_dir("nd_conf_state")
+        marker_dir = scratch_dir("nd_conf_markers")
+        out_dir = scratch_dir("nd_conf_out")
+        ensure_state_tables(spark, state_dir)
+        fn = neardup_batch_fn(state_dir, out_dir, marker_dir)
+        for n in (1, 2):
+            fn(spark.read.parquet(os.path.join(staged, f"part-{n:04d}")), n)
+        assert spark.conf.get(key) == "static", "batch write leaked conf"
+        with _pytest.raises(RuntimeError, match="injected crash: fold"):
+            compact_state(spark, state_dir, marker_dir, crash_after_fold=True)
+        assert spark.conf.get(key) == "static", "crashed fold leaked conf"
+        compact_state(spark, state_dir, marker_dir)
+        assert spark.conf.get(key) == "static", "compaction leaked conf"
+    finally:
+        if saved is not None:
+            spark.conf.set(key, saved)
+        else:
+            spark.conf.unset(key)

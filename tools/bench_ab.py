@@ -89,7 +89,13 @@ def main() -> None:
     loads: dict[str, list[float]] = {label: [] for label, _ in arms}
     qnames = args.queries.split(",")
     for i in range(args.iters):
-        for label, env in arms:  # interleaved: A,B per iteration
+        # Interleaved, with arm ORDER alternating per iteration (A,B /
+        # B,A — r11 ADVICE): a fixed order biases arm A with every
+        # order-correlated effect (page-cache warm-up, background phases
+        # that decay within an iteration); alternating cancels them in
+        # the medians.
+        order = arms if i % 2 == 0 else list(reversed(arms))
+        for label, env in order:
             loads[label].append(round(os.getloadavg()[0], 2))
             child_env = dict(
                 os.environ,
