@@ -23,11 +23,18 @@ SF_DIRS = {
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        # `<t>.parquet` is a flat file in the driver fixtures, but the
+        # parallel staging writer (tools/stage_sf1.py) emits a DIRECTORY
+        # of part files — glob it so DuckDB sees the same rows Spark does.
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{src}')"
         )
     return con
 
