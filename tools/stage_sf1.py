@@ -133,22 +133,24 @@ def stage(k: int, mode: str, src: str = SRC) -> str:
     for t in TABLES:
         path = f"{src}/{t}.parquet"
         if t in FACT_SHIFT and k > 1:
-            # split the source scan so the K-fan-out write runs ~_N_FILES
-            # wide (the conf is read at scan planning, which happens at
-            # the write action right below)
-            sz = os.path.getsize(path) if os.path.isfile(path) else sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(path)
-                for f in fs
-                if f.endswith(".parquet")
-            )
-            spark.conf.set(
-                "spark.sql.files.maxPartitionBytes",
-                str(max(1 << 20, sz // _N_FILES)),
-            )
             ci = F.col("copy_i")
-            df = spark.read.parquet(path).crossJoin(
-                F.broadcast(spark.range(k).select(F.col("id").alias("copy_i")))
+            # repartition the base BEFORE the fan-out: the single-file
+            # fixtures hold one parquet row group, so scan-split knobs
+            # (maxPartitionBytes) cannot widen them — without the
+            # explicit shuffle the whole K-x expansion and encode ran in
+            # ONE task (measured: load ~1.3 on 32 cores). The base is
+            # small (<= a few hundred MB), so this shuffle is noise next
+            # to the K-x encode it parallelizes. The copy index comes
+            # from an explode'd sequence — plain codegen, no join.
+            df = (
+                spark.read.parquet(path)
+                .repartition(_N_FILES)
+                .withColumn(
+                    "copy_i",
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(k - 1)).cast("array<long>")
+                    ),
+                )
             )
             for col, span in FACT_SHIFT[t].items():
                 df = df.withColumn(col, F.col(col) + ci * F.lit(span))
