@@ -33,8 +33,33 @@ from pyspark.sql import Window as W
 
 from ..io import table
 from ..registry import register
+from ..session import input_bytes
 
 _JACCARD_TAU = 0.8
+
+# Source-bytes threshold above which the LARGE intermediate checkpoints
+# (exploded shingle-hash tables, per-doc signature/shingle-set frames)
+# are localCheckpointed DISK_ONLY instead of the default deserialized
+# MEMORY_AND_DISK. Root cause of the ~sf30 default-heap OOM (r12,
+# reproduced with the stack in SCALING.md): a ~13 GB checkpoint cached
+# as DESERIALIZED rows cannot fit a 16 GB heap, spills, and then every
+# consumer read tries to RE-PROMOTE the disk blocks into memory
+# (BlockManager.maybeCacheDiskValuesInMemory) across 32 concurrent
+# tasks — the heap dies in the deserializer, not in any operator. Below
+# the threshold the default level keeps the warm-cache wall times; at or
+# above it the checkpoint streams from local disk with zero heap
+# footprint, which is the only shape that survives arbitrary scale.
+_DISK_CKPT_BYTES = 2 << 30
+
+
+def _big_ckpt_level(sf_dir: str | None):
+    """StorageLevel for a LARGE localCheckpoint (DISK_ONLY past the
+    input-size threshold), or None = pyspark's default level."""
+    if sf_dir and input_bytes(sf_dir) >= _DISK_CKPT_BYTES:
+        from pyspark.storagelevel import StorageLevel
+
+        return StorageLevel.DISK_ONLY
+    return None
 
 # DuckDB twin of the augmented corpus (lowercased; twins drop 2/4 tokens).
 _SQL_CORPUS = """
@@ -239,9 +264,10 @@ def _jaccard_pairs_tau(
     100 TB regime — with its losslessness already locked, flipping it
     is a config change, not a correctness event."""
     sh = _shingles(corpus if corpus is not None else _corpus(spark, sf_dir))
+    lvl = _big_ckpt_level(sf_dir)
     if use_string_index:
         # string keys ARE the index: the one checkpoint must hold them
-        sh = sh.localCheckpoint()
+        sh = sh.localCheckpoint(storageLevel=lvl)
     # INT-HASHED index (r9 ~sf10 fix): every shuffle downstream of the
     # vocabulary build — the df join, the doc_id window, the prefix
     # self-join, and the collect_set/verify arrays — carries xxhash64
@@ -272,7 +298,7 @@ def _jaccard_pairs_tau(
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .select(F.col("shingle").alias("h"), "df")
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=lvl)
         )
         shh = sh.select("doc_id", F.col("shingle").alias("h"))
     else:
@@ -300,11 +326,11 @@ def _jaccard_pairs_tau(
                 .otherwise(F.col("df_sum"))
                 .alias("df"),
             )
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=lvl)
         )
         shh = sh.select(
             "doc_id", F.xxhash64("shingle").alias("h")
-        ).localCheckpoint()
+        ).localCheckpoint(storageLevel=lvl)
     ranked = shh.join(vmap, "h")
     w = W.partitionBy("doc_id").orderBy("df", "h")
     pos = ranked.select(
@@ -618,7 +644,7 @@ def minhash_lsh_pairs(
             ),
         )
         .withColumn("n_sh", F.size("sh_set"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_big_ckpt_level(sf_dir))
     )
     def perm(a: int, b: int):
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(p)
@@ -1399,7 +1425,7 @@ def _det_sig_cand(
         .select("doc_id", sh_set.alias("sh_set"))
         .withColumn("hp", F.transform("sh_set", base_h))
         .withColumn("n_sh", F.size("sh_set"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_big_ckpt_level(sf_dir))
     )
     def _perm(a: int, b: int):
         # closure factory: default-arg lambdas change the visible arity and

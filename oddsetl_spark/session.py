@@ -139,20 +139,14 @@ _TARGET_TASK_INPUT_BYTES = 16 * 1024 * 1024
 _MAX_SHUFFLE_PARTITIONS = 4096
 
 
-def size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
-    """Set spark.sql.shuffle.partitions from the input size (r9 board
-    item: 'partitions scale with data' was a documented rule; this wires
-    it). Called by io.table() so every registered query gets it for the
-    dir it actually reads.
-
-    ODDSETL_SHUFFLE_PARTITIONS is the documented escape hatch and still
-    wins (the partition-invariance tests prove results don't depend on
-    this). Tools that need a fixed width must pin through the env var,
-    NOT spark.conf.set — this function runs on every table load and
-    would clobber a programmatic pin on the next one (r10 ADVICE;
-    tools/stream_restart_worker.py is the in-repo example)."""
-    if os.environ.get("ODDSETL_SHUFFLE_PARTITIONS"):
-        return  # explicit override already pinned by pin_session
+def input_bytes(sf_dir: str) -> int:
+    """Total parquet bytes under a fixture dir (cached per mtime key —
+    the same walk size_shuffle_partitions uses). Operators consult this
+    to pick SIZE-DEPENDENT strategies, e.g. DISK_ONLY storage for large
+    localCheckpoints (a multi-GB checkpoint cached as deserialized rows
+    is what OOM'd dedup_components at ~sf30 on the default heap: every
+    read of a disk-spilled block tried to re-promote it into memory
+    across 32 concurrent tasks — r12, stack in SCALING.md)."""
     try:
         key = (sf_dir, _dir_key_mtime(sf_dir))
     except OSError:
@@ -167,8 +161,26 @@ def size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
                         if f.endswith(".parquet"):
                             total += os.path.getsize(os.path.join(root, f))
         except OSError:
-            total = 0  # non-local / unreadable dir: keep the cores floor
+            total = 0  # non-local / unreadable dir: treat as small
         _DIR_BYTES[key] = total
+    return total
+
+
+def size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
+    """Set spark.sql.shuffle.partitions from the input size (r9 board
+    item: 'partitions scale with data' was a documented rule; this wires
+    it). Called by io.table() so every registered query gets it for the
+    dir it actually reads.
+
+    ODDSETL_SHUFFLE_PARTITIONS is the documented escape hatch and still
+    wins (the partition-invariance tests prove results don't depend on
+    this). Tools that need a fixed width must pin through the env var,
+    NOT spark.conf.set — this function runs on every table load and
+    would clobber a programmatic pin on the next one (r10 ADVICE;
+    tools/stream_restart_worker.py is the in-repo example)."""
+    if os.environ.get("ODDSETL_SHUFFLE_PARTITIONS"):
+        return  # explicit override already pinned by pin_session
+    total = input_bytes(sf_dir)
     try:
         floor = max(spark.sparkContext.defaultParallelism, 8)
         p = min(
