@@ -126,6 +126,35 @@ def ensure_state_tables(spark: SparkSession, state_dir: str) -> tuple[str, str]:
 # hold the compacted fold of all committed batches.
 _COMPACT_PARTITION = 0
 
+# Default file-count trigger for threshold-driven compaction (r11
+# verdict item 5: a fixed every-N-batches cadence amortizes by demo
+# cadence, not by measurement). Derivation from the measured curves
+# (SCALING.md rounds 11-12): the state-side probe pays ~0.25-0.30 ms
+# PER STATE FILE (r11: (3.87 - 0.247) s over 12,288 files; r12 48-batch
+# re-measure: (0.245 - 0.130) s over 461 files — same constant at a 26x
+# smaller state). At production batch sizes a batch adds ~256 files
+# (2 tables x 8 buckets x 32 writer tasks) and a fold costs ~6.5 s;
+# compacting at F files costs fold/(F/256) per batch and saves
+# ~0.15 ms x F per batch in probe time, minimized at
+# F* = sqrt(2 x 6.5 x 256 / 0.0003) ~ 3,330 files. The knob is a file
+# COUNT (the quantity the probe actually pays for), so the rule
+# self-adapts when batch size, bucket count, or task width change the
+# files-per-batch rate: the r12 48-batch run at ~10 files/batch
+# correctly never folded at this threshold (probe at 477 files is
+# ~0.12 s over floor — cheaper than any fold), while the same stream
+# with the threshold in range folds on the measured schedule.
+_COMPACT_FILES_DEFAULT = 3072
+
+
+def state_file_count(state_dir: str) -> int:
+    """Parquet files currently under both state tables — the listing
+    cost every probe pays, and the threshold rule's trigger quantity.
+    One os.walk per applied batch; trivial next to a batch apply."""
+    return sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(state_dir)
+    )
+
 
 @contextmanager
 def _dynamic_overwrite(spark: SparkSession):
@@ -326,15 +355,20 @@ verified AS MATERIALIZED (
 {_neardup_chain_sql("corpus")}"""
 
 
-def _stage_neardup(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the corpus as 4 doc_id-quartile files carrying precomputed
-    signatures and shingle sets (one row per doc; docs too short to
-    shingle carry n_sh=0 and never band)."""
+def _stage_neardup(
+    spark: SparkSession, sf_dir: str, n_batches: int = _N_BATCHES
+) -> str:
+    """Stage the corpus as `n_batches` doc_id-quantile files carrying
+    precomputed signatures and shingle sets (one row per doc; docs too
+    short to shingle carry n_sh=0 and never band). The registered
+    queries use the default 4 (the oracle chain is generated for 4);
+    the compaction-cadence probe stages more to reach the small-file
+    regime."""
     k = 3
     corpus = _corpus(spark, sf_dir)
     roster = corpus.select(
         "doc_id",
-        F.ntile(_N_BATCHES).over(W.orderBy("doc_id")).alias("batch"),
+        F.ntile(n_batches).over(W.orderBy("doc_id")).alias("batch"),
     )
     tc = F.col("toks")
     sh_set = F.array_distinct(
@@ -376,7 +410,7 @@ def _stage_neardup(spark: SparkSession, sf_dir: str) -> str:
         )
     )
     staged = scratch_dir("neardup_in")
-    for i in range(1, _N_BATCHES + 1):
+    for i in range(1, n_batches + 1):
         staged_df.filter(F.col("batch") == i).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(staged, f"part-{i:04d}"))
@@ -478,13 +512,22 @@ def neardup_batch_fn(
     crash_batch: int = -1,
     crash_point: str = "late",
     compact_every: int = 0,
+    compact_files_over: int = 0,
 ):
     """The per-micro-batch dedup closure; `crash_batch`/`crash_point`
     inject a failure for the restart test — "early" lands between the
     state write and the verdict/marker writes (replay must rewrite both,
     which the write-once batch-named dirs make idempotent), "late" lands
     after the marker (the at-least-once re-delivery window; the marker
-    must no-op the replay)."""
+    must no-op the replay).
+
+    Compaction cadence: `compact_files_over` > 0 folds committed state
+    whenever the post-apply state FILE COUNT exceeds the threshold (the
+    production rule — the trigger is the quantity the probe pays for;
+    see _COMPACT_FILES_DEFAULT for the measured derivation).
+    `compact_every` > 0 folds after every Nth applied batch (kept for
+    the crash-injection battery, which needs a deterministic fold at a
+    known batch). Both zero = never compact."""
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -621,7 +664,11 @@ def neardup_batch_fn(
             raise RuntimeError(
                 "injected crash: marker landed, checkpoint offset not"
             )
-        if compact_every and n % compact_every == 0:
+        due = bool(compact_every and n % compact_every == 0) or bool(
+            compact_files_over
+            and state_file_count(state_dir) > compact_files_over
+        )
+        if due:
             compact_state(
                 sp,
                 state_dir,
@@ -661,6 +708,7 @@ def neardup_start(
     crash_batch: int = -1,
     crash_point: str = "late",
     compact_every: int = 0,
+    compact_files_over: int = 0,
 ):
     """Start the dedup stream; returns the StreamingQuery."""
     # Register (or recover, on cross-process resume) the bucketed state
@@ -681,7 +729,7 @@ def neardup_start(
         .writeStream.foreachBatch(
             neardup_batch_fn(
                 state_dir, out_dir, marker_dir, crash_batch, crash_point,
-                compact_every,
+                compact_every, compact_files_over,
             )
         )
         .outputMode("append")
@@ -732,14 +780,20 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_neardup_oracle(),
 )
 def stream_neardup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stream_neardup_minhash with OPTIMIZE-style state compaction
-    after every 2nd applied batch (compact_state): committed per-batch
-    state partitions fold into the single batch=0 partition, bounding
-    the state file count at O(buckets) instead of O(batches x buckets)
-    — the maintenance a long-running stream needs before it hits the
-    small-file wall. Verdicts are IDENTICAL to the uncompacted stream
-    (the oracle is the same chained replay, so the driver's hash match
-    is direct evidence compaction never changes results)."""
+    """stream_neardup_minhash with THRESHOLD-DRIVEN OPTIMIZE-style state
+    compaction (compact_state): whenever the state file count exceeds
+    the trigger after a batch applies, committed per-batch state
+    partitions fold into the single batch=0 partition, bounding the
+    state file count at O(buckets) instead of O(batches x buckets) —
+    the maintenance a long-running stream needs before it hits the
+    small-file wall. The production trigger is _COMPACT_FILES_DEFAULT
+    (derived from the measured probe-cost-per-file / fold-cost curve);
+    this fixture-scale demo pins a LOW trigger so the fold machinery
+    actually exercises inside a 4-batch driver run — at fixture file
+    counts the measured rule would correctly decide never to compact.
+    Verdicts are IDENTICAL to the uncompacted stream (the oracle is the
+    same chained replay, so the driver's hash match is direct evidence
+    compaction never changes results)."""
     pin_session(spark)
     staged = _stage_neardup(spark, sf_dir)
     state_dir = scratch_dir("neardupc_state")
@@ -748,7 +802,7 @@ def stream_neardup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = neardup_start(
         spark, staged, state_dir, out_dir, marker_dir,
         scratch_dir("neardupc_ckpt"),
-        compact_every=2,
+        compact_files_over=16,
     )
     q.awaitTermination()
     return neardup_read_verdicts(spark, out_dir)
