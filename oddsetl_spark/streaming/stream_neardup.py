@@ -49,12 +49,15 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+from concurrent.futures import ThreadPoolExecutor
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.llm_dedup import (
     _DET_AB,
@@ -62,6 +65,7 @@ from ..operators.llm_dedup import (
     _DET_P,
     _JACCARD_TAU,
     _SQL_CORPUS,
+    _big_ckpt_level,
     _corpus,
     _det_cand_ctes,
 )
@@ -112,7 +116,7 @@ def ensure_state_tables(spark: SparkSession, state_dir: str) -> tuple[str, str]:
     )
     spark.sql(
         f"""CREATE TABLE IF NOT EXISTS {docs}
-        (doc_id BIGINT, n_sh BIGINT, sh_set ARRAY<STRING>, batch INT)
+        (doc_id BIGINT, n_sh BIGINT, sh_set ARRAY<BIGINT>, batch INT)
         USING PARQUET PARTITIONED BY (batch)
         CLUSTERED BY (doc_id) INTO {_STATE_BUCKETS} BUCKETS
         LOCATION '{os.path.join(state_dir, "docs")}'"""
@@ -393,7 +397,16 @@ def _stage_neardup(
         .withColumn("hp", F.transform("sh_set", base_h))
         .select(
             "doc_id",
-            "sh_set",
+            # The staged shingle set holds xxhash64 LONGS, not the
+            # 3-gram strings (r12, guide §2.3 "narrower types"; same
+            # move as the r11 batch-dedup checkpoint): the exact-Jaccard
+            # verify downstream only needs set intersections, which are
+            # identical on the hashed sets absent a 64-bit collision
+            # inside one compared pair (~1e-13/pair; the small-SF oracle
+            # replays pin exactness where the driver checks). n_sh is
+            # the STRING-set size, taken before hashing, so the Jaccard
+            # denominator is byte-identical to the oracle's.
+            F.transform("sh_set", lambda s: F.xxhash64(s)).alias("sh_set"),
             F.size("sh_set").cast("long").alias("n_sh"),
             *[
                 F.array_min(F.transform("hp", _perm(a, b))).alias(f"s{i}")
@@ -406,14 +419,54 @@ def _stage_neardup(
         .withColumn("n_sh", F.coalesce("n_sh", F.lit(0).cast("long")))
         .withColumn(
             "sh_set",
-            F.coalesce("sh_set", F.array().cast("array<string>")),
+            F.coalesce("sh_set", F.array().cast("array<bigint>")),
         )
     )
-    staged = scratch_dir("neardup_in")
-    for i in range(1, n_batches + 1):
-        staged_df.filter(F.col("batch") == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(staged, f"part-{i:04d}"))
+    # Compute the staged frame ONCE, in parallel, into a released-after
+    # cache, then write the batch files CONCURRENTLY (r12, guide §5 /
+    # §2.6). Before: each coalesce(1) write re-ran the signature
+    # pipeline's reduce side and the 4 single-task parquet encodes ran
+    # back to back — staging was 36.5 s at K=10 (tools/
+    # neardup_phase_probe.py) with the per-batch encode ~6.6 s of it.
+    # The noop action materializes the cache at full parallelism (a
+    # coalesce(1) as the first action would build it inside ONE task);
+    # the thread pool overlaps the per-batch single-task encodes, which
+    # stay coalesce(1) because ONE file per staged batch dir is what
+    # makes maxFilesPerTrigger=1 deliver whole batches in arrival
+    # order. persist (not localCheckpoint) so the cache is RELEASED
+    # before the stream replay starts — the staged parquet files are
+    # the durable copy, and holding a GB-scale cache across the replay
+    # steals execution memory from every batch's probe.
+    level = _big_ckpt_level(sf_dir)
+    staged_df = staged_df.persist(
+        level if level is not None else StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        staged = scratch_dir("neardup_in")
+        staged_df.write.format("noop").mode("overwrite").save()
+
+        def _write_batch(i: int) -> None:
+            staged_df.filter(F.col("batch") == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(staged, f"part-{i:04d}"))
+
+        with ThreadPoolExecutor(max_workers=min(n_batches, 8)) as pool:
+            # list() re-raises any worker exception here, not in GC
+            list(pool.map(_write_batch, range(1, n_batches + 1)))
+        # The file source orders staged files by MODIFICATION TIME and
+        # the apply-time contiguity guard requires arrival order 1..n.
+        # Sequential writes used to guarantee that ordering as a side
+        # effect; concurrent writes do not, so stamp strictly
+        # increasing mtimes explicitly (also kills the mtime-tie
+        # failure mode the guard's message warns about).
+        base = time.time() - n_batches
+        for i in range(1, n_batches + 1):
+            d = os.path.join(staged, f"part-{i:04d}")
+            for r, _, fs in os.walk(d):
+                for f in fs:
+                    os.utime(os.path.join(r, f), (base + i, base + i))
+    finally:
+        staged_df.unpersist()
     return staged
 
 
@@ -582,6 +635,18 @@ def neardup_batch_fn(
                 f"{sorted(applied)}) — mtime tie in the file source? "
                 "Re-stage with distinct mtimes."
             )
+        # Widen the arriving batch to the session's parallelism before
+        # checkpointing (r12): the file source splits one staged file
+        # by maxPartitionBytes, and after the staged files shrank 4x
+        # (hashed shingle sets) a whole batch arrived as ~2 splits —
+        # the checkpoint, the band explode and every join's build side
+        # inherited that width and the replay ran a 32-core box at
+        # single-digit occupancy. One cheap shuffle of the (compact)
+        # batch restores full width; skipped when the source already
+        # delivers enough splits (big batches / real clusters).
+        width = sp.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < width:
+            batch_df = batch_df.repartition(width)
         batch = batch_df.localCheckpoint()
         dropb = (
             _verified_pairs(batch, batch, _JACCARD_TAU)
@@ -691,7 +756,7 @@ def neardup_schema() -> T.StructType:
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("batch", T.IntegerType()),
-            T.StructField("sh_set", T.ArrayType(T.StringType())),
+            T.StructField("sh_set", T.ArrayType(T.LongType())),
             T.StructField("n_sh", T.LongType()),
         ]
         + [T.StructField(f"s{i}", T.LongType()) for i in range(len(_DET_AB))]
