@@ -420,10 +420,19 @@ def _jaccard_pairs_tau(
         # instrumentation path (tools/ppjoin_bound_probe.py): the pair
         # set entering the set-intersect verify stage, pre-verification
         return cand
+    # Materialize the per-doc verify sets ONCE (r12, guide §5): sa and
+    # sb below are two consumers of this aggregation, and neither the
+    # optimizer nor AQE's runtime stage reuse deduplicates them — the
+    # full postings shuffle + collect_set ran TWICE. Measured at K=100
+    # (~sf10): verify stage 56.1 -> 20.5 s (tools A/B, fresh process;
+    # a SHUFFLE_HASH hint on the joins was measured neutral, 57.7 s).
+    # Checkpointing the AGGREGATED frame also halves peak pressure on
+    # the collect_set buffers that are the documented ~sf30 memory
+    # wall; `lvl` keeps it DISK_ONLY past the input-size threshold.
     sets = shh.groupBy("doc_id").agg(
         F.collect_set("h").alias("sh_set"),
         F.count(F.lit(1)).alias("n_sh"),
-    )
+    ).localCheckpoint(storageLevel=lvl)
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh_set").alias("sh_a"),
