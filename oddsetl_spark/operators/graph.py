@@ -65,9 +65,10 @@ SELECT node, ROUND(pr, 6) AS pr FROM {prev}
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (d=0.85, 3 rounds) on the symmetrized
-    customer–supplier trade graph. The edge list (with out-degree
-    attached) is persisted after ONE shuffle; each iteration joins the
-    small rank vector against it and re-aggregates on dst. The oracle
+    customer–supplier trade graph. The compact (src, dst) edge list is
+    persisted after ONE shuffle and per-side degrees come from the pair
+    list; each iteration joins the degree-weighted rank vector against
+    the cached edges and re-aggregates on dst. The oracle
     unrolls the identical three iterations as MATERIALIZED CTEs, so the
     check is exact up to double summation order (absorbed by 6-dp
     rounding on the final ranks only — intermediate ranks stay raw on
@@ -82,10 +83,35 @@ def _pagerank_ranks(
     plan test asserts the iteration's join strategy on it)."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r12 restructure of the build phase (guide §2.4), A/B-measured at
+    # ~sf10 (interleaved fresh-process arms, every head-to-head won:
+    # 156.5/101.3/160.0 s before vs 88.0/100.1/83.6 s after):
+    #  - dedup on a partitioning the degree count can REUSE: repartition
+    #    by c, then dropDuplicates (hash partitioning on c satisfies the
+    #    (c, s) clustering requirement), so the customer-side degree
+    #    groupBy needs no second exchange;
+    #  - degrees from the PAIR list (one count per side), not from a
+    #    groupBy + join over the 2x-larger symmetrized edge list — the
+    #    persisted edges stay (src, dst) only, a third smaller than the
+    #    old per-edge (src, dst, d) cache;
+    #  - deg is localCheckpointed: it seeds ranks AND re-weights them
+    #    every iteration, and without the checkpoint each consumer
+    #    re-ran the source join + distinct subtree.
+    # Per iteration, pr/d is attached on the |V|-row rank vector BEFORE
+    # the edge join (same doubles: d is identical per src, so the
+    # contribution multiset per dst is unchanged), so the per-iteration
+    # join ships (node, w) instead of re-joining the full degree table.
+    # The executed plan (plans/r12/graph_pagerank_after.txt) shows the
+    # iteration join as SortMergeJoin with deg broadcast into rankd.
+    # (Also A/B-measured and REJECTED: repartitioning the persisted
+    # edges by dst to make the per-iteration aggregation exchange-free
+    # — 134-149 s; joining on src re-shuffles by src anyway, so the
+    # build-time exchange bought nothing.)
     pairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .repartition("c")
+        .dropDuplicates()
     )
     fwd = pairs.select(
         F.col("c").alias("src"), (F.col("s") + _SUPP_OFFSET).alias("dst")
@@ -93,15 +119,23 @@ def _pagerank_ranks(
     rev = pairs.select(
         (F.col("s") + _SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
     )
-    edges = fwd.unionAll(rev)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    edged = edges.join(deg, "src").persist()
+    edges = fwd.unionAll(rev).persist()
+    degc = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("c").alias("node"), "d"
+    )
+    degs = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("d")).select(
+        (F.col("s") + _SUPP_OFFSET).alias("node"), "d"
+    )
+    deg = degc.unionByName(degs).localCheckpoint()
     try:
-        ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+        ranks = deg.select("node", F.lit(1.0).alias("pr"))
         for _ in range(_ITERS):
+            rankd = ranks.join(deg, "node").select(
+                "node", (F.col("pr") / F.col("d")).alias("w")
+            )
             ranks = (
-                edged.join(ranks, edged["src"] == ranks["node"])
-                .select("dst", (F.col("pr") / F.col("d")).alias("w"))
+                edges.join(rankd, edges["src"] == rankd["node"])
+                .select("dst", "w")
                 .groupBy("dst")
                 .agg((F.lit(1 - _D) + F.lit(_D) * F.sum("w")).alias("pr"))
                 .withColumnRenamed("dst", "node")
@@ -111,7 +145,7 @@ def _pagerank_ranks(
             out = out.localCheckpoint()  # materialize before unpersisting edges
     finally:
         if checkpoint:
-            edged.unpersist()
+            edges.unpersist()
     return out
 
 
@@ -866,10 +900,16 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides until one final 6-dp round."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Same r12 build-phase restructure as _pagerank_ranks (measured
+    # there; the build is identical): dedup co-partitioned with the
+    # customer-side degree count, per-side degrees from the pair list,
+    # compact (src, dst) edge cache, checkpointed deg re-weighting the
+    # rank vector before the edge join.
     pairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .repartition("c")
+        .dropDuplicates()
     )
     fwd = pairs.select(
         F.col("c").alias("src"), (F.col("s") + _SUPP_OFFSET).alias("dst")
@@ -877,9 +917,14 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = pairs.select(
         (F.col("s") + _SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
     )
-    edges = fwd.unionAll(rev)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    edged = edges.join(deg, "src").persist()
+    edges = fwd.unionAll(rev).persist()
+    degc = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("c").alias("node"), "d"
+    )
+    degs = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("d")).select(
+        (F.col("s") + _SUPP_OFFSET).alias("node"), "d"
+    )
+    deg = degc.unionByName(degs).localCheckpoint()
     cust = table(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 0)
     seeds = (
         pairs.select(F.col("c").alias("node"))
@@ -897,9 +942,12 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = seeds.select("node", (F.lit(1.0) / n_seeds).alias("pr"))
         for _ in range(_ITERS):
+            rankd = ranks.join(deg, "node").select(
+                "node", (F.col("pr") / F.col("d")).alias("w")
+            )
             contrib = (
-                edged.join(ranks, edged["src"] == ranks["node"])
-                .select("dst", (F.col("pr") / F.col("d")).alias("w"))
+                edges.join(rankd, edges["src"] == rankd["node"])
+                .select("dst", "w")
                 .groupBy("dst")
                 .agg((F.lit(_D) * F.sum("w")).alias("pr"))
                 .withColumnRenamed("dst", "node")
@@ -912,7 +960,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ranks.select("node", F.round("pr", 6).alias("ppr"))
         out = out.localCheckpoint()  # materialize before unpersisting edges
     finally:
-        edged.unpersist()
+        edges.unpersist()
         seeds.unpersist()
     return out
 

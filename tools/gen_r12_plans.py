@@ -37,8 +37,21 @@ DEFAULT = [
 ]
 
 def main() -> None:
-    tag = sys.argv[1]
-    names = sys.argv[2:] or DEFAULT
+    args = sys.argv[1:]
+    full_lineage = "--full-lineage" in args
+    if full_lineage:
+        # Iterative queries end in localCheckpoint(), which truncates the
+        # lineage to a Scan ExistingRDD and hides the plan the optimization
+        # actually changed.  Neutralize it (explain-only; nothing executes)
+        # so the dumped plan shows the real build + iteration subtree.
+        args = [a for a in args if a != "--full-lineage"]
+        # Spark 4: runtime instances are the classic subclass, which
+        # overrides the parent method — patch the class actually used.
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self
+    tag = args[0]
+    names = args[1:] or DEFAULT
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
