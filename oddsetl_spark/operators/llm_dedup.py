@@ -1427,15 +1427,6 @@ def _det_sig_cand(
     base_h = lambda s: (  # noqa: E731
         F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _DET_P
     )
-    per_doc = (
-        _corpus(spark, sf_dir)
-        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-        .filter(F.size(tc) >= k)
-        .select("doc_id", sh_set.alias("sh_set"))
-        .withColumn("hp", F.transform("sh_set", base_h))
-        .withColumn("n_sh", F.size("sh_set"))
-        .localCheckpoint(storageLevel=_big_ckpt_level(sf_dir))
-    )
     def _perm(a: int, b: int):
         # closure factory: default-arg lambdas change the visible arity and
         # break pyspark's higher-order-function binding
@@ -1443,16 +1434,35 @@ def _det_sig_cand(
 
     # signatures, shingle set and size in ONE row per doc: the refine then
     # touches candidates with two doc_id joins (est_sim + exact Jaccard
-    # from the same build rows), not four
-    sig = per_doc.select(
-        "doc_id",
-        "sh_set",
-        "n_sh",
-        *[
-            F.array_min(F.transform("hp", _perm(a, b))).alias(f"s{i}")
-            for i, (a, b) in enumerate(_DET_AB)
-        ],
+    # from the same build rows), not four.
+    # r12 (guide §1.2 per-task work): the 16 array_min(transform(...))
+    # minhash passes run BEFORE the checkpoint, so they run once — the
+    # checkpoint previously held the per-shingle hash array `hp` and each
+    # of the three sig consumers (bands, sig_a, sig_b) re-ran all 16
+    # permutation passes over it; the checkpoint row also shrinks from
+    # n_sh longs to 16.
+    hp = F.transform("sh_set", base_h)
+    sig = (
+        _corpus(spark, sf_dir)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size(tc) >= k)
+        .select("doc_id", sh_set.alias("sh_set"))
+        .withColumn("hp", hp)
+        .select(
+            "doc_id",
+            "sh_set",
+            F.size("sh_set").alias("n_sh"),
+            *[
+                F.array_min(F.transform("hp", _perm(a, b))).alias(f"s{i}")
+                for i, (a, b) in enumerate(_DET_AB)
+            ],
+        )
+        .localCheckpoint(storageLevel=_big_ckpt_level(sf_dir))
     )
+    # band join on the raw signature pair (band_id, s_{2b}, s_{2b+1}):
+    # same equality as the old concat_ws("|", ...) string key ("|" is
+    # unambiguous between digit strings) without materializing and
+    # shuffling a string per (doc, band) — r12, guide §2.3 narrower keys.
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -1460,22 +1470,22 @@ def _det_sig_cand(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "|", F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")
-                        ).alias("band_key"),
+                        F.col(f"s{2 * b}").alias("k0"),
+                        F.col(f"s{2 * b + 1}").alias("k1"),
                     )
                     for b in range(_DET_BANDS)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+    ).select("doc_id", "band.band_id", "band.k0", "band.k1")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.k0") == F.col("b.k0"))
+            & (F.col("a.k1") == F.col("b.k1"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
