@@ -602,11 +602,8 @@ def sim_lsh_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("table_id", "bucket")
         .count()
     )
-    pre_cand = int(
-        occ.agg(
-            F.sum((F.col("count") * (F.col("count") - 1) / 2).cast("long")).alias("c")
-        ).collect()[0]["c"]
-        or 0
+    occ_agg = occ.agg(
+        F.sum((F.col("count") * (F.col("count") - 1) / 2).cast("long")).alias("c")
     )
     uniform = _LSH_TABLES * n * n / float(1 << (p + 1))
 
@@ -631,7 +628,6 @@ def sim_lsh_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb_b, "b_id")
         .filter(_dot(F.col("a_emb"), F.col("b_emb")) >= 0.3)
     )
-    n_cand_true = cand.count()
 
     # truth sample: numpy-prefiltered pairs, membership decided by the
     # exact sequential fold; then the per-pair whitened-angle collision
@@ -667,9 +663,26 @@ def sim_lsh_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ) / F.lit(float(np.pi))
     prob = 1 - F.pow(1 - F.pow(sim, F.lit(p)), F.lit(_LSH_TABLES))
-    row = px.agg(
+    px_agg = px.agg(
         F.count(F.lit(1)).alias("n_true"), F.avg(prob).alias("expected_recall")
-    ).collect()[0]
+    )
+
+    # r12 (guide §2.6 overlap independent jobs): the three scoreboard
+    # actions — bucket-volume agg, refined-candidate count, truth-pair
+    # expectation agg — are independent reads of the two checkpointed
+    # frames, but ran sequentially; each one's stage tail left the other
+    # 31 cores idle. Submit them from a small thread pool so the next
+    # job's tasks back-fill the current job's tail (measured at the k100
+    # staging: 8.2 s -> see OPTIMIZATION_r12.md).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_pre = pool.submit(lambda: occ_agg.collect()[0]["c"])
+        f_cand = pool.submit(cand.count)
+        f_px = pool.submit(lambda: px_agg.collect()[0])
+        pre_cand = int(f_pre.result() or 0)
+        n_cand_true = f_cand.result()
+        row = f_px.result()
     n_true, expected = int(row["n_true"]), float(row["expected_recall"] or 0.0)
 
     # Vacuously true when the truth sample has zero near pairs — the
