@@ -212,19 +212,17 @@ def _jaccard_pairs_tau(
     the final jaccard expression/filter are the same shapes as the full
     index's, so values are bit-identical.
 
-    The HASHED shingle table (doc_id, xxhash64 long) is what gets
-    localCheckpointed — its two consumers (the ranked prefix, the
-    verify sets) would otherwise re-run the corpus union + explode
-    upstream (measured ~7 s of redundant recompute per call at ~sf1).
-    The STRING shingle table stays lazy and is consumed exactly once,
-    by the vocabulary/collision-guard pass: caching exploded ~25-byte
-    shingle strings on-heap is what exhausted the default 16 GB local
-    JVM at ~sf30 (r11: ~200M exploded rows; the compact long
-    checkpoint is ~4x smaller and removes the string churn from every
-    downstream stage). Cost: the explode pipeline runs twice (hash
-    checkpoint + vocabulary job) instead of once-plus-cache — measured
-    wall-neutral at sf10 and the difference between OOM and green at
-    sf30 on default heap.
+    The one materialized intermediate (r12) is the PER-DOC frame
+    (doc_id, rarity-sorted hashed shingle array, n_sh): the prefix join
+    sides slice it and the exact-Jaccard verify intersects it, so the
+    postings cross the doc_id exchange exactly once. The STRING shingle
+    table stays lazy: caching exploded ~25-byte shingle strings on-heap
+    is what exhausted the default 16 GB local JVM at ~sf30 (r11: ~200M
+    exploded rows; the compact long-array checkpoint is ~4x smaller and
+    removes the string churn from every downstream stage). Cost: the
+    explode pipeline runs twice (per-doc agg job + vocabulary job)
+    instead of once-plus-cache — measured wall-neutral at sf10 and the
+    difference between OOM and green at sf30 on default heap.
 
     Threshold arithmetic is float-slop-safe in the CONSERVATIVE
     direction: ceil(tau*n - 1e-9) can only round DOWN off-by-ulp
@@ -328,23 +326,50 @@ def _jaccard_pairs_tau(
             )
             .localCheckpoint(storageLevel=lvl)
         )
-        shh = sh.select(
-            "doc_id", F.xxhash64("shingle").alias("h")
-        ).localCheckpoint(storageLevel=lvl)
+        shh = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
     ranked = shh.join(vmap, "h")
-    w = W.partitionBy("doc_id").orderBy("df", "h")
-    pos = ranked.select(
-        "doc_id",
-        "h",
-        F.row_number().over(w).alias("pos"),
-        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n_sh"),
+    # r12 (guide §2.4 remove shuffles outright): ONE groupBy(doc_id)
+    # replaces BOTH the rank window and the verify-set aggregation. The
+    # old shape shuffled the postings by doc_id twice — Exchange + Window
+    # (row_number over (df, h)) re-computed on EACH prefix join side, and
+    # a second Exchange + collect_set agg for the verify sets — plus a
+    # separate shh checkpoint to share the postings between them. Now the
+    # postings shuffle by doc_id ONCE into a sorted struct array
+    # (array_sort on struct(df, h) is the window's (df asc, h asc) order
+    # — both are binary comparisons, identical for longs and strings),
+    # the prefix is a slice of that array (pos i+1 == row_number at rank
+    # i+1 by construction), and the verify sets are the same array
+    # projected to h. Output equality locked by
+    # test_prefix_filtered_pairs_match_full_index and the twin oracles;
+    # measured A/B + plan diff in OPTIMIZATION_r12.md (the per-doc agg
+    # buffer is struct(df, h) — 2x the old collect_set entry — but the
+    # window sort buffer it replaces held (doc_id, h, df) rows too, and
+    # the ~sf30 DISK_ONLY checkpoint rule carries over unchanged).
+    per_doc = (
+        ranked.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.transform("arr", lambda x: x["h"]).alias("sh_set"),
+            F.size("arr").alias("n_sh"),
+        )
+        .localCheckpoint(storageLevel=lvl)
     )
-    prefix = pos.filter(
-        F.col("pos")
-        <= F.col("n_sh")
+    plen = (
+        F.col("n_sh")
         - F.ceil(F.col("n_sh") * F.lit(tau) - F.lit(1e-9))
-        + 1
-    ).select("doc_id", "h", "n_sh", "pos")
+        + F.lit(1)
+    ).cast("int")
+    prefix = per_doc.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode(F.slice("sh_set", F.lit(1), plen)),
+    ).select(
+        "doc_id",
+        F.col("col").alias("h"),
+        "n_sh",
+        (F.col("pos") + 1).alias("pos"),
+    )
     if length_binned:
         def _bin(c):  # identical expression on both sides => monotone map
             return F.floor(
@@ -420,19 +445,15 @@ def _jaccard_pairs_tau(
         # instrumentation path (tools/ppjoin_bound_probe.py): the pair
         # set entering the set-intersect verify stage, pre-verification
         return cand
-    # Materialize the per-doc verify sets ONCE (r12, guide §5): sa and
-    # sb below are two consumers of this aggregation, and neither the
-    # optimizer nor AQE's runtime stage reuse deduplicates them — the
-    # full postings shuffle + collect_set ran TWICE. Measured at K=100
-    # (~sf10): verify stage 56.1 -> 20.5 s (tools A/B, fresh process;
-    # a SHUFFLE_HASH hint on the joins was measured neutral, 57.7 s).
-    # Checkpointing the AGGREGATED frame also halves peak pressure on
-    # the collect_set buffers that are the documented ~sf30 memory
-    # wall; `lvl` keeps it DISK_ONLY past the input-size threshold.
-    sets = shh.groupBy("doc_id").agg(
-        F.collect_set("h").alias("sh_set"),
-        F.count(F.lit(1)).alias("n_sh"),
-    ).localCheckpoint(storageLevel=lvl)
+    # The verify sets are the SAME checkpointed per-doc array the prefix
+    # was sliced from (r12): the former separate collect_set aggregation
+    # — which r12 first de-duplicated across join sides (verify stage
+    # 56.1 -> 20.5 s at K=100, tools A/B, fresh process; SHUFFLE_HASH
+    # hint measured neutral at 57.7 s) — is now gone entirely, merged
+    # into the per_doc groupBy above. `lvl` keeps the one remaining
+    # checkpoint DISK_ONLY past the input-size threshold (~sf30 heap
+    # story unchanged).
+    sets = per_doc
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh_set").alias("sh_a"),

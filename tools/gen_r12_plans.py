@@ -49,7 +49,9 @@ def main() -> None:
         # overrides the parent method — patch the class actually used.
         from pyspark.sql.classic.dataframe import DataFrame
 
-        DataFrame.localCheckpoint = lambda self, eager=True: self
+        DataFrame.localCheckpoint = (
+            lambda self, eager=True, storageLevel=None: self
+        )
     tag = args[0]
     names = args[1:] or DEFAULT
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
