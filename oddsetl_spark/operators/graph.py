@@ -107,6 +107,20 @@ def _pagerank_ranks(
     # edges by dst to make the per-iteration aggregation exchange-free
     # — 134-149 s; joining on src re-shuffles by src anyway, so the
     # build-time exchange bought nothing.)
+    #
+    # r12 session 2: the edge cache is hash-partitioned AND sorted on
+    # src BEFORE persist. InMemoryTableScan preserves the cached plan's
+    # outputPartitioning/outputOrdering, so every iteration's
+    # SortMergeJoin on src reads the cache exchange-free and sort-free —
+    # the before-plan re-shuffled + re-sorted the table-sized edge list
+    # in all three iterations (plans/r12/graph_pagerank_before2.txt:
+    # Exchange+Sort above each InMemoryTableScan; gone in the after
+    # plan). The dst experiment failed because dst is not the join key;
+    # src is. One build-time exchange buys three iteration exchanges —
+    # and at 100 TB this is the §2.4/§8 shape: the big static side laid
+    # out once on its join key, only the |V|-row rank vector moving.
+    # A/B at K=100 (interleaved in-process, tools/pagerank_iter_probe):
+    # 178.6/164.5/145.4 s -> 92.7/113.8/120.1 s, every pairing faster.
     pairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
@@ -119,7 +133,12 @@ def _pagerank_ranks(
     rev = pairs.select(
         (F.col("s") + _SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
     )
-    edges = fwd.unionAll(rev).persist()
+    edges = (
+        fwd.unionAll(rev)
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     degc = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("d")).select(
         F.col("c").alias("node"), "d"
     )
@@ -904,7 +923,9 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # there; the build is identical): dedup co-partitioned with the
     # customer-side degree count, per-side degrees from the pair list,
     # compact (src, dst) edge cache, checkpointed deg re-weighting the
-    # rank vector before the edge join.
+    # rank vector before the edge join — and (r12 session 2) the edge
+    # cache partitioned + sorted on src so the per-iteration join reads
+    # it exchange-free (measured on _pagerank_ranks; same loop shape).
     pairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
@@ -917,7 +938,12 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = pairs.select(
         (F.col("s") + _SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
     )
-    edges = fwd.unionAll(rev).persist()
+    edges = (
+        fwd.unionAll(rev)
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     degc = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("d")).select(
         F.col("c").alias("node"), "d"
     )
