@@ -160,6 +160,26 @@ def state_file_count(state_dir: str) -> int:
     )
 
 
+def _free_ckpt(df: DataFrame) -> None:
+    """Release a DEAD localCheckpointed frame's blocks (guide §5:
+    unpersist when done). `Dataset.unpersist()` only clears cacheManager
+    entries — NOT checkpoint RDD blocks — so a long-running stream would
+    otherwise accumulate every applied batch's checkpointed frames in
+    the MemoryStore until eviction pressure (per-batch at K=100: the
+    widened batch + self-dedup + state-probe frames, ~100s of MB each,
+    all dead the moment the batch's marker lands). Reaches the
+    checkpointed RDD through the LogicalRDD node; must ONLY be called on
+    frames that are never used again — the blocks are the only copy
+    (lineage is truncated, a freed frame cannot be recomputed).
+    Best-effort by design: a frame that is not checkpoint-backed (lazy
+    `kept`, the batch-1 `limit(0)` drops) has no `.rdd()` and is left
+    alone."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — a leaked block is pressure, not
+        pass  # corruption; never fail a batch over cleanup
+
+
 @contextmanager
 def _dynamic_overwrite(spark: SparkSession):
     """Scope partitionOverwriteMode=dynamic to one write (r11 ADVICE):
@@ -252,6 +272,7 @@ def _run_compaction(
         )
         with _dynamic_overwrite(spark):
             src.write.mode("overwrite").insertInto(tbl)
+        _free_ckpt(src)  # fold committed; the checkpoint is dead
         if crash_after_fold:
             raise RuntimeError(
                 "injected crash: fold committed, source partitions not "
@@ -584,18 +605,45 @@ def neardup_batch_fn(
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        batches = [r[0] for r in batch_df.select("batch").distinct().collect()]
-        if not batches:
+        # Measurement hook (guide §1): ODDSETL_NEARDUP_TIMING=1 prints
+        # per-step wall times to stderr so the replay phase of the probe
+        # decomposes below the batch level. Zero cost when unset.
+        _t0 = [time.perf_counter()]
+
+        def _mark(label: str) -> None:
+            if os.environ.get("ODDSETL_NEARDUP_TIMING") == "1":
+                now = time.perf_counter()
+                import sys as _sys
+
+                print(
+                    f"NEARDUP_TIMING {label}={now - _t0[0]:.2f}",
+                    file=_sys.stderr,
+                )
+                _t0[0] = now
+
+        # Single-batch precondition via ONE aggregation pass (r12
+        # session 2, guide §2.3 "aggregate before you shuffle"): the old
+        # `select("batch").distinct().collect()` shuffled the distinct
+        # and was the first action of every micro-batch; min==max over
+        # the pruned column decides the same predicate with a map-side
+        # partial agg and a 1-row final.
+        head = batch_df.agg(
+            F.min("batch").alias("lo"),
+            F.max("batch").alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        ).collect()[0]
+        if head["cnt"] == 0:
             return
-        if len(batches) != 1:
+        if head["lo"] != head["hi"]:
             # real raise, not assert: an assert is stripped under
             # python -O and this is a correctness precondition
             raise RuntimeError(
                 f"replay delivered multiple staged batches at once: "
-                f"{batches} — the ordered-arrival semantics need "
-                "maxFilesPerTrigger=1"
+                f"batch ids span [{head['lo']}, {head['hi']}] — the "
+                "ordered-arrival semantics need maxFilesPerTrigger=1"
             )
-        n = batches[0]
+        n = head["lo"]
+        _mark(f"b{n}_ids_collect")
         # Recover a compaction that crashed between its fold and its
         # source-partition drops: the pending intent must complete
         # BEFORE this batch reads state, or the probe would see the
@@ -647,13 +695,16 @@ def neardup_batch_fn(
         width = sp.sparkContext.defaultParallelism
         if batch_df.rdd.getNumPartitions() < width:
             batch_df = batch_df.repartition(width)
+        _mark(f"b{n}_preamble")
         batch = batch_df.localCheckpoint()
+        _mark(f"b{n}_batch_ckpt")
         dropb = (
             _verified_pairs(batch, batch, _JACCARD_TAU)
             .groupBy(F.col("doc_b").alias("doc_id"))
             .agg(F.min("doc_a").alias("dup_of"))
             .localCheckpoint()
         )
+        _mark(f"b{n}_self_dedup")
         bands_tbl, docs_tbl = _state_tbl_names(state_dir)
         # `batch < n` prunes to COMMITTED partitions only: a crash
         # between the state write and the marker leaves this batch's
@@ -680,27 +731,56 @@ def neardup_batch_fn(
                 .agg(F.min("doc_a").alias("dup_of"))
                 .localCheckpoint()
             )
+            _mark(f"b{n}_state_probe")
         else:
             drops = dropb.limit(0)
+        # `kept` stays LAZY (r12 session 2): its only consumers are the
+        # two state writes below; both inputs (batch, dropb, drops) are
+        # already checkpointed, so each writer re-derives kept with two
+        # broadcast anti-joins over the batch checkpoint — cheaper than
+        # materializing a third array-heavy copy into the MemoryStore
+        # (the kept_ckpt step measured 12-17 s/batch at K=100, with
+        # thread dumps showing stragglers inside putIteratorAsValues),
+        # and deterministic because every input is pinned.
         kept = (
             batch.join(dropb.select("doc_id"), "doc_id", "left_anti")
             .join(drops.select("doc_id"), "doc_id", "left_anti")
-        ).localCheckpoint()
+        )
+        _mark(f"b{n}_kept_lazy")
         # WRITE-ONCE per batch id: dynamic overwrite of this batch's
         # partition in both bucketed tables — idempotent under replay.
+        # The two writes target different tables and share no state
+        # beyond their checkpointed inputs, so they are submitted from
+        # a 2-worker pool (guide §2.6 "overlap independent jobs") — the
+        # second write's tasks back-fill the first's single-writer
+        # straggler tail (thread dumps: one ParquetWriteSupport task
+        # per bucket finishing alone). The injected "early" crash point
+        # stays AFTER both complete and before the verdicts write.
         nb = F.lit(n).cast("int")
         with _dynamic_overwrite(sp):
-            (
-                _bands_of(kept)
-                .select("band_id", "band_key", "doc_id", nb.alias("batch"))
-                .write.mode("overwrite")
-                .insertInto(bands_tbl)
-            )
-            (
-                kept.select("doc_id", "n_sh", "sh_set", nb.alias("batch"))
-                .write.mode("overwrite")
-                .insertInto(docs_tbl)
-            )
+
+            def _write_bands() -> None:
+                (
+                    _bands_of(kept)
+                    .select("band_id", "band_key", "doc_id", nb.alias("batch"))
+                    .write.mode("overwrite")
+                    .insertInto(bands_tbl)
+                )
+
+            def _write_docs() -> None:
+                (
+                    kept.select("doc_id", "n_sh", "sh_set", nb.alias("batch"))
+                    .write.mode("overwrite")
+                    .insertInto(docs_tbl)
+                )
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for fut in [
+                    pool.submit(_write_bands),
+                    pool.submit(_write_docs),
+                ]:
+                    fut.result()
+        _mark(f"b{n}_state_writes")
         if n == crash_batch and crash_point == "early":
             raise RuntimeError(
                 "injected crash: state written, verdicts and marker not"
@@ -724,7 +804,12 @@ def neardup_batch_fn(
         verdicts.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch-{n:04d}")
         )
+        _mark(f"b{n}_verdicts_write")
         open(marker, "w").close()
+        # The batch is committed: every checkpointed frame of this
+        # apply is dead — free its blocks before the next batch runs.
+        for _dead in (batch, dropb, drops):
+            _free_ckpt(_dead)
         if n == crash_batch and crash_point == "late":
             raise RuntimeError(
                 "injected crash: marker landed, checkpoint offset not"

@@ -49,6 +49,15 @@ def _child() -> None:
     times: dict[str, float] = {}
     for name in names:
         fn = available[name].fn
+        if os.environ.get("AB_COLD") == "1":
+            # One cold run, no warm-up — the bench.py SF10_COLD1
+            # convention for queries that re-stage their whole input
+            # per call (stream_neardup_*): "warm" never applies, and
+            # warm-up + median-of-3 would 4x a multi-minute row.
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            times[name] = round(time.perf_counter() - t0, 4)
+            continue
         fn(spark, sf_dir).collect()  # warm-up: JIT, code cache, listing
         runs = []
         for _ in range(3):
@@ -74,6 +83,11 @@ def main() -> None:
     )
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--timeout", type=int, default=1800)
+    ap.add_argument(
+        "--cold",
+        action="store_true",
+        help="one cold run per child, no warm-up (re-staging queries)",
+    )
     args = ap.parse_args()
 
     arms: list[tuple[str, dict[str, str]]] = []
@@ -102,6 +116,7 @@ def main() -> None:
                 AB_CHILD="1",
                 AB_SF_DIR=args.sf_dir,
                 AB_QUERIES=args.queries,
+                AB_COLD="1" if args.cold else "0",
                 **env,
             )
             proc = subprocess.run(
