@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..io import table
 from ..registry import register
+from .llm_dedup import _phase_mark
 
 _D = 0.85  # damping
 _ITERS = 3
@@ -145,7 +146,9 @@ def _pagerank_ranks(
     degs = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("d")).select(
         (F.col("s") + _SUPP_OFFSET).alias("node"), "d"
     )
+    mark = _phase_mark()
     deg = degc.unionByName(degs).localCheckpoint()
+    mark("build_deg_ckpt")
     try:
         ranks = deg.select("node", F.lit(1.0).alias("pr"))
         for _ in range(_ITERS):
@@ -162,6 +165,7 @@ def _pagerank_ranks(
         out = ranks.select("node", F.round("pr", 6).alias("pr"))
         if checkpoint:
             out = out.localCheckpoint()  # materialize before unpersisting edges
+            mark("iterations")
     finally:
         if checkpoint:
             edges.unpersist()

@@ -26,6 +26,8 @@ Scale design:
 from __future__ import annotations
 
 import math
+import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +38,25 @@ from ..registry import register
 from ..session import input_bytes
 
 _JACCARD_TAU = 0.8
+
+
+def _phase_mark():
+    """Measurement hook (guide §1): ODDSETL_DEDUP_TIMING=1 prints wall
+    time between the eager materialization boundaries (localCheckpoints)
+    of the dedup pipelines to stderr, so the heavy rows decompose below
+    the query level. Returns a `mark(label)` closure; zero cost unset."""
+    if os.environ.get("ODDSETL_DEDUP_TIMING") != "1":
+        return lambda label: None
+    t0 = [time.perf_counter()]
+
+    def mark(label: str) -> None:
+        import sys as _sys
+
+        now = time.perf_counter()
+        print(f"DEDUP_TIMING {label}={now - t0[0]:.2f}", file=_sys.stderr)
+        t0[0] = now
+
+    return mark
 
 # Source-bytes threshold above which the LARGE intermediate checkpoints
 # (exploded shingle-hash tables, per-doc signature/shingle-set frames)
@@ -261,6 +282,7 @@ def _jaccard_pairs_tau(
     OFF by default at bench scale, and the documented switch for the
     100 TB regime — with its losslessness already locked, flipping it
     is a config change, not a correctness event."""
+    mark = _phase_mark()
     sh = _shingles(corpus if corpus is not None else _corpus(spark, sf_dir))
     lvl = _big_ckpt_level(sf_dir)
     if use_string_index:
@@ -327,6 +349,7 @@ def _jaccard_pairs_tau(
             .localCheckpoint(storageLevel=lvl)
         )
         shh = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    mark("vmap_ckpt")
     ranked = shh.join(vmap, "h")
     # r12 (guide §2.4 remove shuffles outright): ONE groupBy(doc_id)
     # replaces BOTH the rank window and the verify-set aggregation. The
@@ -355,6 +378,7 @@ def _jaccard_pairs_tau(
         )
         .localCheckpoint(storageLevel=lvl)
     )
+    mark("per_doc_ckpt")
     plen = (
         F.col("n_sh")
         - F.ceil(F.col("n_sh") * F.lit(tau) - F.lit(1e-9))
@@ -962,6 +986,7 @@ def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and membership only ever need the 32-byte key, and the rep-corpus
     # shingle pipeline re-derives the 3-variant union from the columnar
     # scan (one extra projection pass, measured wall-neutral at sf10).
+    mark = _phase_mark()
     corpus = _corpus(spark, sf_dir)
     key = F.md5(F.col("text"))
     keyed = corpus.select("doc_id", key.alias("k")).localCheckpoint()
@@ -970,6 +995,7 @@ def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n"))
         .localCheckpoint()
     )
+    mark("contraction_ckpts")
     membership = keyed.join(groups.select("k", "rep_id"), "k").select(
         "doc_id", "rep_id"
     )
@@ -983,6 +1009,7 @@ def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
+    mark("pairs_ckpt")
     # The iterative phase works on the SPARSE pair graph (orders of
     # magnitude smaller than the corpus): coalesce to a few partitions so
     # per-round cost is dominated by the joins, not 32-task scheduling.
@@ -998,6 +1025,7 @@ def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("lbl")
     )
     labels = _propagate_min_labels(edges, labels, _CC_ROUNDS)
+    mark("label_prop")
     # expand back: a group is in the full pair graph iff its rep has a
     # cross-group edge OR the group itself has >=2 identical members
     # (identity pairs, jaccard = 1); labels carry over unchanged
@@ -1435,6 +1463,7 @@ def _det_sig_cand(
     """Shared md5-family MinHash build: (signatures+shingle sets, LSH
     banding candidate pairs) — used by dedup_minhash_det and the
     candidate-quality eval."""
+    mark = _phase_mark()
     k = 3
     tc = F.col("toks")
     sh_set = F.array_distinct(
@@ -1480,6 +1509,7 @@ def _det_sig_cand(
         )
         .localCheckpoint(storageLevel=_big_ckpt_level(sf_dir))
     )
+    mark("det_sig_ckpt")
     # band join on the raw signature pair (band_id, s_{2b}, s_{2b+1}):
     # same equality as the old concat_ws("|", ...) string key ("|" is
     # unambiguous between digit strings) without materializing and
