@@ -322,18 +322,28 @@ def _jaccard_pairs_tau(
         )
         shh = sh.select("doc_id", F.col("shingle").alias("h"))
     else:
+        # ONE aggregation keyed on the long hash replaces the old
+        # groupBy(string) + regroup-by-h pair (r12 session 3, guide §2.4
+        # "remove shuffles outright" / §2.3 narrower keys): df per hash
+        # is the posting count per hash directly (identical to the old
+        # sum-of-per-shingle-counts), and >1 distinct shingle in a
+        # bucket ⟺ min(shingle) != max(shingle), so the collision guard
+        # still fires inside the same checkpoint job — one exchange on
+        # a long key instead of two passes with a string-keyed exchange.
+        # Isolated alternating probe at K=100 (OPTIMIZATION_r12.md):
+        # old {72.2, 18.5, 21.5, 15.9} vs new {24.3, 16.1, 26.7, 13.6} s
+        # — 3/4 ordered pairings and the worst case to the new shape.
         vmap = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .groupBy(F.xxhash64("shingle").alias("h"))
+            sh.groupBy(F.xxhash64("shingle").alias("h"))
             .agg(
-                F.sum("df").alias("df_sum"),
-                F.count(F.lit(1)).alias("n_distinct"),
+                F.count(F.lit(1)).alias("df_sum"),
+                F.min("shingle").alias("mn"),
+                F.max("shingle").alias("mx"),
             )
             .select(
                 "h",
                 F.when(
-                    F.col("n_distinct") > 1,
+                    F.col("mn") != F.col("mx"),
                     F.raise_error(
                         F.lit(
                             "xxhash64 shingle collision (>1 distinct "
