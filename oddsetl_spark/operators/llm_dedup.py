@@ -126,23 +126,43 @@ jac AS MATERIALIZED (
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + 2 perturbed twins per doc (known near-dup cliques)."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower(F.col("text")).alias("text")
+    """documents + 2 perturbed twins per doc (known near-dup cliques).
+
+    r12 session 3 (guide §2.3 "project before the exchange", §3.3
+    "explode after the join/exchange"): the old shape unioned three
+    projections of the SAME scan and repartitioned the union — three
+    parquet scans of documents, and every doc's full text crossed the
+    width exchange three times (once per variant). Now the BASE rows
+    cross once and the two twins are exploded from an inline array
+    AFTER the exchange, so the scan runs once and the exchange carries
+    a third of the bytes; the twin texts are the identical
+    array_join(slice(split(...))) expressions, so the row set is
+    byte-identical (locked by the same oracles). The repartition keeps
+    the expensive downstream shingle explode + signature stages running
+    wide, not at the source file's few-split parallelism."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+        .repartition(32)
     )
     toks = F.split(F.col("text"), " ")
 
-    def twin(offset: int, drop: int) -> DataFrame:
-        return d.select(
-            (F.col("doc_id") + offset).alias("doc_id"),
-            F.array_join(F.slice(toks, drop + 1, F.size(toks)), " ").alias("text"),
-        )
+    def twin_text(drop: int):
+        return F.array_join(F.slice(toks, drop + 1, F.size(toks)), " ")
 
-    # one cheap shuffle of the (small) doc rows so the expensive downstream
-    # shingle explode + 64-agg signature stages run wide, not at the
-    # source-file's 3-split parallelism
-    return (
-        d.unionByName(twin(100000, 2)).unionByName(twin(200000, 4)).repartition(32)
+    variants = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            twin_text(2).alias("text"),
+        ),
+        F.struct(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            twin_text(4).alias("text"),
+        ),
+    )
+    return d.select(F.explode(variants).alias("v")).select(
+        "v.doc_id", "v.text"
     )
 
 
