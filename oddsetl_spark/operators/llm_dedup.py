@@ -1029,7 +1029,19 @@ def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership = keyed.join(groups.select("k", "rep_id"), "k").select(
         "doc_id", "rep_id"
     )
-    rep_corpus = corpus.join(
+    # Data-adaptive no-op detection (r12 session 3, guide §1.2 "don't
+    # compute things you throw away"): when every text is distinct
+    # (max group size 1 — one scalar aggregate over the already-
+    # checkpointed groups frame), every doc is its own rep and the
+    # semi-join below would return the corpus unchanged — while
+    # SHUFFLING THE FULL-TEXT CORPUS on doc_id once per downstream
+    # pass (the pair pipeline re-derives its corpus lineage for the
+    # vocabulary AND per-doc passes). Skip it outright in that case;
+    # corpora with exact dups take the contraction exactly as before.
+    all_unique = (
+        groups.agg(F.max("grp_n").alias("mx")).collect()[0]["mx"] or 0
+    ) <= 1
+    rep_corpus = corpus if all_unique else corpus.join(
         groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
     )
     # Materialize the (expensive) pair list ONCE; both union branches
