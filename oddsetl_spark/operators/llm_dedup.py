@@ -990,7 +990,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_components(
+    spark: SparkSession, sf_dir: str, _force_contraction: bool = False
+) -> DataFrame:
     """(doc_id, component) over the near-dup pair graph for every doc in
     a cluster of size >= 2 (singletons are absent — callers left-join
     and coalesce component to doc_id). Results are IDENTICAL to
@@ -1038,9 +1040,12 @@ def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass (the pair pipeline re-derives its corpus lineage for the
     # vocabulary AND per-doc passes). Skip it outright in that case;
     # corpora with exact dups take the contraction exactly as before.
-    all_unique = (
-        groups.agg(F.max("grp_n").alias("mx")).collect()[0]["mx"] or 0
-    ) <= 1
+    if _force_contraction:
+        all_unique = False  # test hook: exercise the semi-join branch
+    else:
+        all_unique = (
+            groups.agg(F.max("grp_n").alias("mx")).collect()[0]["mx"] or 0
+        ) <= 1
     rep_corpus = corpus if all_unique else corpus.join(
         groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
     )

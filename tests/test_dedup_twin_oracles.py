@@ -156,3 +156,26 @@ def test_twin_matches_full_on_random_corpora(corpus, oracles):
             )
     finally:
         con.close()
+
+
+def test_contraction_skip_matches_forced_contraction(spark):
+    """The r12-session-3 data-adaptive fast path (skip the exact-dup
+    contraction semi-join when every text is distinct) must be a pure
+    no-op: on an all-unique corpus, doc_components with the skip active
+    (default) and with the semi-join forced must emit identical
+    (doc_id, component) rows."""
+    from oddsetl_spark.operators.llm_dedup import doc_components
+
+    sf_dir = "/root/testdata/sf0.001"
+    fast = sorted(
+        (r.doc_id, r.component)
+        for r in doc_components(spark, sf_dir).collect()
+    )
+    forced = sorted(
+        (r.doc_id, r.component)
+        for r in doc_components(
+            spark, sf_dir, _force_contraction=True
+        ).collect()
+    )
+    assert fast, "expected non-empty components on the twin-clique corpus"
+    assert fast == forced
