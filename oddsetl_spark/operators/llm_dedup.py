@@ -1538,6 +1538,20 @@ def _det_sig_cand(
     # of the three sig consumers (bands, sig_a, sig_b) re-ran all 16
     # permutation passes over it; the checkpoint row also shrinks from
     # n_sh longs to 16.
+    #
+    # r13 (guide §2.3 "narrower types", §5): the checkpointed shingle set
+    # holds xxhash64 LONGS, not the 3-gram strings — the refine only needs
+    # set intersections, identical on the hashed sets absent a 64-bit
+    # collision inside one compared pair (~1e-13/pair; the small-SF oracle
+    # replays pin exactness where the driver checks). Same move as the
+    # r12 streaming staged sets and the r9 pair-pipeline per-doc arrays.
+    # n_sh is the STRING-set size, taken before hashing, so the Jaccard
+    # denominator is byte-identical to the oracle's. The string form of
+    # this checkpoint measured ~4x the bytes at K=100 and no longer fit
+    # the default heap as deserialized rows: the refine stage then paid
+    # BlockManager eviction/re-promotion churn with 3x run-to-run swings
+    # (isolated probe: 179.5 vs 59.6 s on back-to-back identical runs) —
+    # the same failure signature as the r11 ~sf30 OOM, one decade early.
     hp = F.transform("sh_set", base_h)
     sig = (
         _corpus(spark, sf_dir)
@@ -1547,7 +1561,7 @@ def _det_sig_cand(
         .withColumn("hp", hp)
         .select(
             "doc_id",
-            "sh_set",
+            F.transform("sh_set", lambda s: F.xxhash64(s)).alias("sh_set"),
             F.size("sh_set").alias("n_sh"),
             *[
                 F.array_min(F.transform("hp", _perm(a, b))).alias(f"s{i}")

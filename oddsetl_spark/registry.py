@@ -227,12 +227,31 @@ def register(
     category: str = "misc",
     heavy: bool = False,
 ):
-    """Decorator: register a (spark, sf_dir) -> DataFrame query."""
+    """Decorator: register a (spark, sf_dir) -> DataFrame query.
+
+    The registered callable reaps DEAD storage blocks at entry (r13,
+    guide §5): in a long-lived session, localCheckpoint blocks from
+    PREVIOUS queries' intermediates survive until Spark's weak-reference
+    ContextCleaner happens to run, and the accumulated MemoryStore
+    pressure measurably degrades later heavy queries (see
+    session.reap_dead_storage for the probe numbers). Query entry is the
+    one point where the previous query's intermediates are known-dead if
+    the caller dropped them — and the reap only frees JVM-unreachable
+    RDDs, so frames a caller still holds are never touched."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QueryDef(name, fn, oracle, category, heavy)
+        import functools
+
+        from .session import reap_dead_storage
+
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir, *args, **kwargs):
+            reap_dead_storage(spark)
+            return fn(spark, sf_dir, *args, **kwargs)
+
+        _REGISTRY[name] = QueryDef(name, wrapped, oracle, category, heavy)
         return fn
 
     return deco
